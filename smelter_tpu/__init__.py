@@ -1,0 +1,12 @@
+"""smelter-tpu: a TPU-native ONNX inference framework.
+
+Importer -> typed IR -> graph-rewrite passes -> weight-only quantization ->
+JAX/XLA lowering with Pallas kernels for the hot ops -> sharded, jit-compiled
+serving on TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .ir.graph import Graph, Node, TensorType, ValueInfo  # noqa: F401
+from .ir.importer import import_model, load_model, export_model, save_model  # noqa: F401
+from .ir.build import GraphBuilder  # noqa: F401

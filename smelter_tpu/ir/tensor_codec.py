@@ -1,0 +1,75 @@
+"""TensorProto <-> numpy codec.
+
+The reference decodes TensorProto payloads (typed repeated fields *or*
+raw_data, any int/float/fp16/double dtype) into host arrays (reference:
+Sources/Smelter/Onnx_TensorProto+Extensions.swift:2-66 and
+Sources/Smelter/Extensions/Foundation/Data+Extensions.swift:4-24).
+This module is the same capability over numpy: zero-copy reinterpret of
+raw_data when possible, typed-field fallback, fp16/bf16 aware.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..proto import onnx_pb2 as onnx
+from ..utils import dtypes as dt
+from .errors import ImportError_
+
+# ONNX stores some narrow dtypes widened inside int32_data.
+_INT32_CARRIED = {dt.UINT8, dt.INT8, dt.UINT16, dt.INT16, dt.INT32, dt.BOOL, dt.FLOAT16, dt.BFLOAT16}
+
+
+def tensor_to_numpy(tp: onnx.TensorProto) -> np.ndarray:
+    """Decode a TensorProto into a numpy array of the tensor's dtype/shape."""
+    if tp.data_type == dt.STRING:
+        raise ImportError_(f"string tensors not supported (tensor {tp.name!r})")
+    np_dtype = dt.onnx_to_numpy_dtype(tp.data_type)
+    shape = tuple(tp.dims)
+    count = int(np.prod(shape)) if shape else 1
+
+    if tp.raw_data:
+        if len(tp.raw_data) < count * np_dtype.itemsize:
+            raise ImportError_(
+                f"tensor {tp.name!r}: raw_data has {len(tp.raw_data)} bytes, "
+                f"shape {shape} ({dt.dtype_name(tp.data_type)}) needs "
+                f"{count * np_dtype.itemsize}"
+            )
+        arr = np.frombuffer(tp.raw_data, dtype=np_dtype, count=count)
+    elif tp.data_type == dt.FLOAT:
+        arr = np.asarray(tp.float_data, dtype=np.float32)
+    elif tp.data_type == dt.DOUBLE:
+        arr = np.asarray(tp.double_data, dtype=np.float64)
+    elif tp.data_type == dt.INT64:
+        arr = np.asarray(tp.int64_data, dtype=np.int64)
+    elif tp.data_type in (dt.UINT64, dt.UINT32):
+        arr = np.asarray(tp.uint64_data, dtype=np.uint64).astype(np_dtype)
+    elif tp.data_type in _INT32_CARRIED:
+        raw32 = np.asarray(tp.int32_data, dtype=np.int32)
+        if tp.data_type in (dt.FLOAT16, dt.BFLOAT16):
+            # fp16/bf16 are stored as their bit patterns in the low 16 bits.
+            arr = raw32.astype(np.uint16).view(np_dtype)
+        else:
+            arr = raw32.astype(np_dtype)
+    else:
+        raise ImportError_(
+            f"tensor {tp.name!r}: no payload for dtype {dt.dtype_name(tp.data_type)}"
+        )
+
+    if arr.size != count:
+        raise ImportError_(
+            f"tensor {tp.name!r}: payload has {arr.size} elements, shape {shape} "
+            f"needs {count}"
+        )
+    return arr.reshape(shape)
+
+
+def numpy_to_tensor(arr: np.ndarray, name: str = "") -> onnx.TensorProto:
+    """Encode a numpy array as a TensorProto using raw_data (compact, fast)."""
+    arr = np.asarray(arr, order="C")  # not ascontiguousarray: that promotes 0-d to 1-d
+    tp = onnx.TensorProto()
+    tp.name = name
+    tp.data_type = dt.numpy_to_onnx_dtype(arr.dtype)
+    tp.dims.extend(arr.shape)
+    tp.raw_data = arr.tobytes()
+    return tp

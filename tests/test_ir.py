@@ -1,0 +1,160 @@
+"""IR layer tests: tensor codec, import/export roundtrip, graph utilities."""
+
+import ml_dtypes
+import numpy as np
+import pytest
+
+from smelter_tpu.ir import tensor_codec as tc
+from smelter_tpu.ir.build import GraphBuilder
+from smelter_tpu.ir.errors import ImportError_
+from smelter_tpu.ir.graph import Graph, Node, TensorType, ValueInfo
+from smelter_tpu.ir.importer import export_model, import_model
+from smelter_tpu.proto import onnx_pb2 as onnx
+from smelter_tpu.utils import dtypes as dt
+
+
+class TestTensorCodec:
+    @pytest.mark.parametrize(
+        "dtype",
+        [np.float32, np.float16, np.float64, np.int8, np.uint8, np.int32,
+         np.int64, np.bool_, ml_dtypes.bfloat16],
+    )
+    def test_raw_roundtrip(self, dtype, rng):
+        arr = rng.standard_normal((3, 4, 5)).astype(dtype)
+        tp = tc.numpy_to_tensor(arr, "t")
+        back = tc.tensor_to_numpy(tp)
+        assert back.dtype == np.dtype(dtype)
+        assert back.shape == (3, 4, 5)
+        np.testing.assert_array_equal(back.view(np.uint8), arr.view(np.uint8))
+
+    def test_typed_field_float(self):
+        tp = onnx.TensorProto(data_type=dt.FLOAT, dims=[2, 2])
+        tp.float_data.extend([1.0, 2.0, 3.0, 4.0])
+        np.testing.assert_array_equal(
+            tc.tensor_to_numpy(tp), np.array([[1, 2], [3, 4]], np.float32)
+        )
+
+    def test_typed_field_int64(self):
+        tp = onnx.TensorProto(data_type=dt.INT64, dims=[3])
+        tp.int64_data.extend([-1, 0, 7])
+        np.testing.assert_array_equal(tc.tensor_to_numpy(tp), [-1, 0, 7])
+
+    def test_int32_carried_fp16(self):
+        # fp16 stored as bit patterns widened into int32_data (ONNX convention).
+        vals = np.array([1.5, -2.25], np.float16)
+        tp = onnx.TensorProto(data_type=dt.FLOAT16, dims=[2])
+        tp.int32_data.extend(int(x) for x in vals.view(np.uint16))
+        np.testing.assert_array_equal(tc.tensor_to_numpy(tp), vals)
+
+    def test_int32_carried_int8(self):
+        tp = onnx.TensorProto(data_type=dt.INT8, dims=[3])
+        tp.int32_data.extend([-128, 0, 127])
+        out = tc.tensor_to_numpy(tp)
+        assert out.dtype == np.int8
+        np.testing.assert_array_equal(out, [-128, 0, 127])
+
+    def test_size_mismatch_raises(self):
+        tp = onnx.TensorProto(data_type=dt.FLOAT, dims=[10])
+        tp.raw_data = b"\x00" * 8  # only 2 floats
+        with pytest.raises(ImportError_):
+            tc.tensor_to_numpy(tp)
+
+    def test_scalar(self):
+        tp = tc.numpy_to_tensor(np.float32(3.5), "s")
+        out = tc.tensor_to_numpy(tp)
+        assert out.shape == () and out == np.float32(3.5)
+
+
+class TestRoundtrip:
+    def _tiny_graph(self) -> Graph:
+        b = GraphBuilder("tiny", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        y = b.conv(x, np.ones((4, 3, 3, 3), np.float32),
+                   bias=np.zeros(4, np.float32), pads=(1, 1, 1, 1))
+        y = b.node("Relu", [y])
+        return b.finish([y])
+
+    def test_model_roundtrip(self):
+        g = self._tiny_graph()
+        data = export_model(g)
+        g2 = import_model(data)
+        assert [n.op_type for n in g2.nodes] == ["Conv", "Relu"]
+        assert g2.opset == 13
+        assert g2.inputs[0].type == TensorType(dt.FLOAT, (1, 3, 8, 8))
+        conv = g2.nodes[0]
+        assert conv.attrs["strides"] == [1, 1]
+        assert conv.attrs["pads"] == [1, 1, 1, 1]
+        assert conv.attrs["group"] == 1
+        w = g2.initializers[conv.inputs[1]]
+        assert w.shape == (4, 3, 3, 3)
+        np.testing.assert_array_equal(w, 1.0)
+
+    def test_attr_kinds_roundtrip(self):
+        g = Graph(name="attrs")
+        g.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, (1,))))
+        g.nodes.append(Node("Custom", ["x"], ["y"], attrs={
+            "i": 3, "f": 0.5, "s": "hello",
+            "ints": [1, 2, 3], "floats": [1.0, 2.5], "strings": ["a", "b"],
+            "t": np.arange(6, dtype=np.float32).reshape(2, 3),
+        }))
+        g.outputs.append(ValueInfo("y"))
+        g2 = import_model(export_model(g))
+        a = g2.nodes[0].attrs
+        assert a["i"] == 3 and a["f"] == 0.5 and a["s"] == "hello"
+        assert a["ints"] == [1, 2, 3] and a["floats"] == [1.0, 2.5]
+        assert a["strings"] == ["a", "b"]
+        np.testing.assert_array_equal(a["t"], np.arange(6, dtype=np.float32).reshape(2, 3))
+
+    def test_symbolic_dims_roundtrip(self):
+        g = Graph()
+        g.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, ("batch", 3, 224, 224))))
+        g.outputs.append(ValueInfo("x"))
+        g2 = import_model(export_model(g))
+        assert g2.inputs[0].type.shape == ("batch", 3, 224, 224)
+        assert not g2.inputs[0].type.is_static
+
+    def test_producer_and_metadata(self):
+        g = Graph()
+        g.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, (1,))))
+        g.outputs.append(ValueInfo("x"))
+        g.metadata["layout"] = "nhwc"
+        data = export_model(g, producer="smelter-tpu")
+        g2 = import_model(data)
+        assert g2.producer == "smelter-tpu"
+        assert g2.metadata["layout"] == "nhwc"
+
+
+class TestGraphUtils:
+    def test_toposort_and_dce(self):
+        g = Graph()
+        g.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, (1,))))
+        # Deliberately out of order + one dead node.
+        g.nodes = [
+            Node("Relu", ["a"], ["b"]),
+            Node("Exp", ["x"], ["a"]),
+            Node("Sigmoid", ["x"], ["dead"]),
+        ]
+        g.outputs.append(ValueInfo("b"))
+        g.toposort()
+        order = [n.op_type for n in g.nodes]
+        assert order.index("Exp") < order.index("Relu")  # any valid topo order
+        removed = g.dead_code_eliminate()
+        assert removed == 1
+        assert [n.op_type for n in g.nodes] == ["Exp", "Relu"]
+
+    def test_cycle_detection(self):
+        g = Graph()
+        g.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, (1,))))
+        g.nodes = [Node("A", ["b"], ["a"]), Node("B", ["a"], ["b"])]
+        g.outputs.append(ValueInfo("a"))
+        with pytest.raises(ValueError, match="cycle"):
+            g.toposort()
+
+    def test_producers_consumers(self):
+        b = GraphBuilder()
+        x = b.input("x", (1, 4))
+        y = b.node("Relu", [x])
+        z = b.node("Add", [y, y])
+        g = b.finish([z])
+        assert g.producers()[y].op_type == "Relu"
+        assert len(g.consumers()[y]) == 2  # Add consumes y twice (per occurrence)
