@@ -10,3 +10,5 @@ __version__ = "0.1.0"
 from .ir.graph import Graph, Node, TensorType, ValueInfo  # noqa: F401
 from .ir.importer import import_model, load_model, export_model, save_model  # noqa: F401
 from .ir.build import GraphBuilder  # noqa: F401
+from .runtime.config import Config  # noqa: F401,E402
+from .runtime.executor import CompiledModel, Executor  # noqa: F401,E402

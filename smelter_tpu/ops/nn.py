@@ -1,0 +1,418 @@
+"""Neural-net op lowerings: conv family, pooling, normalization, softmax,
+resize/upsample, attention-adjacent ops.
+
+Covers the reference's converter inventory (reference:
+Sources/Smelter/Converters.swift — ConvolutionConverter :187-338, pooling
+:578-695, softmax :697-714/:1213-1231, BN/IN/GN :730-827/:992-1054/
+:1272-1300, Upsample :478-552) with ONNX-general semantics: all ranks,
+any softmax axis (the reference requires axis==1, Converters.swift:704),
+grouped/depthwise conv via XLA feature_group_count (the reference detects
+depthwise by groups==outputChannels, Converters.swift:57-66).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ir.errors import NotSupportedError
+from ..ir.graph import Node
+from . import padding as P
+from .registry import Ctx, register
+from .resize_utils import resize_spatial
+
+
+def _spatial_dim_numbers(rank: int):
+    sp = "DHW"[3 - rank :] if rank <= 3 else None
+    if sp is None:
+        raise NotSupportedError(f"conv with {rank} spatial dims")
+    return ("NC" + sp, "OI" + sp, "NC" + sp)
+
+
+def _conv_attrs(node: Node, rank: int):
+    strides = tuple(node.attr("strides", [1] * rank))
+    dilations = tuple(node.attr("dilations", [1] * rank))
+    group = int(node.attr("group", 1))
+    return strides, dilations, group
+
+
+def _add_bias(y, b):
+    # y: (N, C, *spatial); b: (C,)
+    return y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
+
+
+@register("Conv")
+def conv(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    w = ctx.get(node.inputs[1])
+    rank = x.ndim - 2
+    strides, dilations, group = _conv_attrs(node, rank)
+    kernel = tuple(w.shape[2:])
+    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=strides,
+        padding=pads,
+        rhs_dilation=dilations,
+        dimension_numbers=_spatial_dim_numbers(rank),
+        feature_group_count=group,
+    )
+    if len(node.inputs) > 2 and node.inputs[2]:
+        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype))
+    ctx.set(node.outputs[0], y)
+
+
+@register("ConvTranspose")
+def conv_transpose(ctx: Ctx, node: Node):
+    """ONNX ConvTranspose: weight layout (C_in, C_out/group, *k).
+
+    Lowered as an input-dilated forward conv with a spatially-flipped,
+    transposed kernel — the standard XLA formulation; output size matches the
+    reference's closed form (ONNXConvolutionPadding.swift:102-113)."""
+    x = ctx.get(node.inputs[0])
+    w = ctx.get(node.inputs[1])
+    rank = x.ndim - 2
+    strides, dilations, group = _conv_attrs(node, rank)
+    kernel = tuple(w.shape[2:])
+    out_pad = tuple(node.attr("output_padding", [0] * rank))
+    if node.attr("output_shape") is not None:
+        raise NotSupportedError("ConvTranspose explicit output_shape")
+    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+
+    cin = w.shape[0]
+    cout_per_g = w.shape[1]
+    in_per_g = cin // group
+    # (C_in, C_out/g, *k) -> (C_out, C_in/g, *k), flipped spatially.
+    wt = w.reshape((group, in_per_g, cout_per_g) + kernel)
+    wt = jnp.moveaxis(wt, 2, 1)  # (g, cout/g, in/g, *k)
+    wt = wt.reshape((group * cout_per_g, in_per_g) + kernel)
+    wt = jnp.flip(wt, axis=tuple(range(2, 2 + rank)))
+
+    conv_pads = []
+    for i in range(rank):
+        eff = P.effective_kernel(kernel[i], dilations[i])
+        lo = eff - 1 - pads[i][0]
+        hi = eff - 1 - pads[i][1] + out_pad[i]
+        conv_pads.append((lo, hi))
+    y = lax.conv_general_dilated(
+        x,
+        wt.astype(x.dtype),
+        window_strides=(1,) * rank,
+        padding=conv_pads,
+        lhs_dilation=strides,
+        rhs_dilation=dilations,
+        dimension_numbers=_spatial_dim_numbers(rank),
+        feature_group_count=group,
+    )
+    if len(node.inputs) > 2 and node.inputs[2]:
+        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype))
+    ctx.set(node.outputs[0], y)
+
+
+@register("Gemm")
+def gemm(ctx: Ctx, node: Node):
+    a = ctx.get(node.inputs[0])
+    b = ctx.get(node.inputs[1])
+    alpha = node.attr("alpha", 1.0)
+    beta = node.attr("beta", 1.0)
+    if a.ndim > 2:
+        # FC over feature maps: mirror the reference's Gemm-as-1x1-conv
+        # behavior (Converters.swift:228-232) by flattening to (N, -1).
+        a = a.reshape((a.shape[0], -1))
+    if node.attr("transA", 0):
+        a = a.T
+    if node.attr("transB", 0):
+        b = b.T
+    y = jnp.dot(a, b.astype(a.dtype), preferred_element_type=jnp.float32).astype(a.dtype)
+    if alpha != 1.0:
+        y = y * jnp.asarray(alpha, y.dtype)
+    if len(node.inputs) > 2 and node.inputs[2]:
+        c = ctx.get(node.inputs[2]).astype(y.dtype)
+        y = y + (c if beta == 1.0 else c * jnp.asarray(beta, y.dtype))
+    ctx.set(node.outputs[0], y)
+
+
+@register("MatMul")
+def matmul(ctx: Ctx, node: Node):
+    a = ctx.get(node.inputs[0])
+    b = ctx.get(node.inputs[1])
+    y = jnp.matmul(a, b.astype(a.dtype), preferred_element_type=jnp.float32).astype(a.dtype)
+    ctx.set(node.outputs[0], y)
+
+
+# -- pooling --------------------------------------------------------------
+
+
+def _pool_prep(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    rank = x.ndim - 2
+    kernel = tuple(node.attr("kernel_shape"))
+    strides = tuple(node.attr("strides", [1] * rank))
+    dilations = tuple(node.attr("dilations", [1] * rank))
+    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    if node.attr("ceil_mode", 0):
+        pads = [
+            (lo, hi + P.pool_extra_ceil_pad(x.shape[2 + i], kernel[i], strides[i], dilations[i], lo, hi))
+            for i, (lo, hi) in enumerate(pads)
+        ]
+    return x, rank, kernel, strides, dilations, pads
+
+
+@register("MaxPool")
+def max_pool(ctx: Ctx, node: Node):
+    x, rank, kernel, strides, dilations, pads = _pool_prep(ctx, node)
+    if len(node.outputs) > 1 and node.outputs[1]:
+        raise NotSupportedError("MaxPool indices output")
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    y = lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, 1) + kernel,
+        window_strides=(1, 1) + strides,
+        window_dilation=(1, 1) + dilations,
+        padding=[(0, 0), (0, 0)] + pads,
+    )
+    ctx.set(node.outputs[0], y)
+
+
+def _window_counts(in_sizes, kernel, strides, dilations, pads) -> np.ndarray:
+    """Per-output-window count of non-padding taps (separable per dim)."""
+    per_dim = []
+    for in_s, k, s, d, (lo, hi) in zip(in_sizes, kernel, strides, dilations, pads):
+        out_s = P.conv_out_size(in_s, k, s, d, lo, hi)
+        starts = np.arange(out_s) * s - lo
+        taps = starts[:, None] + np.arange(k)[None, :] * d
+        per_dim.append(((taps >= 0) & (taps < in_s)).sum(axis=1).astype(np.float64))
+    counts = per_dim[0]
+    for c in per_dim[1:]:
+        counts = counts[..., None] * c
+    return counts
+
+
+@register("AveragePool")
+def average_pool(ctx: Ctx, node: Node):
+    x, rank, kernel, strides, dilations, pads = _pool_prep(ctx, node)
+    summed = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, 1) + kernel,
+        window_strides=(1, 1) + strides,
+        window_dilation=(1, 1) + dilations,
+        padding=[(0, 0), (0, 0)] + pads,
+    )
+    if node.attr("count_include_pad", 0):
+        div = float(np.prod(kernel))
+        y = summed / jnp.asarray(div, x.dtype)
+    else:
+        counts = _window_counts(x.shape[2:], kernel, strides, dilations, pads)
+        y = summed / jnp.asarray(counts.reshape((1, 1) + counts.shape), x.dtype)
+    ctx.set(node.outputs[0], y)
+
+
+@register("GlobalAveragePool")
+def global_average_pool(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    ctx.set(node.outputs[0], jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True))
+
+
+@register("GlobalMaxPool")
+def global_max_pool(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    ctx.set(node.outputs[0], jnp.max(x, axis=tuple(range(2, x.ndim)), keepdims=True))
+
+
+# -- normalization --------------------------------------------------------
+
+
+@register("BatchNormalization")
+def batch_norm(ctx: Ctx, node: Node):
+    """Inference-style BN, parity with BNDataSource (Converters.swift:730-827)."""
+    x = ctx.get(node.inputs[0])
+    scale, bias, mean, var = (ctx.get(n).astype(jnp.float32) for n in node.inputs[1:5])
+    eps = node.attr("epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    inv = lax.rsqrt(var + eps) * scale
+    y = x.astype(jnp.float32) * inv.reshape(shape) + (bias - mean * inv).reshape(shape)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("InstanceNormalization")
+def instance_norm(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    scale = ctx.get(node.inputs[1]).astype(jnp.float32)
+    bias = ctx.get(node.inputs[2]).astype(jnp.float32)
+    eps = node.attr("epsilon", 1e-5)
+    axes = tuple(range(2, x.ndim))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    y = (xf - mean) * lax.rsqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+def _group_norm(x, num_groups: int, scale, bias, eps: float):
+    n, c = x.shape[:2]
+    spatial = x.shape[2:]
+    xf = x.astype(jnp.float32).reshape((n, num_groups, c // num_groups) + spatial)
+    axes = tuple(range(2, xf.ndim))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return y * scale.reshape(shape) + bias.reshape(shape)
+
+
+@register("GroupNormalization", since=18)
+def group_normalization(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    scale = ctx.get(node.inputs[1]).astype(jnp.float32)
+    bias = ctx.get(node.inputs[2]).astype(jnp.float32)
+    y = _group_norm(x, int(node.attr("num_groups")), scale, bias, node.attr("epsilon", 1e-5))
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("custom_group_norm")
+def custom_group_norm(ctx: Ctx, node: Node):
+    """The reference's custom GroupNorm op: inputs [x, groups, gamma, beta]
+    with groups/gamma/beta as tensors (Converters.swift:1272-1300,
+    registered at ONNXGraph.swift:154)."""
+    x = ctx.get(node.inputs[0])
+    groups = int(ctx.static(node.inputs[1]).reshape(-1)[0])
+    gamma = ctx.get(node.inputs[2]).astype(jnp.float32).reshape(-1)
+    beta = ctx.get(node.inputs[3]).astype(jnp.float32).reshape(-1)
+    y = _group_norm(x, groups, gamma, beta, node.attr("epsilon", 1e-5))
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("LayerNormalization", since=17)
+def layer_norm(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    scale = ctx.get(node.inputs[1]).astype(jnp.float32)
+    axis = node.attr("axis", -1)
+    eps = node.attr("epsilon", 1e-5)
+    if axis < 0:
+        axis += x.ndim
+    axes = tuple(range(axis, x.ndim))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps) * scale
+    if len(node.inputs) > 2 and node.inputs[2]:
+        y = y + ctx.get(node.inputs[2]).astype(jnp.float32)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+    for extra in node.outputs[1:]:
+        if extra:
+            raise NotSupportedError("LayerNormalization mean/invstd outputs")
+
+
+@register("LRN")
+def lrn(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    size = int(node.attr("size"))
+    alpha = node.attr("alpha", 1e-4)
+    beta = node.attr("beta", 0.75)
+    bias = node.attr("bias", 1.0)
+    sq = jnp.square(x.astype(jnp.float32))
+    lo = (size - 1) // 2
+    hi = size - 1 - lo
+    acc = lax.reduce_window(
+        sq, 0.0, lax.add,
+        window_dimensions=(1, size) + (1,) * (x.ndim - 2),
+        window_strides=(1,) * x.ndim,
+        padding=[(0, 0), (lo, hi)] + [(0, 0)] * (x.ndim - 2),
+    )
+    y = x.astype(jnp.float32) / jnp.power(bias + (alpha / size) * acc, beta)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+# -- softmax --------------------------------------------------------------
+
+
+def _coerce_axis(axis: int, ndim: int) -> int:
+    return axis + ndim if axis < 0 else axis
+
+
+@register("Softmax")
+def softmax(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    if ctx.opset >= 13:
+        axis = node.attr("axis", -1)
+        y = jax.nn.softmax(x, axis=axis)
+    else:
+        # opset<13: softmax over coalesced dims [axis:] (2D-flatten semantics).
+        axis = _coerce_axis(node.attr("axis", 1), x.ndim)
+        flat = x.reshape(x.shape[:axis] + (-1,))
+        y = jax.nn.softmax(flat, axis=-1).reshape(x.shape)
+    ctx.set(node.outputs[0], y)
+
+
+@register("LogSoftmax")
+def log_softmax(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    if ctx.opset >= 13:
+        y = jax.nn.log_softmax(x, axis=node.attr("axis", -1))
+    else:
+        axis = _coerce_axis(node.attr("axis", 1), x.ndim)
+        flat = x.reshape(x.shape[:axis] + (-1,))
+        y = jax.nn.log_softmax(flat, axis=-1).reshape(x.shape)
+    ctx.set(node.outputs[0], y)
+
+
+# -- resize / upsample ----------------------------------------------------
+
+
+def _as_str(v) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+@register("Upsample")
+def upsample(ctx: Ctx, node: Node):
+    """Upsample-7 (scales attr) / Upsample-9 (scales input). The linear mode
+    honors config.upsample_align_corners, defaulting to align_corners=True to
+    match the reference's default (ONNXGraph.swift:20, Converters.swift:530)."""
+    x = ctx.get(node.inputs[0])
+    if len(node.inputs) > 1 and node.inputs[1]:
+        scales = ctx.static(node.inputs[1]).astype(np.float64)
+    else:
+        scales = np.asarray(node.attr("scales"), np.float64)
+    mode = _as_str(node.attr("mode", "nearest"))
+    out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(scales[2:], x.shape[2:]))
+    align = True
+    if ctx.config is not None:
+        align = getattr(ctx.config, "upsample_align_corners", True)
+    if mode == "nearest":
+        y = resize_spatial(x, out_sizes, mode="nearest", coord_mode="asymmetric",
+                           nearest_mode="floor")
+    else:
+        coord = "align_corners" if align else "asymmetric"
+        y = resize_spatial(x, out_sizes, mode="linear", coord_mode=coord)
+    ctx.set(node.outputs[0], y)
+
+
+@register("Resize", since=10)
+def resize(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    mode = _as_str(node.attr("mode", "nearest"))
+    coord = _as_str(node.attr("coordinate_transformation_mode", "half_pixel"))
+    nearest_mode = _as_str(node.attr("nearest_mode", "round_prefer_floor"))
+    if coord == "tf_crop_and_resize":
+        raise NotSupportedError("Resize tf_crop_and_resize")
+
+    out_sizes = None
+    if len(node.inputs) > 3 and node.inputs[3]:
+        sizes = ctx.static(node.inputs[3]).astype(np.int64)
+        out_sizes = tuple(int(s) for s in sizes[2:])
+    else:
+        scales_in = node.inputs[2] if len(node.inputs) > 2 else node.inputs[1]
+        scales = ctx.static(scales_in).astype(np.float64)
+        if ctx.opset == 10:
+            scales = ctx.static(node.inputs[1]).astype(np.float64)
+        out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(scales[2:], x.shape[2:]))
+    y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord, nearest_mode=nearest_mode)
+    ctx.set(node.outputs[0], y)

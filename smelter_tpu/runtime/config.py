@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+One dataclass covering what the reference splits between
+`ONNXGraph.Configuration` (reference: Sources/Smelter/ONNXGraph.swift:6-36 —
+inputConstraint force-rescale, bilinear alignCorners, per-axis input dim
+overrides) and the offline tool's CLI flags (ONNX2MPS.py:112-117 —
+--half dtype policy), plus the TPU-specific knobs (compute dtype, Pallas
+kernel toggle, mesh/sharding spec).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class Config:
+    # -- shape resolution ------------------------------------------------
+    # dim overrides: str keys match ONNX dim_param names; int keys pin that
+    # axis on every graph input (the reference's `dims: [Int: Int]`,
+    # ONNXGraph.swift:25,201).
+    dims: dict[str | int, int] = dataclasses.field(default_factory=dict)
+    batch_size: int | None = None  # convenience: pins axis 0 of every input
+
+    # -- input preprocessing ---------------------------------------------
+    # Force-rescale graph inputs to the given spatial size before the graph
+    # body (the reference's inputConstraint forceInputScale with Lanczos /
+    # bilinear, ONNXGraph.swift:222-240). None disables.
+    input_scale: str | None = None  # None | "bilinear" | "lanczos"
+    input_size: tuple[int, int] | None = None
+
+    # -- numerics --------------------------------------------------------
+    # Activation compute dtype: "float32" | "bfloat16" | "float16".
+    compute_dtype: str = "float32"
+    # Upsample linear mode alignCorners (reference default true,
+    # ONNXGraph.swift:20).
+    upsample_align_corners: bool = True
+
+    # -- TPU execution ---------------------------------------------------
+    use_pallas: bool = False  # hand-written hot kernels vs plain XLA lowering
+    donate_inputs: bool = False
+    # Sharding: name of a parallel.MeshPlan or None for single device.
+    mesh: Any = None
+
+    def resolve_dim(self, input_name: str, axis: int, dim) -> int | None:
+        """Resolve one (possibly symbolic) input dim via overrides."""
+        if isinstance(dim, int):
+            if axis in self.dims and self.dims[axis] != dim:
+                return int(self.dims[axis])
+            return dim
+        if axis == 0 and self.batch_size is not None:
+            return int(self.batch_size)
+        if isinstance(dim, str) and dim in self.dims:
+            return int(self.dims[dim])
+        if axis in self.dims:
+            return int(self.dims[axis])
+        return None

@@ -1,0 +1,232 @@
+"""Graph executor: IR -> jittable JAX function -> compiled executable.
+
+This is the TPU-native replacement for the reference's build-and-encode
+path: where the reference dispatches converters per node to assemble an
+MPSNNGraph that Apple's driver compiles (reference:
+Sources/Smelter/ONNXGraph.swift:169-189), we walk the node list once under
+jax tracing — each lowering emits XLA ops — and `jax.jit` compiles the
+whole graph into one fused TPU executable. Weights become a params pytree
+(shardable via NamedSharding), inputs are positional.
+
+Shape inference falls out of the same walk via jax.eval_shape: the lowering
+functions are the shape oracle, exactly as the reference reuses its padding
+policies for build-time shape computation (Converters.swift:311-330).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ir.errors import ShapeError, UnresolvedDimError
+from ..ir.graph import Graph, TensorType
+from ..ops import ALL_OPS_LOADED  # noqa: F401  (forces op registration)
+from ..ops.registry import Ctx, lower_node
+from ..utils import dtypes as dt
+from .config import Config
+
+# Input positions that ops consume as trace-time constants. An initializer
+# used *only* in these positions never becomes a runtime param — it is folded
+# into the compiled program (the analog of the reference folding Constant
+# nodes into its tensor dict, Converters.swift:716-727).
+_STATIC_POSITIONS: dict[str, set[int]] = {
+    "Reshape": {1},
+    "Squeeze": {1},
+    "Unsqueeze": {1},
+    "Expand": {1},
+    "Tile": {1},
+    "Pad": {1, 2},
+    "Slice": {1, 2, 3, 4},
+    "Resize": {1, 2, 3},
+    "Upsample": {1},
+    "Split": {1},
+    "CumSum": {1},
+    "TopK": {1},
+    "ConstantOfShape": {0},
+    "Range": {0, 1, 2},
+    "custom_group_norm": {1},
+    "ReduceMean": {1},
+    "ReduceSum": {1},
+    "ReduceMax": {1},
+    "ReduceMin": {1},
+    "ReduceProd": {1},
+    "ReduceL1": {1},
+    "ReduceL2": {1},
+    "ReduceSumSquare": {1},
+    "ReduceLogSumExp": {1},
+}
+
+
+def split_params(graph: Graph) -> tuple[list[str], list[str]]:
+    """Partition initializer names into (runtime params, static-only)."""
+    dynamic: set[str] = set()
+    static_only_candidates: set[str] = set(graph.initializers)
+    for node in graph.nodes:
+        static_pos = _STATIC_POSITIONS.get(node.op_type, set())
+        for i, name in enumerate(node.inputs):
+            if name in graph.initializers and i not in static_pos:
+                dynamic.add(name)
+    for name in graph.output_names:
+        if name in graph.initializers:
+            dynamic.add(name)
+    params = sorted(dynamic)
+    static_only = sorted(static_only_candidates - dynamic)
+    return params, static_only
+
+
+class Executor:
+    """Builds and owns the jittable function for one graph."""
+
+    def __init__(self, graph: Graph, config: Config | None = None):
+        self.graph = graph
+        self.config = config or Config()
+        self.input_types = self._resolve_input_types()
+        self.param_names, self.static_names = split_params(graph)
+        # Fail at build time for unknown ops, like the reference's registry
+        # dispatch (ONNXGraph.swift:172-176 throws unknownNodeOpType) —
+        # jit tracing is lazy, so without this the error would only
+        # surface on first call.
+        from ..ops.registry import resolve
+
+        for node in graph.nodes:
+            resolve(node.op_type, graph.opset)
+
+    # -- shapes ----------------------------------------------------------
+
+    def _resolve_input_types(self) -> dict[str, TensorType]:
+        out: dict[str, TensorType] = {}
+        for vi in self.graph.inputs:
+            if vi.type is None:
+                raise ShapeError(f"graph input {vi.name!r} has no declared type")
+            dims = []
+            for axis, d in enumerate(vi.type.shape):
+                r = self.config.resolve_dim(vi.name, axis, d)
+                if r is None:
+                    raise UnresolvedDimError(vi.name, axis, str(d))
+                dims.append(r)
+            out[vi.name] = TensorType(vi.type.dtype, tuple(dims))
+        return out
+
+    # -- params ----------------------------------------------------------
+
+    def init_params(self, device=None) -> dict[str, jax.Array]:
+        """Materialize the params pytree on device (weights stay in their
+        stored dtype; quantized int8/fp16 arrays upload as-is)."""
+        out = {}
+        for name in self.param_names:
+            arr = self.graph.initializers[name]
+            out[name] = jax.device_put(jnp.asarray(arr), device)
+        return out
+
+    def param_shapes(self) -> dict[str, jax.ShapeDtypeStruct]:
+        return {
+            name: jax.ShapeDtypeStruct(
+                self.graph.initializers[name].shape,
+                self.graph.initializers[name].dtype,
+            )
+            for name in self.param_names
+        }
+
+    def input_shapes(self) -> list[jax.ShapeDtypeStruct]:
+        return [
+            jax.ShapeDtypeStruct(t.shape, self._compute_dtype(t))
+            for t in (self.input_types[v.name] for v in self.graph.inputs)
+        ]
+
+    def _compute_dtype(self, t: TensorType):
+        np_dtype = t.np_dtype
+        if np_dtype.kind == "f" and self.config.compute_dtype != "float32":
+            return jnp.dtype(self.config.compute_dtype)
+        return np_dtype
+
+    # -- the traced function --------------------------------------------
+
+    def _preprocess_input(self, name: str, x):
+        """Optional forced input rescale (ONNXGraph.swift:222-240 analog)."""
+        cfg = self.config
+        if cfg.input_scale is None:
+            return x
+        want = self.input_types[name].shape
+        if x.ndim != 4:
+            return x
+        target = cfg.input_size or (want[2], want[3])
+        if tuple(x.shape[2:]) == tuple(target):
+            return x
+        method = {"bilinear": "bilinear", "lanczos": "lanczos3"}[cfg.input_scale]
+        return jax.image.resize(
+            x, x.shape[:2] + tuple(target), method=method
+        ).astype(x.dtype)
+
+    def build_fn(self, return_all_edges: bool = False) -> Callable:
+        graph, config = self.graph, self.config
+        input_names = graph.input_names
+        output_names = graph.output_names
+
+        def fn(params: dict[str, Any], *inputs):
+            env: dict[str, Any] = {}
+            for name in self.param_names:
+                env[name] = params[name]
+            cd = jnp.dtype(config.compute_dtype)
+            for name, x in zip(input_names, inputs):
+                x = jnp.asarray(x)
+                if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != cd:
+                    x = x.astype(cd)
+                env[name] = self._preprocess_input(name, x)
+            ctx = Ctx(graph, env, config)
+            for node in graph.nodes:
+                lower_node(ctx, node)
+            if return_all_edges:
+                return dict(env)
+            return tuple(env[o] for o in output_names)
+
+        return fn
+
+    # -- compile & run ---------------------------------------------------
+
+    def jit(self, donate_params: bool = False) -> Callable:
+        fn = self.build_fn()
+        donate = (0,) if donate_params else ()
+        return jax.jit(fn, donate_argnums=donate)
+
+    def infer_value_types(self) -> dict[str, TensorType]:
+        """Populate graph.value_types for every edge via abstract eval."""
+        fn = self.build_fn(return_all_edges=True)
+        out = jax.eval_shape(fn, self.param_shapes(), *self.input_shapes())
+        types = {}
+        for name, s in out.items():
+            try:
+                code = dt.numpy_to_onnx_dtype(np.dtype(s.dtype))
+            except ValueError:
+                continue
+            types[name] = TensorType(code, tuple(int(d) for d in s.shape))
+        self.graph.value_types.update(types)
+        return types
+
+
+class CompiledModel:
+    """User-facing handle: params resident on device + compiled callable.
+
+    The analog of holding an MPSNNGraph ready to encode (reference:
+    README.md:29-52 usage) — but ahead-of-time compiled and reusable across
+    requests with zero per-call graph work.
+    """
+
+    def __init__(self, graph: Graph, config: Config | None = None):
+        self.executor = Executor(graph, config)
+        self.params = self.executor.init_params()
+        self._fn = self.executor.jit()
+
+    @property
+    def graph(self) -> Graph:
+        return self.executor.graph
+
+    def __call__(self, *inputs) -> list[np.ndarray]:
+        outs = self._fn(self.params, *inputs)
+        return [np.asarray(o) for o in outs]
+
+    def run_device(self, *inputs):
+        """Run without host readback (stays on device for chaining)."""
+        return self._fn(self.params, *inputs)
