@@ -1,0 +1,90 @@
+"""Headline benchmark: ResNet-50 images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares the engine's configured-best path against the plain
+fp32 XLA lowering measured in the same run (the reference publishes no
+numbers of its own — SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(out) -> None:
+    """Force true device completion. Over the axon tunnel,
+    block_until_ready returns before remote execution finishes — only a
+    host readback observes completion (execution is in-order, so reading
+    any element of the last output waits for all queued work)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="resnet50")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--quant", default="none", choices=["none", "fp16", "int8"])
+    args = p.parse_args()
+
+    import jax
+
+    import smelter_tpu as st
+    from smelter_tpu.models import ZOO
+
+    g, _tm, shape = ZOO[args.model](batch=args.batch, image_size=args.image_size)
+
+    # Device-put the input once: serving keeps inputs on device; re-uploading
+    # per call would measure host->device transfer, not the model.
+    x = jax.device_put(
+        np.random.default_rng(0).standard_normal(shape).astype(np.float32))
+
+    # Baseline path: plain fp32 XLA lowering of the imported graph.
+    base = st.CompiledModel(g, st.Config(compute_dtype="float32"))
+    base_s = _time_fn(base._fn, (base.params, x), max(5, args.iters // 2))
+    base_ips = args.batch / base_s
+
+    # Engine-best path: optimizer passes + quantization + compute dtype.
+    gq = g
+    if args.quant != "none":
+        from smelter_tpu.quant import quantize_weights
+
+        gq = quantize_weights(gq, mode=args.quant)
+    best = st.CompiledModel(gq, st.Config(compute_dtype=args.dtype))
+    best_s = _time_fn(best._fn, (best.params, x), args.iters)
+    best_ips = args.batch / best_s
+
+    dev = jax.devices()[0]
+    result = {
+        "metric": f"{args.model} images/sec/chip "
+                  f"(batch={args.batch}, {args.dtype}, quant={args.quant}, {dev.platform})",
+        "value": round(best_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(best_ips / base_ips, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,451 @@
+"""torch.fx -> IR exporter: traces a torch nn.Module and emits an ONNX-shaped
+IR graph with the module's (inference-mode) weights as initializers.
+
+Why this exists: the reference consumes .onnx files exported by PyTorch
+(reference: README.md:7-13 positions the library downstream of ONNX export;
+ONNX2MPS.py preprocesses such files). This environment's torch cannot run
+`torch.onnx.export` (no `onnx` package), so the model zoo and differential
+tests need a first-party exporter. It doubles as a torch frontend for the
+engine — any fx-traceable inference model in the supported op set converts.
+
+Scope: inference only, static shapes, the module/function set the zoo needs
+(conv/linear/norm/activation/pool/resize/attention-by-matmul/...). Shapes
+come from fx ShapeProp over an example input.
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any, Callable
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+from torch.fx import symbolic_trace
+from torch.fx.passes.shape_prop import ShapeProp
+
+from ..ir.build import GraphBuilder
+from ..ir.errors import NotSupportedError
+from ..ir.graph import Graph
+from ..utils import dtypes as dt
+
+
+def _np(t: torch.Tensor) -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+class _Exporter:
+    def __init__(self, module: nn.Module, example: torch.Tensor, name: str, opset: int = 17):
+        self.module = module.eval()
+        self.gm = symbolic_trace(self.module)
+        ShapeProp(self.gm).propagate(example)
+        self.b = GraphBuilder(name, opset=opset)
+        self.env: dict[torch.fx.Node, Any] = {}
+        self.example = example
+
+    # -- helpers ---------------------------------------------------------
+
+    def val(self, a):
+        """fx arg -> edge name (for Node) or python literal."""
+        if isinstance(a, torch.fx.Node):
+            return self.env[a]
+        return a
+
+    def shape_of(self, node: torch.fx.Node) -> tuple[int, ...]:
+        meta = node.meta.get("tensor_meta")
+        if meta is None:
+            raise NotSupportedError(f"no shape metadata for fx node {node}")
+        return tuple(meta.shape)
+
+    def const(self, value, name_hint="c") -> str:
+        return self.b.init(np.asarray(value), self.b._auto(name_hint))
+
+    # -- module converters ----------------------------------------------
+
+    def conv_nd(self, m: nn.modules.conv._ConvNd, x: str, transpose: bool = False) -> str:
+        w = _np(m.weight)
+        bias = _np(m.bias) if m.bias is not None else None
+        rank = w.ndim - 2
+        pads = list(m.padding) * 2 if isinstance(m.padding, (tuple, list)) else [m.padding] * (2 * rank)
+        op = "ConvTranspose" if transpose else "Conv"
+        wn = self.b.init(w)
+        ins = [x, wn]
+        if bias is not None:
+            ins.append(self.b.init(bias))
+        attrs = dict(
+            strides=list(m.stride),
+            pads=[int(p) for p in pads],
+            dilations=list(m.dilation),
+            group=m.groups,
+            kernel_shape=list(w.shape[2:]),
+        )
+        if transpose:
+            attrs["output_padding"] = list(m.output_padding)
+        return self.b.node(op, ins, **attrs)
+
+    def call_module(self, node: torch.fx.Node) -> Any:
+        m = self.gm.get_submodule(node.target)
+        x = self.val(node.args[0])
+        b = self.b
+        if isinstance(m, nn.ConvTranspose2d):
+            return self.conv_nd(m, x, transpose=True)
+        if isinstance(m, (nn.Conv1d, nn.Conv2d, nn.Conv3d)):
+            return self.conv_nd(m, x)
+        if isinstance(m, nn.Linear):
+            in_rank = len(self.shape_of(node.args[0]))
+            if in_rank <= 2:
+                wb = [b.init(_np(m.weight))]
+                if m.bias is not None:
+                    wb.append(b.init(_np(m.bias)))
+                return b.node("Gemm", [x] + wb, transB=1, alpha=1.0, beta=1.0)
+            # Rank>2 (e.g. (B, N, D) transformer activations): ONNX Gemm is
+            # strictly 2-D — emit MatMul with a pre-transposed weight + Add,
+            # the same graph shape torch.onnx produces.
+            y = b.node("MatMul", [x, b.init(_np(m.weight).T.copy())])
+            if m.bias is not None:
+                y = b.node("Add", [y, b.init(_np(m.bias))])
+            return y
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d, nn.BatchNorm3d)):
+            return b.node(
+                "BatchNormalization",
+                [x, b.init(_np(m.weight)), b.init(_np(m.bias)),
+                 b.init(_np(m.running_mean)), b.init(_np(m.running_var))],
+                epsilon=m.eps,
+            )
+        if isinstance(m, nn.LayerNorm):
+            return b.node(
+                "LayerNormalization",
+                [x, b.init(_np(m.weight)), b.init(_np(m.bias))],
+                axis=-len(m.normalized_shape), epsilon=m.eps,
+            )
+        if isinstance(m, nn.GroupNorm):
+            return b.node(
+                "GroupNormalization",
+                [x, b.init(_np(m.weight)), b.init(_np(m.bias))],
+                num_groups=m.num_groups, epsilon=m.eps,
+            )
+        if isinstance(m, nn.InstanceNorm2d):
+            w_ = _np(m.weight) if m.weight is not None else np.ones(m.num_features, np.float32)
+            b_ = _np(m.bias) if m.bias is not None else np.zeros(m.num_features, np.float32)
+            return b.node("InstanceNormalization", [x, b.init(w_), b.init(b_)], epsilon=m.eps)
+        if isinstance(m, nn.ReLU):
+            return b.node("Relu", [x])
+        if isinstance(m, nn.ReLU6):
+            return b.node("Clip", [x, self.const(np.float32(0)), self.const(np.float32(6))])
+        if isinstance(m, nn.SiLU):
+            sig = b.node("Sigmoid", [x])
+            return b.node("Mul", [x, sig])
+        if isinstance(m, nn.GELU):
+            return b.node("Gelu", [x], approximate="tanh" if m.approximate == "tanh" else "none")
+        if isinstance(m, nn.Sigmoid):
+            return b.node("Sigmoid", [x])
+        if isinstance(m, nn.Tanh):
+            return b.node("Tanh", [x])
+        if isinstance(m, nn.LeakyReLU):
+            return b.node("LeakyRelu", [x], alpha=m.negative_slope)
+        if isinstance(m, nn.PReLU):
+            w = _np(m.weight)
+            shape = (w.shape[0],) + (1,) * (len(self.shape_of(node)) - 2)
+            return b.node("PRelu", [x, b.init(w.reshape(shape))])
+        if isinstance(m, nn.ELU):
+            return b.node("Elu", [x], alpha=m.alpha)
+        if isinstance(m, nn.Hardswish):
+            return b.node("HardSwish", [x])
+        if isinstance(m, nn.Hardsigmoid):
+            return b.node("HardSigmoid", [x], alpha=1.0 / 6.0, beta=0.5)
+        if isinstance(m, nn.Softmax):
+            return b.node("Softmax", [x], axis=m.dim if m.dim is not None else -1)
+        if isinstance(m, nn.MaxPool2d):
+            k = m.kernel_size if isinstance(m.kernel_size, tuple) else (m.kernel_size,) * 2
+            s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
+            p = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
+            d = m.dilation if isinstance(m.dilation, tuple) else (m.dilation,) * 2
+            return b.node("MaxPool", [x], kernel_shape=list(k), strides=list(s),
+                          pads=list(p) * 2, dilations=list(d),
+                          ceil_mode=int(m.ceil_mode))
+        if isinstance(m, nn.AvgPool2d):
+            k = m.kernel_size if isinstance(m.kernel_size, tuple) else (m.kernel_size,) * 2
+            s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
+            p = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
+            return b.node("AveragePool", [x], kernel_shape=list(k), strides=list(s),
+                          pads=list(p) * 2, ceil_mode=int(m.ceil_mode),
+                          count_include_pad=int(m.count_include_pad))
+        if isinstance(m, nn.AdaptiveAvgPool2d):
+            out = m.output_size if isinstance(m.output_size, tuple) else (m.output_size,) * 2
+            if tuple(out) == (1, 1):
+                return b.node("GlobalAveragePool", [x])
+            in_shape = self.shape_of(node.args[0])
+            if in_shape[2] % out[0] or in_shape[3] % out[1]:
+                raise NotSupportedError("AdaptiveAvgPool2d with non-divisible output")
+            k = (in_shape[2] // out[0], in_shape[3] // out[1])
+            return b.node("AveragePool", [x], kernel_shape=list(k), strides=list(k))
+        if isinstance(m, (nn.Dropout, nn.Identity)):
+            return x
+        if isinstance(m, nn.Flatten):
+            if m.start_dim == 1 and m.end_dim == -1:
+                return b.node("Flatten", [x], axis=1)
+            return b.node("Reshape", [x, self.const(np.asarray(self.shape_of(node), np.int64))])
+        if isinstance(m, nn.PixelShuffle):
+            return b.node("DepthToSpace", [x], blocksize=m.upscale_factor, mode="CRD")
+        if isinstance(m, nn.Upsample):
+            return self._interpolate(x, node, size=m.size, scale_factor=m.scale_factor,
+                                     mode=m.mode, align_corners=m.align_corners)
+        if isinstance(m, nn.ZeroPad2d):
+            p = m.padding  # (left, right, top, bottom)
+            pads = [0, 0, p[2], p[0], 0, 0, p[3], p[1]]
+            return b.node("Pad", [x, self.const(np.asarray(pads, np.int64))], mode="constant")
+        raise NotSupportedError(f"torch module {type(m).__name__}")
+
+    # -- function/method converters --------------------------------------
+
+    def _interpolate(self, x, node, size=None, scale_factor=None, mode="nearest",
+                     align_corners=None):
+        in_shape = self.shape_of(node.args[0] if node.args else node)
+        out_shape = self.shape_of(node)
+        sizes = np.asarray(out_shape, np.int64)
+        if mode == "nearest":
+            coord, nm = "asymmetric", "floor"
+            onnx_mode = "nearest"
+        elif mode in ("bilinear", "linear"):
+            onnx_mode = "linear"
+            coord = "align_corners" if align_corners else "pytorch_half_pixel"
+            nm = "round_prefer_floor"
+        else:
+            raise NotSupportedError(f"interpolate mode {mode}")
+        roi = self.const(np.array([], np.float32), "roi")
+        scales = self.const(np.array([], np.float32), "scales")
+        szs = self.const(sizes, "sizes")
+        return self.b.node("Resize", [x, roi, scales, szs], mode=onnx_mode,
+                           coordinate_transformation_mode=coord, nearest_mode=nm)
+
+    def call_function(self, node: torch.fx.Node) -> Any:
+        f = node.target
+        a = node.args
+        b = self.b
+        kw = node.kwargs
+
+        def two(op):
+            lhs, rhs = self.val(a[0]), self.val(a[1])
+            if not isinstance(lhs, str):
+                lhs = self.const(np.float32(lhs))
+            if not isinstance(rhs, str):
+                rhs = self.const(np.float32(rhs))
+            return b.node(op, [lhs, rhs])
+
+        if f in (operator.add, torch.add):
+            return two("Add")
+        if f in (operator.sub, torch.sub):
+            return two("Sub")
+        if f in (operator.mul, torch.mul):
+            return two("Mul")
+        if f in (operator.truediv, torch.div):
+            return two("Div")
+        if f in (torch.matmul, operator.matmul):
+            return two("MatMul")
+        if f is torch.cat:
+            tensors = [self.val(t) for t in a[0]]
+            return b.node("Concat", tensors, axis=kw.get("dim", a[1] if len(a) > 1 else 0))
+        if f is torch.flatten:
+            # torch.flatten(start_dim) keeps leading dims; ONNX Flatten is
+            # always 2-D — use Reshape with the statically known out shape.
+            return b.node("Reshape", [self.val(a[0]),
+                                      self.const(np.asarray(self.shape_of(node), np.int64))])
+        if f is torch.transpose:
+            return self._transpose(node, a[1], a[2])
+        if f is torch.permute:
+            return b.node("Transpose", [self.val(a[0])], perm=list(a[1]))
+        if f in (F.relu, torch.relu):
+            return b.node("Relu", [self.val(a[0])])
+        if f is F.relu6:
+            return b.node("Clip", [self.val(a[0]), self.const(np.float32(0)), self.const(np.float32(6))])
+        if f in (F.silu,):
+            x = self.val(a[0])
+            return b.node("Mul", [x, b.node("Sigmoid", [x])])
+        if f in (torch.sigmoid, F.sigmoid):
+            return b.node("Sigmoid", [self.val(a[0])])
+        if f in (torch.tanh, F.tanh):
+            return b.node("Tanh", [self.val(a[0])])
+        if f is F.gelu:
+            approx = kw.get("approximate", "none")
+            return b.node("Gelu", [self.val(a[0])], approximate=approx)
+        if f is F.leaky_relu:
+            return b.node("LeakyRelu", [self.val(a[0])], alpha=a[1] if len(a) > 1 else kw.get("negative_slope", 0.01))
+        if f is F.softmax:
+            return b.node("Softmax", [self.val(a[0])], axis=kw.get("dim", a[1] if len(a) > 1 else -1))
+        if f is F.interpolate:
+            return self._interpolate(
+                self.val(a[0]), node,
+                size=kw.get("size"), scale_factor=kw.get("scale_factor"),
+                mode=kw.get("mode", "nearest"), align_corners=kw.get("align_corners"))
+        if f is F.adaptive_avg_pool2d:
+            out = a[1]
+            if out in (1, (1, 1)):
+                return b.node("GlobalAveragePool", [self.val(a[0])])
+            raise NotSupportedError("adaptive_avg_pool2d != 1")
+        if f is F.pad:
+            pad = a[1] if len(a) > 1 else kw["pad"]
+            mode = kw.get("mode", a[2] if len(a) > 2 else "constant")
+            x = self.val(a[0])
+            rank = len(self.shape_of(node))
+            full = [0] * (2 * rank)
+            # torch pad is (last dim lo, hi, second-last lo, hi, ...)
+            for i in range(len(pad) // 2):
+                dim = rank - 1 - i
+                full[dim] = pad[2 * i]
+                full[rank + dim] = pad[2 * i + 1]
+            onnx_mode = {"constant": "constant", "reflect": "reflect", "replicate": "edge"}[mode]
+            return b.node("Pad", [x, self.const(np.asarray(full, np.int64))], mode=onnx_mode)
+        if f is getattr:
+            if a[1] == "shape":
+                return tuple(self.shape_of(a[0]))
+            raise NotSupportedError(f"getattr {a[1]!r}")
+        if f is operator.getitem:
+            src, idx = a[0], a[1]
+            v = self.val(src)
+            if isinstance(v, (list, tuple)):
+                return v[idx]
+            return self._slice_getitem(node, v, idx)
+        if f is torch.chunk:
+            x = self.val(a[0])
+            chunks = a[1]
+            dim = kw.get("dim", a[2] if len(a) > 2 else 0)
+            return b.node("Split", [x], outputs=chunks, axis=dim)
+        if f in (torch.mean,):
+            x = self.val(a[0])
+            dim = kw.get("dim", a[1] if len(a) > 1 else None)
+            keep = kw.get("keepdim", False)
+            axes = [dim] if isinstance(dim, int) else list(dim)
+            return b.node("ReduceMean", [x], axes=axes, keepdims=int(keep))
+        if f is torch.reshape:
+            return b.node("Reshape", [self.val(a[0]), self.const(np.asarray(self.shape_of(node), np.int64))])
+        raise NotSupportedError(f"torch function {f}")
+
+    def _transpose(self, node, d0, d1):
+        rank = len(self.shape_of(node))
+        perm = list(range(rank))
+        d0, d1 = d0 % rank, d1 % rank
+        perm[d0], perm[d1] = perm[d1], perm[d0]
+        return self.b.node("Transpose", [self.val(node.args[0])], perm=perm)
+
+    def _slice_getitem(self, node, x: str, idx) -> str:
+        rank = len(self.shape_of(node.args[0]))
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        starts, ends, axes, steps = [], [], [], []
+        squeeze_axes = []
+        axis = 0
+        for it in idx:
+            if it is Ellipsis:
+                axis = rank - (len(idx) - idx.index(Ellipsis) - 1)
+                continue
+            if isinstance(it, slice):
+                if it.start is not None or it.stop is not None or it.step is not None:
+                    starts.append(it.start or 0)
+                    ends.append(it.stop if it.stop is not None else np.iinfo(np.int32).max)
+                    axes.append(axis)
+                    steps.append(it.step or 1)
+                axis += 1
+            elif isinstance(it, int):
+                starts.append(it)
+                ends.append(it + 1 if it != -1 else np.iinfo(np.int32).max)
+                axes.append(axis)
+                steps.append(1)
+                squeeze_axes.append(axis)
+                axis += 1
+            else:
+                raise NotSupportedError(f"getitem index {it!r}")
+        out = x
+        if starts:
+            out = self.b.node("Slice", [
+                out,
+                self.const(np.asarray(starts, np.int64)),
+                self.const(np.asarray(ends, np.int64)),
+                self.const(np.asarray(axes, np.int64)),
+                self.const(np.asarray(steps, np.int64)),
+            ])
+        if squeeze_axes:
+            out = self.b.node("Squeeze", [out, self.const(np.asarray(squeeze_axes, np.int64))])
+        return out
+
+    def call_method(self, node: torch.fx.Node) -> Any:
+        name = node.target
+        a = node.args
+        b = self.b
+        x = self.val(a[0])
+        if name in ("view", "reshape"):
+            return b.node("Reshape", [x, self.const(np.asarray(self.shape_of(node), np.int64))])
+        if name == "permute":
+            perm = a[1] if isinstance(a[1], (list, tuple)) else a[1:]
+            return b.node("Transpose", [x], perm=list(perm))
+        if name == "transpose":
+            return self._transpose(node, a[1], a[2])
+        if name == "flatten":
+            return b.node("Reshape", [x, self.const(np.asarray(self.shape_of(node), np.int64))])
+        if name == "contiguous":
+            return x
+        if name == "mean":
+            dim = node.kwargs.get("dim", a[1] if len(a) > 1 else None)
+            keep = node.kwargs.get("keepdim", False)
+            axes = [dim] if isinstance(dim, int) else list(dim)
+            return b.node("ReduceMean", [x], axes=axes, keepdims=int(keep))
+        if name == "chunk":
+            chunks = a[1]
+            dim = node.kwargs.get("dim", a[2] if len(a) > 2 else 0)
+            return b.node("Split", [x], outputs=chunks, axis=dim)
+        if name == "unsqueeze":
+            return b.node("Unsqueeze", [x, self.const(np.asarray([a[1]], np.int64))])
+        if name == "squeeze":
+            return b.node("Squeeze", [x, self.const(np.asarray([a[1]], np.int64))])
+        if name == "expand":
+            return b.node("Expand", [x, self.const(np.asarray(self.shape_of(node), np.int64))])
+        if name == "size":
+            raise NotSupportedError(".size() — use static shapes in zoo models")
+        if name == "softmax":
+            return b.node("Softmax", [x], axis=node.kwargs.get("dim", a[1] if len(a) > 1 else -1))
+        if name == "mul":
+            rhs = self.val(a[1])
+            if not isinstance(rhs, str):
+                rhs = self.const(np.float32(rhs))
+            return b.node("Mul", [x, rhs])
+        if name == "add":
+            rhs = self.val(a[1])
+            if not isinstance(rhs, str):
+                rhs = self.const(np.float32(rhs))
+            return b.node("Add", [x, rhs])
+        raise NotSupportedError(f"torch method .{name}()")
+
+    # -- driver ----------------------------------------------------------
+
+    def run(self) -> Graph:
+        out_edges = None
+        for node in self.gm.graph.nodes:
+            if node.op == "placeholder":
+                shape = self.shape_of(node)
+                self.env[node] = self.b.input(node.name, shape, dt.FLOAT)
+            elif node.op == "get_attr":
+                t = self.gm
+                for part in node.target.split("."):
+                    t = getattr(t, part)
+                self.env[node] = self.b.init(_np(t), node.target.replace(".", "_"))
+            elif node.op == "call_module":
+                self.env[node] = self.call_module(node)
+            elif node.op == "call_function":
+                self.env[node] = self.call_function(node)
+            elif node.op == "call_method":
+                self.env[node] = self.call_method(node)
+            elif node.op == "output":
+                out = node.args[0]
+                outs = out if isinstance(out, (tuple, list)) else [out]
+                out_edges = [self.val(o) for o in outs]
+        g = self.b.finish(out_edges)
+        g.toposort()
+        g.dead_code_eliminate()
+        return g
+
+
+def export_torch(module: nn.Module, example: torch.Tensor, name: str = "model",
+                 opset: int = 17) -> Graph:
+    """Trace `module` in eval mode and convert to an IR graph."""
+    with torch.no_grad():
+        return _Exporter(module, example, name, opset).run()

@@ -93,7 +93,9 @@ def hard_sigmoid(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], jnp.clip(alpha * x + beta, 0.0, 1.0))
 
 
-@register("Gelu", since=20)
+# Official since opset 20, but accepted at any opset (exporters commonly emit
+# it earlier as a contrib op).
+@register("Gelu")
 def gelu(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     approx = node.attr("approximate", "none")

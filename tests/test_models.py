@@ -1,0 +1,68 @@
+"""Whole-model differential tests: zoo models (scaled for CPU CI) through
+export -> protobuf roundtrip -> compile -> run, vs the torch reference
+(SURVEY.md §4b strategy; the five BASELINE.json configs)."""
+
+import numpy as np
+import pytest
+import torch
+
+import smelter_tpu as st
+from smelter_tpu.models import esrgan, mobilenet_v2, resnet50, unet, vit
+
+
+def check_model(g, tm, shape, atol=1e-5, rtol=1e-4):
+    g = st.import_model(st.export_model(g))  # exercise serialization
+    m = st.CompiledModel(g)
+    x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    got = m(x)[0]
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+    return got, want
+
+
+class TestZooParity:
+    def test_mobilenet_v2(self):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        check_model(g, tm, shape, atol=1e-4)
+
+    def test_resnet(self):
+        g, tm, shape = resnet50.build(1, 64, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        check_model(g, tm, shape, atol=1e-4)
+
+    def test_unet(self):
+        g, tm, shape = unet.build(1, 64, base=8, num_classes=3)
+        check_model(g, tm, shape, atol=1e-4)
+
+    def test_esrgan(self):
+        g, tm, shape = esrgan.build(1, 24, nf=16, nb=1, scale=4)
+        got, _ = check_model(g, tm, shape, atol=1e-4)
+        assert got.shape == (1, 3, 96, 96)  # 4x upsampled
+
+    def test_vit(self):
+        g, tm, shape = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4,
+                                 num_classes=10)
+        check_model(g, tm, shape, atol=1e-4)
+
+    def test_batched(self):
+        g, tm, shape = resnet50.build(4, 64, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        check_model(g, tm, shape, atol=1e-4)
+
+
+class TestModelStructure:
+    def test_mobilenet_has_depthwise(self):
+        g, _, _ = mobilenet_v2.build(1, 96, width_mult=0.35)
+        assert any(n.attr("group", 1) > 1 for n in g.find_nodes("Conv"))
+
+    def test_unet_has_concat_upsample(self):
+        g, _, _ = unet.build(1, 64, base=8)
+        assert sum(1 for _ in g.find_nodes("Concat")) == 4
+        assert sum(1 for _ in g.find_nodes("Resize")) == 4
+
+    def test_vit_has_attention_ops(self):
+        g, _, _ = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4)
+        assert sum(1 for _ in g.find_nodes("MatMul")) >= 2 * 4  # qk, av + mlp
+        assert sum(1 for _ in g.find_nodes("Softmax")) == 2
+        assert sum(1 for _ in g.find_nodes("LayerNormalization")) == 5
