@@ -1,0 +1,62 @@
+"""Offline model preprocessor CLI — the analog of the reference's ONNX2MPS
+tool (reference: ONNX2MPS.py:112-137: --input/--output/--half; validate,
+fuse BN into Conv, cast, swizzle weights, re-emit with a producer tag the
+runtime detects). Here: import -> optimizer passes -> weight quantization
+-> re-emit tagged ONNX the engine loads directly.
+
+Usage:
+    python -m smelter_tpu.tools.onnx2tpu model.onnx -o model.tpu.onnx \
+        [--quant int8|fp16] [--no-fuse] [--dim N=1] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="onnx2tpu", description=__doc__)
+    p.add_argument("input", help="input .onnx path")
+    p.add_argument("-o", "--output", required=True, help="output artifact path")
+    p.add_argument("--quant", choices=["none", "fp16", "int8"], default="none",
+                   help="weight-only quantization mode (ONNX2MPS --half analog)")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="skip BN-into-Conv fusion and folding passes")
+    p.add_argument("--dim", action="append", default=[], metavar="NAME=VAL",
+                   help="pin a symbolic input dim, e.g. --dim batch=8")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..ir.importer import PREPROCESSED_PRODUCER, load_model, save_model
+    from ..passes.pass_manager import run_passes
+
+    g = load_model(args.input)
+    if args.verbose:
+        print("loaded:", g.summary())
+
+    for spec in args.dim:
+        name, _, val = spec.partition("=")
+        for vi in g.inputs:
+            if vi.type is None:
+                continue
+            shape = tuple(int(val) if d == name else d for d in vi.type.shape)
+            vi.type = type(vi.type)(vi.type.dtype, shape)
+
+    if not args.no_fuse:
+        run_passes(g, verbose=args.verbose)
+    if args.quant != "none":
+        from ..quant import quantize_weights
+
+        quantize_weights(g, mode=args.quant)
+
+    g.metadata["optimized"] = "1" if not args.no_fuse else "0"
+    save_model(g, args.output, producer=PREPROCESSED_PRODUCER)
+    if args.verbose:
+        print("wrote:", args.output)
+        print(g.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Optimizer pass tests: BN fusion (conv/depthwise/convtranspose/gemm),
+constant folding, nop elision, pad folding — each checked for numerical
+equivalence before/after on real sub-graphs."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import smelter_tpu as st
+from smelter_tpu.frontend.torch_export import export_torch
+from smelter_tpu.ir.build import GraphBuilder
+from smelter_tpu.passes.pass_manager import run_passes
+from smelter_tpu.models import mobilenet_v2
+
+
+def outputs_of(g, x):
+    return st.CompiledModel(g)(x)[0]
+
+
+def clone(g):
+    return st.import_model(st.export_model(g))
+
+
+class TestBNFusion:
+    def _check(self, tm, shape, expect_bn_left=0):
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        g = export_torch(tm, torch.from_numpy(x), "t")
+        before = outputs_of(g, x)
+        g2 = run_passes(clone(g))
+        after = outputs_of(g2, x)
+        n_bn = sum(1 for _ in g2.find_nodes("BatchNormalization"))
+        assert n_bn == expect_bn_left, f"{n_bn} BN nodes left"
+        np.testing.assert_allclose(after, before, rtol=1e-4, atol=1e-5)
+        return g2
+
+    def test_conv_bn(self):
+        torch.manual_seed(0)
+        tm = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.BatchNorm2d(8)).eval()
+        with torch.no_grad():
+            tm[1].running_mean.normal_(0, 0.3)
+            tm[1].running_var.uniform_(0.5, 2.0)
+        g2 = self._check(tm, (1, 3, 8, 8))
+        assert sum(1 for _ in g2.find_nodes("Conv")) == 1
+
+    def test_conv_nobias_bn(self):
+        torch.manual_seed(1)
+        tm = nn.Sequential(nn.Conv2d(3, 8, 3, bias=False), nn.BatchNorm2d(8)).eval()
+        with torch.no_grad():
+            tm[1].running_mean.normal_(0, 0.3)
+            tm[1].running_var.uniform_(0.5, 2.0)
+        g2 = self._check(tm, (1, 3, 8, 8))
+        conv = next(g2.find_nodes("Conv"))
+        assert len(conv.inputs) == 3  # bias was added by fusion
+
+    def test_depthwise_bn(self):
+        torch.manual_seed(2)
+        tm = nn.Sequential(nn.Conv2d(8, 8, 3, groups=8, bias=False),
+                           nn.BatchNorm2d(8)).eval()
+        with torch.no_grad():
+            tm[1].running_mean.normal_(0, 0.3)
+            tm[1].running_var.uniform_(0.5, 2.0)
+        self._check(tm, (1, 8, 9, 9))
+
+    def test_convtranspose_bn_grouped(self):
+        torch.manual_seed(3)
+        tm = nn.Sequential(nn.ConvTranspose2d(4, 6, 3, stride=2, groups=2),
+                           nn.BatchNorm2d(6)).eval()
+        with torch.no_grad():
+            tm[1].running_mean.normal_(0, 0.3)
+            tm[1].running_var.uniform_(0.5, 2.0)
+        self._check(tm, (1, 4, 5, 5))
+
+    def test_gemm_bn(self):
+        torch.manual_seed(4)
+        tm = nn.Sequential(nn.Flatten(1), nn.Linear(12, 6), nn.BatchNorm1d(6)).eval()
+        with torch.no_grad():
+            tm[2].running_mean.normal_(0, 0.3)
+            tm[2].running_var.uniform_(0.5, 2.0)
+        self._check(tm, (2, 3, 2, 2))
+
+    def test_bn_not_fused_when_conv_shared(self):
+        """Conv output consumed twice: fusion must not fire."""
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        c = b.conv(x, np.random.default_rng(0).standard_normal((4, 3, 3, 3)).astype(np.float32))
+        bn = b.batch_norm(c, np.ones(4, np.float32), np.zeros(4, np.float32),
+                          np.zeros(4, np.float32), np.ones(4, np.float32))
+        other = b.node("Relu", [c])
+        out = b.node("Add", [bn, other])
+        g = b.finish([out])
+        xin = np.random.default_rng(1).standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = outputs_of(g, xin)
+        run_passes(g)
+        assert sum(1 for _ in g.find_nodes("BatchNormalization")) == 1
+        np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-5)
+
+    def test_mobilenet_fusion_end_to_end(self):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = outputs_of(g, x)
+        run_passes(g)
+        assert sum(1 for _ in g.find_nodes("BatchNormalization")) == 0
+        np.testing.assert_allclose(outputs_of(g, x), before, rtol=1e-3, atol=1e-4)
+
+
+class TestFolding:
+    def test_fold_constants_chain(self):
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (2, 4))
+        c1 = b.init(np.arange(4, dtype=np.float32))
+        c2 = b.init(np.full(4, 2.0, np.float32))
+        s = b.node("Add", [c1, c2])
+        s2 = b.node("Mul", [s, c2])
+        y = b.node("Add", [x, s2])
+        g = b.finish([y])
+        n = run_passes(g, ["fold_constants", "dce"])
+        assert len(g.nodes) == 1  # only the final Add survives
+        out = outputs_of(g, np.zeros((2, 4), np.float32))
+        np.testing.assert_allclose(out[0], (np.arange(4) + 2) * 2)
+
+    def test_nop_elision(self):
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (2, 4))
+        y = b.node("Dropout", [x])
+        y = b.node("Identity", [y])
+        y = b.node("Relu", [y])
+        g = b.finish([y])
+        run_passes(g, ["eliminate_nops", "dce"])
+        assert [n.op_type for n in g.nodes] == ["Relu"]
+
+    def test_pad_into_conv(self):
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        pads = b.init(np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64))
+        p = b.node("Pad", [x, pads], mode="constant")
+        y = b.conv(p, np.random.default_rng(0).standard_normal((4, 3, 3, 3)).astype(np.float32))
+        g = b.finish([y])
+        xin = np.random.default_rng(1).standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = outputs_of(g, xin)
+        run_passes(g, ["fuse_pad_conv", "dce"])
+        assert sum(1 for _ in g.find_nodes("Pad")) == 0
+        conv = next(g.find_nodes("Conv"))
+        assert conv.attrs["pads"] == [1, 1, 1, 1]
+        np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-5)
+
+    def test_reflect_pad_not_folded(self):
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        pads = b.init(np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64))
+        p = b.node("Pad", [x, pads], mode="reflect")
+        y = b.conv(p, np.ones((4, 3, 3, 3), np.float32))
+        g = b.finish([y])
+        run_passes(g, ["fuse_pad_conv"])
+        assert sum(1 for _ in g.find_nodes("Pad")) == 1

@@ -1,0 +1,111 @@
+"""Quantization tests: per-channel int8 round-trip error, fp16 cast,
+DequantizeLinear lowering, and the end-to-end accuracy gate
+(top-1 delta <= 0.1% requirement scaled to CI: top-1 agreement + small
+logit error on zoo models)."""
+
+import numpy as np
+import pytest
+
+import smelter_tpu as st
+from smelter_tpu.ir.build import GraphBuilder
+from smelter_tpu.models import mobilenet_v2, resnet50
+from smelter_tpu.passes.pass_manager import run_passes
+from smelter_tpu.quant import dequantize_array, quantize_array, quantize_weights
+
+
+class TestQuantizeArray:
+    def test_roundtrip_error_bounded(self, rng):
+        w = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
+        q, s = quantize_array(w, axis=0)
+        assert q.dtype == np.int8
+        back = dequantize_array(q, s)
+        # max error is half an LSB per channel
+        per_ch_max = np.abs(w).reshape(8, -1).max(1)
+        err = np.abs(back - w).reshape(8, -1).max(1)
+        assert (err <= per_ch_max / 127.0 * 0.5 + 1e-7).all()
+
+    def test_zero_channel(self):
+        w = np.zeros((4, 2), np.float32)
+        q, s = quantize_array(w, axis=0)
+        np.testing.assert_array_equal(dequantize_array(q, s), w)
+
+    def test_axis1(self, rng):
+        w = rng.standard_normal((16, 32)).astype(np.float32)
+        q, s = quantize_array(w, axis=1)
+        assert s.shape == (1, 32)
+
+
+class TestGraphQuant:
+    def _conv_graph(self, rng, cout=16):
+        b = GraphBuilder("q", opset=13)
+        x = b.input("x", (1, 8, 16, 16))
+        w = rng.standard_normal((cout, 8, 3, 3)).astype(np.float32)
+        y = b.conv(x, w, bias=rng.standard_normal(cout).astype(np.float32),
+                   pads=(1, 1, 1, 1))
+        y = b.node("Relu", [y])
+        return b.finish([y]), w
+
+    def test_int8_rewrite_and_parity(self, rng):
+        g, w = self._conv_graph(rng)
+        x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "int8", min_elements=1)
+        assert sum(1 for _ in g.find_nodes("DequantizeLinear")) == 1
+        conv = next(g.find_nodes("Conv"))
+        assert g.initializers[[n for n in g.nodes if n.op_type == "DequantizeLinear"][0].inputs[0]].dtype == np.int8
+        after = st.CompiledModel(g)(x)[0]
+        # int8 weight error ~0.4% of activation scale
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 0.02, rel
+
+    def test_fp16_rewrite(self, rng):
+        g, w = self._conv_graph(rng)
+        x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "fp16", min_elements=1)
+        conv = next(g.find_nodes("Conv"))
+        assert g.initializers[conv.inputs[1]].dtype == np.float16
+        after = st.CompiledModel(g)(x)[0]
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 2e-3, rel
+
+    def test_small_weights_skipped(self, rng):
+        g, _ = self._conv_graph(rng)
+        quantize_weights(g, "int8", min_elements=10**9)
+        assert sum(1 for _ in g.find_nodes("DequantizeLinear")) == 0
+
+    def test_serialization_roundtrip(self, rng):
+        g, _ = self._conv_graph(rng)
+        quantize_weights(g, "int8", min_elements=1)
+        g2 = st.import_model(st.export_model(g))
+        assert g2.metadata["quant"] == "int8"
+        x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+        np.testing.assert_allclose(
+            st.CompiledModel(g2)(x)[0], st.CompiledModel(g)(x)[0], rtol=1e-5)
+
+
+class TestAccuracyGate:
+    """Scaled version of the BASELINE accuracy gate (top-1 delta <= 0.1%)."""
+
+    @pytest.mark.parametrize("mode", ["fp16", "int8"])
+    def test_resnet_top1_preserved(self, mode):
+        g, tm, shape = resnet50.build(4, 64, layers=(1, 1, 1, 1), width=32,
+                                      num_classes=100)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        fp32_logits = st.CompiledModel(g)(x)[0]
+        run_passes(g)
+        quantize_weights(g, mode)
+        q_logits = st.CompiledModel(g)(x)[0]
+        assert (q_logits.argmax(1) == fp32_logits.argmax(1)).all()
+        rel = np.abs(q_logits - fp32_logits).max() / (np.abs(fp32_logits).max() + 1e-9)
+        limit = 0.05 if mode == "int8" else 0.01
+        assert rel < limit, rel
+
+    def test_mobilenet_int8_top1(self):
+        g, tm, shape = mobilenet_v2.build(2, 96, width_mult=0.35, num_classes=50)
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        fp32_logits = st.CompiledModel(g)(x)[0]
+        run_passes(g)
+        quantize_weights(g, "int8")
+        q_logits = st.CompiledModel(g)(x)[0]
+        assert (q_logits.argmax(1) == fp32_logits.argmax(1)).all()
