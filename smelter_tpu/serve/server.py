@@ -1,0 +1,175 @@
+"""Continuous-batching inference server.
+
+The reference's serving story is "the app encodes a command buffer per
+image" (reference: README.md:29-52 — one image, one encode, synchronous
+readback). For TPU serving the north star requires continuous batching of
+concurrent requests (BASELINE.json:5). Design:
+
+- requests enter a queue; a batcher thread drains up to max_batch of them,
+  waiting at most max_wait_ms for stragglers;
+- batch sizes are bucketed (powers of two up to max_batch) and one
+  executable is compiled per bucket — no recompiles at serve time
+  (SURVEY.md §7 hard part (d)); short batches are padded to the bucket;
+- results fan back out through per-request futures;
+- host readback synchronizes the device (see bench.py note on the axon
+  tunnel) so measured latency is true end-to-end.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+from ..ir.graph import Graph
+from ..runtime.config import Config
+from ..runtime.executor import Executor
+from .metrics import Metrics
+
+
+class _Request:
+    __slots__ = ("inputs", "future", "t_enqueue")
+
+    def __init__(self, inputs):
+        self.inputs = inputs
+        self.future: Future = Future()
+        self.t_enqueue = time.monotonic()
+
+
+class InferenceServer:
+    def __init__(
+        self,
+        graph: Graph,
+        config: Config | None = None,
+        max_batch: int = 8,
+        max_wait_ms: float = 2.0,
+        buckets: tuple[int, ...] | None = None,
+        eager_compile: bool = False,
+    ):
+        config = config or Config()
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        if buckets is None:
+            buckets, b = [], 1
+            while b < max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_batch)
+        self.buckets = tuple(sorted(set(buckets)))
+        self.metrics = Metrics()
+
+        # One executor per bucket: same graph, batch dim pinned per bucket.
+        self._executors: dict[int, tuple[Executor, object, dict]] = {}
+        self._graph = graph
+        self._config = config
+        self._exec_lock = threading.Lock()
+        if eager_compile:
+            for b in self.buckets:
+                self._get_executor(b)
+
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._running = True
+        self._thread = threading.Thread(target=self._batch_loop, daemon=True)
+        self._thread.start()
+
+    # -- compile ---------------------------------------------------------
+
+    def _get_executor(self, bucket: int):
+        with self._exec_lock:
+            if bucket not in self._executors:
+                import dataclasses
+
+                cfg = dataclasses.replace(self._config, batch_size=bucket)
+                ex = Executor(self._graph, cfg)
+                fn = ex.jit()
+                params = ex.init_params()
+                self._executors[bucket] = (ex, fn, params)
+            return self._executors[bucket]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, *inputs: np.ndarray) -> Future:
+        """Enqueue one request (unbatched inputs, no leading batch dim)."""
+        if not self._running:
+            raise RuntimeError("server is shut down")
+        req = _Request(inputs)
+        self._queue.put(req)
+        return req.future
+
+    def infer(self, *inputs: np.ndarray):
+        return self.submit(*inputs).result()
+
+    def stats(self) -> dict:
+        return self.metrics.snapshot()
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout)
+
+    # -- batcher ---------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then drain stragglers briefly."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        reqs = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(reqs) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)
+                break
+            reqs.append(nxt)
+        return reqs
+
+    def _batch_loop(self) -> None:
+        while self._running:
+            reqs = self._collect()
+            if not reqs:
+                if not self._running:
+                    return
+                continue
+            try:
+                self._run_batch(reqs)
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
+                self.metrics.record_error(len(reqs))
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, reqs: list[_Request]) -> None:
+        n = len(reqs)
+        bucket = self._bucket_for(n)
+        ex, fn, params = self._get_executor(bucket)
+        n_inputs = len(reqs[0].inputs)
+        batch_inputs = []
+        for i in range(n_inputs):
+            stacked = np.stack([r.inputs[i] for r in reqs])
+            if bucket > n:
+                pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
+                stacked = np.concatenate([stacked, pad])
+            batch_inputs.append(stacked)
+        outs = fn(params, *batch_inputs)
+        host_outs = [np.asarray(o) for o in outs]  # sync point
+        t_done = time.monotonic()
+        lat = [(t_done - r.t_enqueue) * 1e3 for r in reqs]
+        self.metrics.record_batch(n, bucket, lat)
+        for i, r in enumerate(reqs):
+            r.future.set_result([o[i] for o in host_outs])

@@ -109,3 +109,29 @@ class TestAccuracyGate:
         quantize_weights(g, "int8")
         q_logits = st.CompiledModel(g)(x)[0]
         assert (q_logits.argmax(1) == fp32_logits.argmax(1)).all()
+
+
+class TestFusedDequant:
+    def test_vit_fused_matmul_paths(self):
+        import functools
+        from smelter_tpu.models import vit
+        import smelter_tpu.kernels.dequant_matmul as dm
+
+        g, tm, shape = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4,
+                                 num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        run_passes(g)
+        quantize_weights(g, "int8")
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        assert sum(1 for _ in g.find_nodes("FusedDequantMatMul")) == 8
+        after = st.CompiledModel(g)(x)[0]
+        assert (after.argmax(1) == before.argmax(1)).all()
+        # Pallas kernel path (interpret mode on CPU)
+        orig = dm.dequant_matmul
+        dm.dequant_matmul = functools.partial(orig, interpret=True)
+        try:
+            after2 = st.CompiledModel(g, st.Config(use_pallas=True))(x)[0]
+        finally:
+            dm.dequant_matmul = orig
+        np.testing.assert_allclose(after2, after, rtol=1e-3, atol=1e-3)

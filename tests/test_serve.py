@@ -1,0 +1,90 @@
+"""Continuous-batching server tests: correctness under concurrency,
+bucketing/padding, metrics, error propagation."""
+
+import threading
+import numpy as np
+import pytest
+import torch
+
+import smelter_tpu as st
+from smelter_tpu.models import resnet50
+from smelter_tpu.serve import InferenceServer
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    g, tm, shape = resnet50.build(1, 32, layers=(1, 1, 1, 1), width=16,
+                                  num_classes=10)
+    return g, tm, shape
+
+
+class TestServer:
+    def test_single_request(self, small_model):
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=4)
+        try:
+            x = np.random.default_rng(0).standard_normal(shape[1:]).astype(np.float32)
+            out = srv.infer(x)[0]
+            with torch.no_grad():
+                want = tm(torch.from_numpy(x[None])).numpy()[0]
+            np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
+        finally:
+            srv.shutdown()
+
+    def test_concurrent_requests_batched(self, small_model):
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=8, max_wait_ms=50)
+        try:
+            rng = np.random.default_rng(1)
+            xs = [rng.standard_normal(shape[1:]).astype(np.float32) for _ in range(16)]
+            futures = [srv.submit(x) for x in xs]
+            outs = [f.result(timeout=120) for f in futures]
+            with torch.no_grad():
+                want = tm(torch.from_numpy(np.stack(xs))).numpy()
+            got = np.stack([o[0] for o in outs])
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+            s = srv.stats()
+            assert s["requests"] == 16
+            assert s["batches"] < 16  # actually batched
+            assert s["latency_ms_p50"] > 0
+        finally:
+            srv.shutdown()
+
+    def test_bucket_padding(self, small_model):
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=8, max_wait_ms=200, buckets=(4, 8))
+        try:
+            rng = np.random.default_rng(2)
+            xs = [rng.standard_normal(shape[1:]).astype(np.float32) for _ in range(3)]
+            futures = [srv.submit(x) for x in xs]
+            outs = [f.result(timeout=120) for f in futures]
+            with torch.no_grad():
+                want = tm(torch.from_numpy(np.stack(xs))).numpy()
+            got = np.stack([o[0] for o in outs])
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+            assert srv.stats()["occupancy"] == 3 / 4  # 3 real in a 4-bucket
+        finally:
+            srv.shutdown()
+
+    def test_submit_after_shutdown(self, small_model):
+        g, _, shape = small_model
+        srv = InferenceServer(g, max_batch=2)
+        srv.shutdown()
+        with pytest.raises(RuntimeError):
+            srv.submit(np.zeros(shape[1:], np.float32))
+
+    def test_bad_input_fails_future_not_server(self, small_model):
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=2, max_wait_ms=1)
+        try:
+            bad = np.zeros((5, 5), np.float32)  # wrong rank
+            f = srv.submit(bad)
+            with pytest.raises(Exception):
+                f.result(timeout=120)
+            # server still alive and serving
+            x = np.random.default_rng(3).standard_normal(shape[1:]).astype(np.float32)
+            out = srv.infer(x)[0]
+            assert out.shape == (10,)
+            assert srv.stats()["errors"] == 1
+        finally:
+            srv.shutdown()
