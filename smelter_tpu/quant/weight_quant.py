@@ -35,6 +35,15 @@ def quantize_array(w: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric per-channel int8 quantization along `axis`.
     Returns (q: int8, scales: float32 with w's rank, size 1 except axis)."""
     w = np.asarray(w, np.float32)
+    if axis == 0 and w.ndim >= 1 and w.size >= 1 << 16:
+        # Multithreaded native fast path (numpy fallback inside).
+        from .. import native
+
+        q2, s = native.quantize_per_channel_int8(
+            np.ascontiguousarray(w).reshape(w.shape[0], -1))
+        shape = [1] * w.ndim
+        shape[0] = w.shape[0]
+        return q2.reshape(w.shape), s.reshape(shape)
     red = tuple(i for i in range(w.ndim) if i != axis)
     amax = np.abs(w).max(axis=red, keepdims=True)
     scales = (amax / 127.0).astype(np.float32)

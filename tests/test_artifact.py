@@ -1,0 +1,36 @@
+"""Artifact cache tests: save -> load roundtrip, serialized-executable reuse,
+graceful fallback on missing executable."""
+
+import numpy as np
+
+import smelter_tpu as st
+from smelter_tpu.models import mobilenet_v2
+from smelter_tpu.passes.pass_manager import run_passes
+from smelter_tpu.quant import quantize_weights
+from smelter_tpu.runtime.artifact import load_artifact, save_artifact
+
+
+class TestArtifact:
+    def test_roundtrip_with_exec(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        run_passes(g)
+        quantize_weights(g, "int8")
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+
+        save_artifact(tmp_path / "art", g, st.Config(), compile_now=True)
+        m = load_artifact(tmp_path / "art")
+        assert m.used_serialized, "should reuse the serialized executable"
+        got = m(x)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        assert m.graph.producer == "smelter-tpu"
+        assert m.graph.metadata["quant"] == "int8"
+
+    def test_fallback_without_exec(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        save_artifact(tmp_path / "art2", g, compile_now=False)
+        m = load_artifact(tmp_path / "art2")
+        assert not m.used_serialized
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
