@@ -1,0 +1,4 @@
+"""Parallelism: device meshes, sharding plans, multi-host runtime."""
+
+from .mesh import MeshPlan, param_shardings, shard_inputs, shard_params  # noqa: F401
+from .multihost import HostHealth, global_mesh, init_distributed, process_local_batch  # noqa: F401

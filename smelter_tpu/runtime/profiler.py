@@ -1,0 +1,117 @@
+"""Profiling & roofline accounting.
+
+SURVEY.md §5.1: the reference's only observability is debug labels on MPS
+nodes (reference: Converters.swift:931,1064,1081). Here:
+
+- `trace(logdir)`: context manager around jax.profiler for Perfetto/XProf
+  traces of real TPU runs.
+- `op_cost_table(graph)`: static per-node FLOPs/bytes estimates from the
+  IR (shape inference), used for roofline sanity checks of the Pallas
+  kernels and for picking sharding axes.
+- `roofline(flops, bytes, peak_flops, peak_bw)`: bound + achievable time.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+import numpy as np
+
+from ..ir.graph import Graph
+
+# v5e per-chip peaks (public numbers): 197 bf16 TFLOP/s, 394 int8 TOP/s,
+# ~819 GB/s HBM.
+TPU_V5E = {"flops_bf16": 197e12, "flops_int8": 394e12, "hbm_gbps": 819e9}
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/smelter_trace"):
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass
+class OpCost:
+    name: str
+    op_type: str
+    flops: float
+    bytes: float
+    out_shape: tuple
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / max(self.bytes, 1.0)
+
+
+def _numel(shape) -> int:
+    n = 1
+    for d in shape:
+        n *= int(d)
+    return n
+
+
+def op_cost_table(graph: Graph) -> list[OpCost]:
+    """Static cost model per node. Requires graph.value_types populated
+    (Executor.infer_value_types)."""
+    vt = graph.value_types
+    out: list[OpCost] = []
+    for node in graph.nodes:
+        if not node.outputs or node.outputs[0] not in vt:
+            continue
+        o_t = vt[node.outputs[0]]
+        o_n = _numel(o_t.shape)
+        in_bytes = 0
+        for i in node.inputs:
+            if i in vt:
+                t = vt[i]
+                in_bytes += _numel(t.shape) * t.np_dtype.itemsize
+            elif i in graph.initializers:
+                in_bytes += graph.initializers[i].nbytes
+        out_bytes = o_n * o_t.np_dtype.itemsize
+        flops = float(o_n)  # default: one op per output element
+        if node.op_type in ("Conv", "ConvTranspose"):
+            w = graph.initializers.get(node.inputs[1])
+            w_shape = w.shape if w is not None else vt[node.inputs[1]].shape
+            cin_per_g = w_shape[1 if node.op_type == "Conv" else 1]
+            k = _numel(w_shape[2:])
+            flops = 2.0 * o_n * cin_per_g * k
+        elif node.op_type in ("MatMul", "Gemm", "FusedDequantMatMul"):
+            a_t = vt.get(node.inputs[0])
+            if a_t is not None:
+                flops = 2.0 * o_n * int(a_t.shape[-1])
+        elif node.op_type in ("Softmax", "LogSoftmax", "Exp", "Log", "Tanh",
+                              "Sigmoid", "Gelu", "Erf"):
+            flops = 5.0 * o_n  # transcendental-ish
+        out.append(OpCost(node.name, node.op_type, flops, float(in_bytes + out_bytes),
+                          o_t.shape))
+    return out
+
+
+def model_cost(graph: Graph) -> dict:
+    table = op_cost_table(graph)
+    return {
+        "flops": sum(c.flops for c in table),
+        "bytes": sum(c.bytes for c in table),
+        "by_op": {},
+    }
+
+
+def roofline(flops: float, bytes_: float, chip: dict = TPU_V5E,
+             dtype: str = "bf16") -> dict:
+    peak = chip[f"flops_{dtype}"]
+    bw = chip["hbm_gbps"]
+    t_compute = flops / peak
+    t_memory = bytes_ / bw
+    bound = "compute" if t_compute >= t_memory else "memory"
+    return {
+        "t_compute_s": t_compute,
+        "t_memory_s": t_memory,
+        "bound": bound,
+        "speed_of_light_s": max(t_compute, t_memory),
+    }

@@ -1,0 +1,79 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4c): sharded
+vs single-device parity, scaling harness, host health."""
+
+import numpy as np
+import pytest
+import jax
+
+import smelter_tpu as st
+from smelter_tpu.models import resnet50, vit
+from smelter_tpu.parallel import MeshPlan, param_shardings, shard_params
+from smelter_tpu.parallel.multihost import HostHealth
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return jax.devices()
+
+
+class TestSharding:
+    def test_sharded_matches_single_device(self, eight_devices):
+        g, tm, shape = resnet50.build(8, 32, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        ex = st.Executor(g)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+
+        plan = MeshPlan.for_devices(8)
+        with plan.mesh:
+            params = shard_params(ex, plan)
+            fn = jax.jit(ex.build_fn(),
+                         in_shardings=(param_shardings(ex, plan), plan.batch_sharding()))
+            got = np.asarray(fn(params, x)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_tp_actually_shards_weights(self, eight_devices):
+        g, _, _ = resnet50.build(8, 32, layers=(1, 1, 1, 1), width=16,
+                                 num_classes=16)
+        ex = st.Executor(g)
+        plan = MeshPlan.for_devices(8, tp=4)
+        shardings = param_shardings(ex, plan)
+        sharded = [n for n, s in shardings.items() if not s.is_fully_replicated]
+        assert len(sharded) >= 10, f"only {len(sharded)} sharded params"
+
+    def test_vit_tp_parity(self, eight_devices):
+        g, tm, shape = vit.build(4, 32, patch=8, dim=128, depth=2, heads=4,
+                                 num_classes=16)
+        ex = st.Executor(g)
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        plan = MeshPlan.for_devices(8, tp=2)
+        with plan.mesh:
+            params = shard_params(ex, plan)
+            fn = jax.jit(ex.build_fn(),
+                         in_shardings=(param_shardings(ex, plan), plan.batch_sharding()))
+            got = np.asarray(fn(params, x)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_mesh_shapes(self, eight_devices):
+        assert MeshPlan.for_devices(8, tp=4).mesh.shape == {"dp": 2, "tp": 4}
+        assert MeshPlan.for_devices(4, tp=1).mesh.shape == {"dp": 4, "tp": 1}
+
+    def test_dryrun_entry(self, eight_devices):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+
+
+class TestHostHealth:
+    def test_heartbeat_and_sweep(self):
+        hh = HostHealth(timeout_s=5.0)
+        hh.heartbeat("a", t=0.0)
+        hh.heartbeat("b", t=0.0)
+        assert hh.sweep(now=1.0) == []
+        hh.heartbeat("a", t=4.0)
+        assert hh.sweep(now=6.0) == ["b"]
+        assert hh.healthy_hosts() == ["a"]
+        assert hh.should_reinit("a")
+        hh.heartbeat("b", t=7.0)
+        assert hh.healthy_hosts() == ["a", "b"]
