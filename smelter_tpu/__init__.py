@@ -12,3 +12,4 @@ from .ir.importer import import_model, load_model, export_model, save_model  # n
 from .ir.build import GraphBuilder  # noqa: F401
 from .runtime.config import Config  # noqa: F401,E402
 from .runtime.executor import CompiledModel, Executor  # noqa: F401,E402
+from .api import compile, serve  # noqa: F401,E402,A001

@@ -1,0 +1,59 @@
+"""Convenience top-level API.
+
+    import smelter_tpu as st
+
+    model = st.compile("model.onnx", quant="int8")      # load+optimize+jit
+    logits = model(images)                               # numpy in/out
+
+    server = st.serve("model.onnx", max_batch=16)        # continuous batching
+    fut = server.submit(image)
+
+The load path mirrors the reference's two-phase flow (offline ONNX2MPS +
+runtime detection of the preprocessed flavor, ONNXGraph.swift:98-103):
+pre-optimized artifacts (producer == "smelter-tpu") skip the pass pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .ir.graph import Graph
+from .ir.importer import PREPROCESSED_PRODUCER, load_model
+from .runtime.config import Config
+from .runtime.executor import CompiledModel
+
+
+def _prepare(model: str | os.PathLike | Graph, quant: str | None,
+             optimize: bool) -> Graph:
+    g = load_model(model) if not isinstance(model, Graph) else model
+    # Preprocessed detection needs BOTH the producer tag and the explicit
+    # optimized flag the offline tool writes — a bare save_model also stamps
+    # the producer, and that alone must not skip optimization.
+    already = (g.producer == PREPROCESSED_PRODUCER
+               and g.metadata.get("optimized") == "1")
+    if optimize and not already:
+        from .passes.pass_manager import run_passes
+
+        run_passes(g)
+    if quant and g.metadata.get("quant") != quant:
+        from .quant import quantize_weights
+
+        quantize_weights(g, mode=quant)
+    if g.metadata.get("quant") == "int8":
+        from .passes.pass_manager import run_passes
+
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+    return g
+
+
+def compile(model: str | os.PathLike | Graph, config: Config | None = None,
+            quant: str | None = None, optimize: bool = True) -> CompiledModel:
+    """Load (path or Graph), optimize, optionally quantize, jit-compile."""
+    return CompiledModel(_prepare(model, quant, optimize), config)
+
+
+def serve(model: str | os.PathLike | Graph, config: Config | None = None,
+          quant: str | None = None, optimize: bool = True, **server_kw):
+    from .serving import InferenceServer
+
+    return InferenceServer(_prepare(model, quant, optimize), config, **server_kw)

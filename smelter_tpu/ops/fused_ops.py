@@ -13,6 +13,40 @@ from ..ir.graph import Node
 from .registry import Ctx, register
 
 
+@register("FusedAttention")
+def fused_attention(ctx: Ctx, node: Node):
+    """Scaled dot-product attention over (..., H, N, hd) Q/K/V (batched
+    leading dims). Lowered via jax.nn.dot_product_attention, which XLA
+    compiles to a fused, numerically-stable attention on TPU."""
+    import jax
+
+    q = ctx.get(node.inputs[0])
+    k = ctx.get(node.inputs[1])
+    v = ctx.get(node.inputs[2])
+    scale = node.attr("scale", 1.0)
+    bias = None
+    if len(node.inputs) > 3 and node.inputs[3]:
+        bias = ctx.get(node.inputs[3])
+    # dot_product_attention wants (B, N, H, hd); our pattern is (B, H, N, hd).
+    rank = q.ndim
+    if rank == 4:
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = jax.nn.dot_product_attention(qt, kt, vt, bias=bias, scale=scale)
+        out = jnp.swapaxes(out, 1, 2)
+    elif rank == 3:
+        # (B, N, hd): single-head
+        out = jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+            bias=bias, scale=scale)[:, :, 0, :]
+    else:
+        from ..ir.errors import NotSupportedError
+
+        raise NotSupportedError(f"FusedAttention rank {rank}")
+    ctx.set(node.outputs[0], out.astype(q.dtype))
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

@@ -1,0 +1,120 @@
+"""Fuse the exported attention pattern into one FusedAttention op.
+
+ONNX exports of transformer attention (including our fx exporter's ViT,
+models/vit.py) emit:  MatMul(Q, K^T) -> Mul(scale) (or Div) -> [Add mask]
+-> Softmax -> MatMul(., V).  This pass pattern-matches that chain and
+replaces it with FusedAttention(Q, K, V) carrying the scale — one op that
+the lowering maps to jax.nn.dot_product_attention (XLA emits a fused,
+numerically-stable attention on TPU) and that a Pallas flash-attention
+kernel can later claim under Config.use_pallas.
+
+The reference has no attention at all (SURVEY.md §5.7: CNN-shaped engine);
+this is new capability required by the ViT-B/16 config (BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Graph, Node
+from .pass_manager import register_pass
+
+
+def _as_scalar(graph: Graph, name: str):
+    a = graph.initializers.get(name)
+    if a is not None and a.size == 1:
+        return float(np.asarray(a).reshape(-1)[0])
+    return None
+
+
+@register_pass("fuse_attention")
+def fuse_attention(graph: Graph) -> int:
+    producers = graph.producers()
+    consumers = graph.consumers()
+    changed = 0
+    dead: set[int] = set()
+
+    def sole(node_out: str) -> bool:
+        return len(consumers.get(node_out, [])) == 1
+
+    for mm2 in list(graph.find_nodes("MatMul")):
+        # mm2 = MatMul(softmax_out, V)
+        sm = producers.get(mm2.inputs[0])
+        if sm is None or sm.op_type != "Softmax" or not sole(sm.outputs[0]):
+            continue
+        axis = sm.attr("axis", -1)
+        if axis not in (-1,):
+            # normalize: last-axis softmax required
+            t = graph.value_types.get(sm.inputs[0])
+            if t is None or axis != len(t.shape) - 1:
+                continue
+        scale_node = producers.get(sm.inputs[0])
+        scale = 1.0
+        qk = scale_node
+        mask_name = ""
+        # optional Add(mask) between scale and softmax
+        if scale_node is not None and scale_node.op_type == "Add":
+            # one side is the qk chain, the other the mask
+            lhs_p = producers.get(scale_node.inputs[0])
+            mask_name = scale_node.inputs[1]
+            qk = lhs_p
+            if qk is None or qk.op_type not in ("Mul", "Div", "MatMul"):
+                qk = producers.get(scale_node.inputs[1])
+                mask_name = scale_node.inputs[0]
+            if qk is None or not sole(scale_node.outputs[0]):
+                continue
+            scale_node = qk
+        if scale_node is None:
+            continue
+        if scale_node.op_type in ("Mul", "Div"):
+            s = _as_scalar(graph, scale_node.inputs[1])
+            if s is None:
+                s = _as_scalar(graph, scale_node.inputs[0])
+            if s is None or not sole(scale_node.outputs[0]):
+                continue
+            scale = (1.0 / s) if scale_node.op_type == "Div" else s
+            mm1 = producers.get(scale_node.inputs[0])
+            if mm1 is None or mm1.op_type != "MatMul":
+                mm1 = producers.get(scale_node.inputs[1])
+        else:
+            mm1 = scale_node
+        if mm1 is None or mm1.op_type != "MatMul" or not sole(mm1.outputs[0]):
+            continue
+        # mm1 = MatMul(Q, K^T): K^T usually via Transpose(-2,-1)
+        q_name = mm1.inputs[0]
+        kt = producers.get(mm1.inputs[1])
+        if kt is not None and kt.op_type == "Transpose" and sole(kt.outputs[0]):
+            perm = kt.attr("perm")
+            rank = len(perm) if perm else None
+            if perm and perm == list(range(rank - 2)) + [rank - 1, rank - 2]:
+                k_name = kt.inputs[0]
+                dead.add(id(kt))
+            else:
+                continue
+        else:
+            continue
+        v_name = mm2.inputs[1]
+
+        fused = Node(
+            "FusedAttention",
+            inputs=[q_name, k_name, v_name] + ([mask_name] if mask_name else []),
+            outputs=list(mm2.outputs),
+            attrs={"scale": scale},
+            name=(mm2.name or "attn") + "_fused",
+        )
+        # Mark the chain dead and splice in the fused node.
+        for n in (mm1, sm, mm2):
+            dead.add(id(n))
+        if scale_node.op_type in ("Mul", "Div"):
+            dead.add(id(scale_node))
+        maybe_add = producers.get(sm.inputs[0])
+        if maybe_add is not None and maybe_add.op_type == "Add" and mask_name:
+            dead.add(id(maybe_add))
+        idx = graph.nodes.index(mm2)
+        graph.nodes[idx] = fused
+        changed += 1
+
+    if changed:
+        graph.remove_nodes(dead)
+        graph.toposort()
+    return changed

@@ -41,6 +41,7 @@ DEFAULT_PIPELINE = [
     "fuse_pad_conv",
     "fuse_bn_conv",
     "fold_constants",
+    "fuse_attention",
     "eliminate_nops",
     "dce",
 ]
@@ -48,7 +49,7 @@ DEFAULT_PIPELINE = [
 
 def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = False) -> Graph:
     """Run the pipeline in place (returns the same graph for chaining)."""
-    from . import all_passes, fuse_dequant  # noqa: F401  (registration side effects)
+    from . import all_passes, fuse_attention, fuse_dequant  # noqa: F401  (registration side effects)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

@@ -47,6 +47,7 @@ def save_artifact(path: str | os.PathLike, graph: Graph,
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    graph.metadata.setdefault("optimized", "1")  # artifacts store final graphs
     save_model(graph, path / "model.onnx", producer=PREPROCESSED_PRODUCER)
     config = config or Config()
     meta = {

@@ -1,0 +1,34 @@
+"""Top-level API tests: st.compile / st.serve from a file path."""
+
+import numpy as np
+
+import smelter_tpu as st
+from smelter_tpu.models import mobilenet_v2
+
+
+class TestApi:
+    def test_compile_from_path_with_quant(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        p = tmp_path / "m.onnx"
+        st.save_model(g, p)
+        import torch
+        m = st.compile(p, quant="int8")
+        assert sum(1 for _ in m.graph.find_nodes("BatchNormalization")) == 0
+        assert m.graph.metadata["quant"] == "int8"
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        got = m(x)[0]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        assert (got.argmax(1) == want.argmax(1)).all()
+
+    def test_serve_from_path(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        p = tmp_path / "m.onnx"
+        st.save_model(g, p)
+        srv = st.serve(p, max_batch=4)
+        try:
+            x = np.random.default_rng(1).standard_normal(shape[1:]).astype(np.float32)
+            out = srv.infer(x)[0]
+            assert out.shape == (10,)
+        finally:
+            srv.shutdown()

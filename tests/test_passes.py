@@ -153,3 +153,25 @@ class TestFolding:
         g = b.finish([y])
         run_passes(g, ["fuse_pad_conv"])
         assert sum(1 for _ in g.find_nodes("Pad")) == 1
+
+
+class TestAttentionFusion:
+    def test_vit_attention_fused(self):
+        from smelter_tpu.models import vit
+
+        g, tm, shape = vit.build(2, 32, patch=8, dim=64, depth=2, heads=4,
+                                 num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = outputs_of(g, x)
+        run_passes(g)
+        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 2
+        assert sum(1 for _ in g.find_nodes("Softmax")) == 0
+        np.testing.assert_allclose(outputs_of(g, x), before, rtol=1e-3, atol=1e-4)
+
+    def test_non_attention_softmax_untouched(self):
+        b = GraphBuilder("t", opset=13)
+        x = b.input("x", (2, 8))
+        y = b.node("Softmax", [x], axis=-1)
+        g = b.finish([y])
+        run_passes(g, ["fuse_attention"])
+        assert sum(1 for _ in g.find_nodes("Softmax")) == 1

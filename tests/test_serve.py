@@ -8,7 +8,7 @@ import torch
 
 import smelter_tpu as st
 from smelter_tpu.models import resnet50
-from smelter_tpu.serve import InferenceServer
+from smelter_tpu.serving import InferenceServer
 
 
 @pytest.fixture(scope="module")
