@@ -20,11 +20,14 @@ def _sync(out) -> None:
     """Force true device completion. Over the axon tunnel,
     block_until_ready returns before remote execution finishes — only a
     host readback observes completion (execution is in-order, so reading
-    any element of the last output waits for all queued work)."""
+    any element of the last output waits for all queued work). Slice a
+    single element ON DEVICE first: np.asarray of the full array would
+    time the tunnel transfer, not the model."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    scalar = leaf[(0,) * getattr(leaf, "ndim", 0)]
+    np.asarray(scalar)
 
 
 def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:

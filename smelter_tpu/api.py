@@ -24,7 +24,7 @@ from .runtime.executor import CompiledModel
 
 
 def _prepare(model: str | os.PathLike | Graph, quant: str | None,
-             optimize: bool) -> Graph:
+             optimize: bool, layout: str = "nhwc") -> Graph:
     g = load_model(model) if not isinstance(model, Graph) else model
     # Preprocessed detection needs BOTH the producer tag and the explicit
     # optimized flag the offline tool writes — a bare save_model also stamps
@@ -39,21 +39,29 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
         from .quant import quantize_weights
 
         quantize_weights(g, mode=quant)
-    if g.metadata.get("quant") == "int8":
-        from .passes.pass_manager import run_passes
+    from .passes.pass_manager import run_passes
 
-        run_passes(g, ["fuse_dequant_matmul", "dce"])
+    if layout == "nhwc" and optimize and g.metadata.get("layout") != "nhwc":
+        run_passes(g, ["layout_nhwc"])
+    if g.metadata.get("quant") == "int8":
+        run_passes(g, ["fuse_dequant_matmul"])
+    run_passes(g, ["dce"])
     return g
 
 
 def compile(model: str | os.PathLike | Graph, config: Config | None = None,
-            quant: str | None = None, optimize: bool = True) -> CompiledModel:
-    """Load (path or Graph), optimize, optionally quantize, jit-compile."""
-    return CompiledModel(_prepare(model, quant, optimize), config)
+            quant: str | None = None, optimize: bool = True,
+            layout: str = "nhwc") -> CompiledModel:
+    """Load (path or Graph), optimize, optionally quantize, jit-compile.
+    layout="nhwc" (default) rewrites 4-D CNN flow to the TPU-preferred
+    channels-last layout; pass "nchw" to keep ONNX order."""
+    return CompiledModel(_prepare(model, quant, optimize, layout), config)
 
 
 def serve(model: str | os.PathLike | Graph, config: Config | None = None,
-          quant: str | None = None, optimize: bool = True, **server_kw):
+          quant: str | None = None, optimize: bool = True,
+          layout: str = "nhwc", **server_kw):
     from .serving import InferenceServer
 
-    return InferenceServer(_prepare(model, quant, optimize), config, **server_kw)
+    return InferenceServer(_prepare(model, quant, optimize, layout), config,
+                           **server_kw)

@@ -31,6 +31,13 @@ def _spatial_dim_numbers(rank: int):
     return ("NC" + sp, "OI" + sp, "NC" + sp)
 
 
+def _layout(node: Node) -> str:
+    """Activation layout this node was rewritten to by the layout pass
+    (passes/layout.py): "NCHW" (ONNX default) or "NHWC" (TPU-preferred,
+    4-D only; conv weights pre-relaid to HWIO offline)."""
+    return node.attr("data_layout", "NCHW")
+
+
 def _conv_attrs(node: Node, rank: int):
     strides = tuple(node.attr("strides", [1] * rank))
     dilations = tuple(node.attr("dilations", [1] * rank))
@@ -38,8 +45,10 @@ def _conv_attrs(node: Node, rank: int):
     return strides, dilations, group
 
 
-def _add_bias(y, b):
-    # y: (N, C, *spatial); b: (C,)
+def _add_bias(y, b, layout: str = "NCHW"):
+    # b: (C,)
+    if layout == "NHWC":
+        return y + b
     return y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
 
 
@@ -47,21 +56,30 @@ def _add_bias(y, b):
 def conv(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     w = ctx.get(node.inputs[1])
+    layout = _layout(node)
     rank = x.ndim - 2
     strides, dilations, group = _conv_attrs(node, rank)
-    kernel = tuple(w.shape[2:])
-    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    if layout == "NHWC":
+        # weight pre-relaid to HWIO by the layout pass
+        kernel = tuple(w.shape[:2])
+        in_spatial = tuple(x.shape[1:3])
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        kernel = tuple(w.shape[2:])
+        in_spatial = tuple(x.shape[2:])
+        dn = _spatial_dim_numbers(rank)
+    pads = P.resolve_pads(node, in_spatial, kernel, strides, dilations)
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=strides,
         padding=pads,
         rhs_dilation=dilations,
-        dimension_numbers=_spatial_dim_numbers(rank),
+        dimension_numbers=dn,
         feature_group_count=group,
     )
     if len(node.inputs) > 2 and node.inputs[2]:
-        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype))
+        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype), layout)
     ctx.set(node.outputs[0], y)
 
 
@@ -148,34 +166,40 @@ def matmul(ctx: Ctx, node: Node):
 
 def _pool_prep(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
+    layout = _layout(node)
     rank = x.ndim - 2
     kernel = tuple(node.attr("kernel_shape"))
     strides = tuple(node.attr("strides", [1] * rank))
     dilations = tuple(node.attr("dilations", [1] * rank))
-    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    sp0 = 1 if layout == "NHWC" else 2
+    in_spatial = tuple(x.shape[sp0:sp0 + rank])
+    pads = P.resolve_pads(node, in_spatial, kernel, strides, dilations)
     if node.attr("ceil_mode", 0):
         pads = [
-            (lo, hi + P.pool_extra_ceil_pad(x.shape[2 + i], kernel[i], strides[i], dilations[i], lo, hi))
+            (lo, hi + P.pool_extra_ceil_pad(in_spatial[i], kernel[i], strides[i], dilations[i], lo, hi))
             for i, (lo, hi) in enumerate(pads)
         ]
-    return x, rank, kernel, strides, dilations, pads
+    return x, rank, kernel, strides, dilations, pads, layout
+
+
+def _pool_dims(rank, kernel, strides, dilations, pads, layout):
+    """Full-rank window/stride/dilation/pad tuples for reduce_window."""
+    if layout == "NHWC":
+        return ((1,) + kernel + (1,), (1,) + strides + (1,),
+                (1,) + dilations + (1,), [(0, 0)] + pads + [(0, 0)])
+    return ((1, 1) + kernel, (1, 1) + strides,
+            (1, 1) + dilations, [(0, 0), (0, 0)] + pads)
 
 
 @register("MaxPool")
 def max_pool(ctx: Ctx, node: Node):
-    x, rank, kernel, strides, dilations, pads = _pool_prep(ctx, node)
+    x, rank, kernel, strides, dilations, pads, layout = _pool_prep(ctx, node)
     if len(node.outputs) > 1 and node.outputs[1]:
         raise NotSupportedError("MaxPool indices output")
     neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    y = lax.reduce_window(
-        x,
-        neg,
-        lax.max,
-        window_dimensions=(1, 1) + kernel,
-        window_strides=(1, 1) + strides,
-        window_dilation=(1, 1) + dilations,
-        padding=[(0, 0), (0, 0)] + pads,
-    )
+    wd, ws, wdl, wp = _pool_dims(rank, kernel, strides, dilations, pads, layout)
+    y = lax.reduce_window(x, neg, lax.max, window_dimensions=wd,
+                          window_strides=ws, window_dilation=wdl, padding=wp)
     ctx.set(node.outputs[0], y)
 
 
@@ -195,35 +219,34 @@ def _window_counts(in_sizes, kernel, strides, dilations, pads) -> np.ndarray:
 
 @register("AveragePool")
 def average_pool(ctx: Ctx, node: Node):
-    x, rank, kernel, strides, dilations, pads = _pool_prep(ctx, node)
-    summed = lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, 1) + kernel,
-        window_strides=(1, 1) + strides,
-        window_dilation=(1, 1) + dilations,
-        padding=[(0, 0), (0, 0)] + pads,
-    )
+    x, rank, kernel, strides, dilations, pads, layout = _pool_prep(ctx, node)
+    wd, ws, wdl, wp = _pool_dims(rank, kernel, strides, dilations, pads, layout)
+    summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                               window_dimensions=wd, window_strides=ws,
+                               window_dilation=wdl, padding=wp)
     if node.attr("count_include_pad", 0):
         div = float(np.prod(kernel))
         y = summed / jnp.asarray(div, x.dtype)
     else:
-        counts = _window_counts(x.shape[2:], kernel, strides, dilations, pads)
-        y = summed / jnp.asarray(counts.reshape((1, 1) + counts.shape), x.dtype)
+        sp0 = 1 if layout == "NHWC" else 2
+        counts = _window_counts(x.shape[sp0:sp0 + rank], kernel, strides, dilations, pads)
+        cshape = (1,) + counts.shape + (1,) if layout == "NHWC" else (1, 1) + counts.shape
+        y = summed / jnp.asarray(counts.reshape(cshape), x.dtype)
     ctx.set(node.outputs[0], y)
 
 
 @register("GlobalAveragePool")
 def global_average_pool(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
-    ctx.set(node.outputs[0], jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True))
+    axes = tuple(range(1, x.ndim - 1)) if _layout(node) == "NHWC" else tuple(range(2, x.ndim))
+    ctx.set(node.outputs[0], jnp.mean(x, axis=axes, keepdims=True))
 
 
 @register("GlobalMaxPool")
 def global_max_pool(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
-    ctx.set(node.outputs[0], jnp.max(x, axis=tuple(range(2, x.ndim)), keepdims=True))
+    axes = tuple(range(1, x.ndim - 1)) if _layout(node) == "NHWC" else tuple(range(2, x.ndim))
+    ctx.set(node.outputs[0], jnp.max(x, axis=axes, keepdims=True))
 
 
 # -- normalization --------------------------------------------------------
@@ -235,7 +258,7 @@ def batch_norm(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     scale, bias, mean, var = (ctx.get(n).astype(jnp.float32) for n in node.inputs[1:5])
     eps = node.attr("epsilon", 1e-5)
-    shape = (1, -1) + (1,) * (x.ndim - 2)
+    shape = (-1,) if _layout(node) == "NHWC" else (1, -1) + (1,) * (x.ndim - 2)
     inv = lax.rsqrt(var + eps) * scale
     y = x.astype(jnp.float32) * inv.reshape(shape) + (bias - mean * inv).reshape(shape)
     ctx.set(node.outputs[0], y.astype(x.dtype))
@@ -247,19 +270,30 @@ def instance_norm(ctx: Ctx, node: Node):
     scale = ctx.get(node.inputs[1]).astype(jnp.float32)
     bias = ctx.get(node.inputs[2]).astype(jnp.float32)
     eps = node.attr("epsilon", 1e-5)
-    axes = tuple(range(2, x.ndim))
+    nhwc = _layout(node) == "NHWC"
+    axes = tuple(range(1, x.ndim - 1)) if nhwc else tuple(range(2, x.ndim))
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes, keepdims=True)
     var = jnp.var(xf, axis=axes, keepdims=True)
-    shape = (1, -1) + (1,) * (x.ndim - 2)
+    shape = (-1,) if nhwc else (1, -1) + (1,) * (x.ndim - 2)
     y = (xf - mean) * lax.rsqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape)
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
-def _group_norm(x, num_groups: int, scale, bias, eps: float):
+def _group_norm(x, num_groups: int, scale, bias, eps: float, layout: str = "NCHW"):
+    xf = x.astype(jnp.float32)
+    if layout == "NHWC":
+        n, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        xf = xf.reshape((n,) + spatial + (num_groups, c // num_groups))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+        return y * scale + bias
     n, c = x.shape[:2]
     spatial = x.shape[2:]
-    xf = x.astype(jnp.float32).reshape((n, num_groups, c // num_groups) + spatial)
+    xf = xf.reshape((n, num_groups, c // num_groups) + spatial)
     axes = tuple(range(2, xf.ndim))
     mean = jnp.mean(xf, axis=axes, keepdims=True)
     var = jnp.var(xf, axis=axes, keepdims=True)
@@ -273,7 +307,8 @@ def group_normalization(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     scale = ctx.get(node.inputs[1]).astype(jnp.float32)
     bias = ctx.get(node.inputs[2]).astype(jnp.float32)
-    y = _group_norm(x, int(node.attr("num_groups")), scale, bias, node.attr("epsilon", 1e-5))
+    y = _group_norm(x, int(node.attr("num_groups")), scale, bias,
+                    node.attr("epsilon", 1e-5), _layout(node))
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
@@ -286,7 +321,7 @@ def custom_group_norm(ctx: Ctx, node: Node):
     groups = int(ctx.static(node.inputs[1]).reshape(-1)[0])
     gamma = ctx.get(node.inputs[2]).astype(jnp.float32).reshape(-1)
     beta = ctx.get(node.inputs[3]).astype(jnp.float32).reshape(-1)
-    y = _group_norm(x, groups, gamma, beta, node.attr("epsilon", 1e-5))
+    y = _group_norm(x, groups, gamma, beta, node.attr("epsilon", 1e-5), _layout(node))
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
@@ -382,16 +417,20 @@ def upsample(ctx: Ctx, node: Node):
     else:
         scales = np.asarray(node.attr("scales"), np.float64)
     mode = _as_str(node.attr("mode", "nearest"))
-    out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(scales[2:], x.shape[2:]))
+    # scales keep ONNX's NCHW ordering even when activations are NHWC
+    sp0 = 1 if _layout(node) == "NHWC" else 2
+    sc = scales[2:]
+    out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
     align = True
     if ctx.config is not None:
         align = getattr(ctx.config, "upsample_align_corners", True)
     if mode == "nearest":
         y = resize_spatial(x, out_sizes, mode="nearest", coord_mode="asymmetric",
-                           nearest_mode="floor")
+                           nearest_mode="floor", spatial_start=sp0)
     else:
         coord = "align_corners" if align else "asymmetric"
-        y = resize_spatial(x, out_sizes, mode="linear", coord_mode=coord)
+        y = resize_spatial(x, out_sizes, mode="linear", coord_mode=coord,
+                           spatial_start=sp0)
     ctx.set(node.outputs[0], y)
 
 
@@ -404,15 +443,19 @@ def resize(ctx: Ctx, node: Node):
     if coord == "tf_crop_and_resize":
         raise NotSupportedError("Resize tf_crop_and_resize")
 
+    nhwc = _layout(node) == "NHWC"
+    sp0 = 1 if nhwc else 2
     out_sizes = None
     if len(node.inputs) > 3 and node.inputs[3]:
         sizes = ctx.static(node.inputs[3]).astype(np.int64)
-        out_sizes = tuple(int(s) for s in sizes[2:])
+        out_sizes = tuple(int(s) for s in sizes[2:])  # NCHW-ordered vector
     else:
         scales_in = node.inputs[2] if len(node.inputs) > 2 else node.inputs[1]
         scales = ctx.static(scales_in).astype(np.float64)
         if ctx.opset == 10:
             scales = ctx.static(node.inputs[1]).astype(np.float64)
-        out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(scales[2:], x.shape[2:]))
-    y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord, nearest_mode=nearest_mode)
+        sc = scales[2:]  # NCHW-ordered vector
+        out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
+    y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord,
+                       nearest_mode=nearest_mode, spatial_start=sp0)
     ctx.set(node.outputs[0], y)

@@ -63,7 +63,9 @@ def resize_spatial(
     """
     if mode == "cubic":
         mode = "linear"
-    in_sizes = x.shape[spatial_start:]
+    # spatial dims are axes [spatial_start, spatial_start + len(out_sizes))
+    # (NHWC keeps channels after the spatial block)
+    in_sizes = x.shape[spatial_start:spatial_start + len(out_sizes)]
     assert len(in_sizes) == len(out_sizes)
     out = x
     for d, (in_s, out_s) in enumerate(zip(in_sizes, out_sizes)):

@@ -1,0 +1,257 @@
+"""NCHW -> NHWC layout pass for 4-D activation graphs.
+
+SURVEY.md §7: "offline importer pass: transpose to TPU-friendly layout
+(channels-last)". The TPU MXU/VPU want the channel dimension on the
+128-lane minor axis; NHWC activations with HWIO weights avoid the
+relayout copies XLA otherwise inserts around every conv. This is the
+TPU analog of the reference's offline OHWI weight swizzle + runtime
+relayout (reference: ONNX2MPS.py:70-79, Array+Extensions.swift:52-94) —
+done once at graph level, never at runtime.
+
+Mechanics (lazy materialization):
+- every edge has a *preferred* layout, set by its producer;
+- CONVERT ops (conv/pool/norm/resize) are rewritten with
+  data_layout=NHWC; their weight initializers are permuted offline
+  (OIHW->HWIO via the native library; int8 DequantizeLinear weights are
+  permuted with their axis remapped);
+- AGNOSTIC ops (activations, binary, concat, pad, softmax...) follow
+  their inputs, with channel-axis attributes remapped via
+  {0:0, 1:3, 2:1, 3:2} and broadcast initializers transposed;
+- everything else is a BARRIER: inputs are materialized back to NCHW
+  (a Transpose is inserted, memoized per edge);
+- graph inputs stay NCHW (user contract), outputs are returned in NCHW.
+
+Transposes only appear at genuine layout boundaries; chains of
+NHWC-compatible ops carry no transposes at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Graph, Node
+from .pass_manager import register_pass
+
+_AXIS_MAP = {0: 0, 1: 3, 2: 1, 3: 2}  # NCHW axis -> NHWC position
+_TO_NHWC = [0, 2, 3, 1]
+_TO_NCHW = [0, 3, 1, 2]
+
+# Ops rewritten to native NHWC execution (4-D only).
+_CONVERT = {
+    "Conv", "MaxPool", "AveragePool", "GlobalAveragePool", "GlobalMaxPool",
+    "BatchNormalization", "InstanceNormalization", "GroupNormalization",
+    "custom_group_norm", "Upsample", "Resize",
+}
+
+# Ops that flow through whichever layout their (4-D) inputs are in.
+_AGNOSTIC_UNARY = {
+    "Relu", "LeakyRelu", "Elu", "Selu", "Sigmoid", "HardSigmoid", "HardSwish",
+    "Tanh", "Softplus", "Softsign", "Exp", "Log", "Abs", "Neg", "Sqrt",
+    "Reciprocal", "Floor", "Ceil", "Round", "Sign", "Erf", "Mish", "Gelu",
+    "Clip", "Identity", "Dropout", "Sin", "Cos", "Not", "Cast",
+}
+_AGNOSTIC_BINARY = {"Add", "Sub", "Mul", "Div", "Pow", "Min", "Max", "Sum",
+                    "Mean", "PRelu", "Where", "Equal", "Greater", "Less"}
+_AXIS_ATTR = {"Concat", "Softmax", "LogSoftmax"}
+
+
+def _permute_init(arr: np.ndarray) -> np.ndarray:
+    """Broadcast-constant NCHW -> NHWC: pad rank to 4 leading-1s, (0,2,3,1)."""
+    a = arr
+    while a.ndim < 4:
+        a = a[None]
+    return np.ascontiguousarray(np.transpose(a, _TO_NHWC))
+
+
+class _Rewriter:
+    def __init__(self, graph: Graph):
+        self.graph = graph
+        self.pref: dict[str, str] = {}  # edge -> "nchw" | "nhwc"
+        self.alt: dict[tuple[str, str], str] = {}  # (edge, layout) -> edge name
+        self.out_nodes: list[Node] = []
+        self.vt = graph.value_types
+
+    def rank(self, name: str) -> int | None:
+        t = self.vt.get(name)
+        return len(t.shape) if t is not None else None
+
+    def get(self, name: str, layout: str) -> str:
+        """Edge name carrying `name`'s value in `layout` (insert transpose)."""
+        cur = self.pref.get(name, "nchw")
+        if cur == layout:
+            return name
+        key = (name, layout)
+        if key in self.alt:
+            return self.alt[key]
+        perm = _TO_NHWC if layout == "nhwc" else _TO_NCHW
+        new = self.graph.fresh_name(f"{name}__{layout}")
+        self.out_nodes.append(Node("Transpose", [name], [new],
+                                   attrs={"perm": list(perm)},
+                                   name=f"lt_{new}"))
+        self.alt[key] = new
+        # the transposed edge keeps target layout implicitly (not in pref —
+        # pref tracks original names only)
+        return new
+
+    def _is4d(self, name: str) -> bool:
+        return self.rank(name) == 4
+
+    def _conv_weight_nhwc(self, node: Node) -> bool:
+        """Permute the conv weight to HWIO offline. Returns False if the
+        weight is neither an initializer nor a DequantizeLinear of one."""
+        g = self.graph
+        w_name = node.inputs[1]
+        if w_name in g.initializers:
+            from .. import native
+
+            w = g.initializers[w_name]
+            if w.ndim != 4:
+                return False
+            if w.dtype == np.float32:
+                g.initializers[w_name] = native.relayout_oihw_to_hwio(w)
+            else:
+                g.initializers[w_name] = np.ascontiguousarray(
+                    np.transpose(w, (2, 3, 1, 0)))
+            return True
+        # DequantizeLinear(int8_init, scales) feeding the conv
+        prod = self._producer_of(w_name)
+        if (prod is not None and prod.op_type == "DequantizeLinear"
+                and prod.inputs[0] in g.initializers
+                and int(prod.attr("axis", 1)) == 0
+                and g.initializers[prod.inputs[0]].ndim == 4):
+            q = g.initializers[prod.inputs[0]]
+            g.initializers[prod.inputs[0]] = np.ascontiguousarray(
+                np.transpose(q, (2, 3, 1, 0)))
+            prod.attrs["axis"] = 3  # output channels now last
+            return True
+        return False
+
+    def _producer_of(self, name: str) -> Node | None:
+        for n in self.out_nodes:
+            if name in n.outputs:
+                return n
+        return None
+
+    def run(self) -> int:
+        g = self.graph
+        changed = 0
+        for node in g.nodes:
+            kind = self._classify(node)
+            if kind == "convert":
+                ok = True
+                if node.op_type == "Conv":
+                    ok = self._conv_weight_nhwc(node)
+                if ok:
+                    node.inputs[0] = self.get(node.inputs[0], "nhwc")
+                    node.attrs["data_layout"] = "NHWC"
+                    for o in node.outputs:
+                        self.pref[o] = "nhwc"
+                    changed += 1
+                    self.out_nodes.append(node)
+                    continue
+                kind = "barrier"  # dynamic conv weight: leave in NCHW
+            if kind == "agnostic":
+                new_inputs = []
+                for i, name in enumerate(node.inputs):
+                    if not name:
+                        new_inputs.append(name)
+                    elif name in g.initializers:
+                        arr = g.initializers[name]
+                        if arr.ndim > 0 and arr.size > 1:
+                            pname = g.fresh_name(name + "__nhwc")
+                            g.initializers[pname] = _permute_init(arr)
+                            new_inputs.append(pname)
+                        else:
+                            new_inputs.append(name)
+                    elif self._is4d(name):
+                        new_inputs.append(self.get(name, "nhwc"))
+                    else:
+                        new_inputs.append(name)
+                node.inputs = new_inputs
+                if node.op_type in _AXIS_ATTR:
+                    ax = node.attr("axis", 1 if node.op_type == "Concat" else -1)
+                    if ax < 0:
+                        ax += 4
+                    node.attrs["axis"] = _AXIS_MAP[ax]
+                for o in node.outputs:
+                    self.pref[o] = "nhwc"
+                changed += 1
+                self.out_nodes.append(node)
+                continue
+            # barrier: all inputs in NCHW
+            node.inputs = [
+                self.get(n, "nchw") if n and n not in g.initializers else n
+                for n in node.inputs
+            ]
+            for o in node.outputs:
+                self.pref[o] = "nchw"
+            self.out_nodes.append(node)
+
+        # graph outputs must come back in NCHW
+        for vi in g.outputs:
+            if self.pref.get(vi.name) == "nhwc":
+                vi.name = self.get(vi.name, "nchw")
+        g.nodes = self.out_nodes
+        g.toposort()
+        return changed
+
+    def _classify(self, node: Node) -> str:
+        op = node.op_type
+        in0 = node.inputs[0] if node.inputs else ""
+        if op in _CONVERT:
+            if self._is4d(in0):
+                return "convert"
+            return "barrier"
+        in_layouts_4d = [
+            self.pref.get(n, "nchw")
+            for n in node.inputs
+            if n and n not in self.graph.initializers and self._is4d(n)
+        ]
+        if not in_layouts_4d or "nhwc" not in in_layouts_4d:
+            return "barrier"
+        if op in ("Softmax", "LogSoftmax") and self.graph.opset < 13:
+            return "barrier"  # flatten semantics pre-13: axis remap invalid
+        if op in _AGNOSTIC_UNARY or op in _AGNOSTIC_BINARY or op in _AXIS_ATTR:
+            # binary ops: every non-initializer input must be 4-D (else the
+            # implicit broadcast changes meaning under permutation)
+            for n in node.inputs:
+                if n and n not in self.graph.initializers and not self._is4d(n):
+                    return "barrier"
+            return "agnostic"
+        if op == "Pad":
+            pads_name = node.inputs[1] if len(node.inputs) > 1 else ""
+            if pads_name in self.graph.initializers:
+                pads = self.graph.initializers[pads_name].reshape(-1)
+                if pads.size == 8:
+                    new = np.empty_like(pads)
+                    for old_ax, new_ax in _AXIS_MAP.items():
+                        new[new_ax] = pads[old_ax]
+                        new[new_ax + 4] = pads[old_ax + 4]
+                    pname = self.graph.fresh_name(pads_name + "__nhwc")
+                    self.graph.initializers[pname] = new
+                    node.inputs[1] = pname
+                    return "agnostic"
+            return "barrier"
+        return "barrier"
+
+
+@register_pass("layout_nhwc")
+def layout_nhwc(graph: Graph) -> int:
+    """Rewrite 4-D activation flow to NHWC. Requires value_types populated
+    (Executor.infer_value_types) for rank information."""
+    if not graph.value_types:
+        from ..ir.errors import SmelterError
+        from ..runtime.executor import Executor
+
+        try:
+            Executor(graph).infer_value_types()
+        except SmelterError:
+            return 0  # unresolved dims etc: leave the graph in NCHW
+    if graph.metadata.get("layout") == "nhwc":
+        return 0
+    r = _Rewriter(graph)
+    changed = r.run()
+    if changed:
+        graph.metadata["layout"] = "nhwc"
+        graph.value_types = {}  # stale after rewrite
+    return changed

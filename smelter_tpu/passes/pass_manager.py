@@ -49,7 +49,7 @@ DEFAULT_PIPELINE = [
 
 def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = False) -> Graph:
     """Run the pipeline in place (returns the same graph for chaining)."""
-    from . import all_passes, fuse_attention, fuse_dequant  # noqa: F401  (registration side effects)
+    from . import all_passes, fuse_attention, fuse_dequant, layout  # noqa: F401  (registration side effects)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

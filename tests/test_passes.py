@@ -175,3 +175,52 @@ class TestAttentionFusion:
         g = b.finish([y])
         run_passes(g, ["fuse_attention"])
         assert sum(1 for _ in g.find_nodes("Softmax")) == 1
+
+
+class TestLayoutNHWC:
+    @pytest.mark.parametrize("case", ["mnv2", "resnet", "unet", "esrgan"])
+    def test_parity_and_transpose_count(self, case):
+        from smelter_tpu.models import esrgan, mobilenet_v2, resnet50, unet
+
+        builders = {
+            "mnv2": lambda: mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10),
+            "resnet": lambda: resnet50.build(2, 64, layers=(1, 1, 1, 1), width=16,
+                                             num_classes=10),
+            "unet": lambda: unet.build(1, 64, base=8, num_classes=3),
+            "esrgan": lambda: esrgan.build(1, 24, nf=16, nb=1, scale=4),
+        }
+        g, tm, shape = builders[case]()
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = outputs_of(g, x)
+        run_passes(g)
+        run_passes(g, ["layout_nhwc", "dce"])
+        assert g.metadata["layout"] == "nhwc"
+        # only the input/output boundary transposes remain
+        assert sum(1 for _ in g.find_nodes("Transpose")) == 2
+        np.testing.assert_allclose(outputs_of(g, x), before, rtol=1e-3, atol=1e-4)
+
+    def test_int8_dequant_conv_weights_permuted(self):
+        from smelter_tpu.models import resnet50
+        from smelter_tpu.quant import quantize_weights
+
+        g, tm, shape = resnet50.build(1, 64, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = outputs_of(g, x)
+        run_passes(g)
+        quantize_weights(g, "int8", min_elements=1)
+        run_passes(g, ["layout_nhwc", "dce"])
+        dq = [n for n in g.nodes if n.op_type == "DequantizeLinear"]
+        assert dq and all(n.attr("axis") == 3 for n in dq
+                          if g.initializers[n.inputs[0]].ndim == 4)
+        after = outputs_of(g, x)
+        assert (after.argmax(1) == before.argmax(1)).all()
+
+    def test_idempotent(self):
+        from smelter_tpu.models import resnet50
+
+        g, _, _ = resnet50.build(1, 64, layers=(1, 1, 1, 1), width=16,
+                                 num_classes=10)
+        run_passes(g, ["layout_nhwc"])
+        assert run_passes(g, ["layout_nhwc"]) is g  # second run no-ops
+        assert g.metadata["layout"] == "nhwc"
