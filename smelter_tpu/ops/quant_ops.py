@@ -56,3 +56,125 @@ def quantize_linear(ctx: Ctx, node: Node):
         out_dtype = jnp.int8
     info = jnp.iinfo(out_dtype)
     ctx.set(node.outputs[0], jnp.clip(y, info.min, info.max).astype(out_dtype))
+
+
+def _zp_shaped(zp, x_ndim: int, axis: int):
+    z = zp.astype(jnp.int32)
+    if z.ndim == 0 or z.size == 1:
+        return z.reshape(())
+    return _scale_shape(z, x_ndim, axis)
+
+
+@register("MatMulInteger", since=10)
+def matmul_integer(ctx: Ctx, node: Node):
+    """int8/uint8 matmul with int32 accumulation (zero-points subtracted)."""
+    a = ctx.get(node.inputs[0]).astype(jnp.int32)
+    b = ctx.get(node.inputs[1]).astype(jnp.int32)
+    if len(node.inputs) > 2 and node.inputs[2]:
+        a = a - _zp_shaped(ctx.get(node.inputs[2]), a.ndim, a.ndim - 1)
+    if len(node.inputs) > 3 and node.inputs[3]:
+        b = b - _zp_shaped(ctx.get(node.inputs[3]), b.ndim, b.ndim - 1)
+    ctx.set(node.outputs[0],
+            jnp.matmul(a, b, preferred_element_type=jnp.int32))
+
+
+@register("ConvInteger", since=10)
+def conv_integer(ctx: Ctx, node: Node):
+    from .nn import _conv_attrs, _spatial_dim_numbers
+    from . import padding as P
+    from jax import lax
+
+    x = ctx.get(node.inputs[0]).astype(jnp.int32)
+    w = ctx.get(node.inputs[1]).astype(jnp.int32)
+    if len(node.inputs) > 2 and node.inputs[2]:
+        x = x - _zp_shaped(ctx.get(node.inputs[2]), x.ndim, 1)
+    if len(node.inputs) > 3 and node.inputs[3]:
+        w = w - _zp_shaped(ctx.get(node.inputs[3]), w.ndim, 0)
+    rank = x.ndim - 2
+    strides, dilations, group = _conv_attrs(node, rank)
+    kernel = tuple(w.shape[2:])
+    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    y = lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=pads, rhs_dilation=dilations,
+        dimension_numbers=_spatial_dim_numbers(rank), feature_group_count=group,
+        preferred_element_type=jnp.int32)
+    ctx.set(node.outputs[0], y)
+
+
+def _requant(y_f32, scale, zp, ctx, node):
+    out_dtype = zp.dtype if zp is not None else jnp.uint8
+    y = jnp.round(y_f32 / scale.astype(jnp.float32))
+    if zp is not None:
+        y = y + zp.astype(jnp.float32)
+    info = jnp.iinfo(out_dtype)
+    return jnp.clip(y, info.min, info.max).astype(out_dtype)
+
+
+@register("QLinearMatMul", since=10)
+def qlinear_matmul(ctx: Ctx, node: Node):
+    """Full quantized matmul: dequant A/B -> matmul -> requant to y dtype."""
+    a = ctx.get(node.inputs[0]).astype(jnp.int32)
+    a_s = ctx.get(node.inputs[1]).astype(jnp.float32)
+    a_z = ctx.get(node.inputs[2]).astype(jnp.int32)
+    b = ctx.get(node.inputs[3]).astype(jnp.int32)
+    b_s = ctx.get(node.inputs[4]).astype(jnp.float32)
+    b_z = ctx.get(node.inputs[5]).astype(jnp.int32)
+    y_s = ctx.get(node.inputs[6])
+    y_z = ctx.get(node.inputs[7])
+    acc = jnp.matmul(a - a_z.reshape(()), b - b_z.reshape(()),
+                     preferred_element_type=jnp.int32)
+    y_f = acc.astype(jnp.float32) * (a_s.reshape(()) * b_s.reshape(()))
+    ctx.set(node.outputs[0], _requant(y_f, y_s.reshape(()), y_z.reshape(()), ctx, node))
+
+
+@register("QLinearConv", since=10)
+def qlinear_conv(ctx: Ctx, node: Node):
+    from .nn import _conv_attrs, _spatial_dim_numbers
+    from . import padding as P
+    from jax import lax
+
+    x = ctx.get(node.inputs[0]).astype(jnp.int32)
+    x_s = ctx.get(node.inputs[1]).astype(jnp.float32).reshape(())
+    x_z = ctx.get(node.inputs[2]).astype(jnp.int32).reshape(())
+    w = ctx.get(node.inputs[3]).astype(jnp.int32)
+    w_s = ctx.get(node.inputs[4]).astype(jnp.float32)
+    w_z = ctx.get(node.inputs[5]).astype(jnp.int32)
+    y_s = ctx.get(node.inputs[6]).astype(jnp.float32).reshape(())
+    y_z = ctx.get(node.inputs[7]).astype(jnp.int32).reshape(())
+
+    rank = x.ndim - 2
+    strides, dilations, group = _conv_attrs(node, rank)
+    kernel = tuple(w.shape[2:])
+    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    wz = w_z.reshape((-1,) + (1,) * (w.ndim - 1)) if w_z.size > 1 else w_z.reshape(())
+    acc = lax.conv_general_dilated(
+        x - x_z, w - wz, window_strides=strides, padding=pads,
+        rhs_dilation=dilations, dimension_numbers=_spatial_dim_numbers(rank),
+        feature_group_count=group, preferred_element_type=jnp.int32)
+    ws = w_s.reshape((1, -1) + (1,) * rank) if w_s.size > 1 else w_s.reshape(())
+    y_f = acc.astype(jnp.float32) * (x_s * ws)
+    if len(node.inputs) > 8 and node.inputs[8]:
+        bias = ctx.get(node.inputs[8]).astype(jnp.float32)  # int32, scale x_s*w_s
+        b_f = bias * (x_s * (w_s.reshape(-1) if w_s.size > 1 else w_s))
+        y_f = y_f + b_f.reshape((1, -1) + (1,) * rank)
+    y = jnp.round(y_f / y_s) + y_z
+    out_dtype = ctx.get(node.inputs[2]).dtype  # same family as x zero point
+    info = jnp.iinfo(out_dtype)
+    ctx.set(node.outputs[0], jnp.clip(y, info.min, info.max).astype(out_dtype))
+
+
+@register("DynamicQuantizeLinear", since=11)
+def dynamic_quantize_linear(ctx: Ctx, node: Node):
+    """Computes uint8 scale/zero-point from the runtime range (ONNX spec)."""
+    x = ctx.get(node.inputs[0]).astype(jnp.float32)
+    x_min = jnp.minimum(jnp.min(x), 0.0)
+    x_max = jnp.maximum(jnp.max(x), 0.0)
+    scale = (x_max - x_min) / 255.0
+    scale = jnp.where(scale == 0, jnp.float32(1.0), scale)
+    zp = jnp.clip(jnp.round(-x_min / scale), 0, 255).astype(jnp.uint8)
+    q = jnp.clip(jnp.round(x / scale) + zp.astype(jnp.float32), 0, 255).astype(jnp.uint8)
+    ctx.set(node.outputs[0], q)
+    if len(node.outputs) > 1 and node.outputs[1]:
+        ctx.set(node.outputs[1], scale)
+    if len(node.outputs) > 2 and node.outputs[2]:
+        ctx.set(node.outputs[2], zp)

@@ -347,3 +347,98 @@ def space_to_depth(ctx: Ctx, node: Node):
     y = x.reshape(n, c, h // bs, bs, w // bs, bs)
     y = jnp.transpose(y, (0, 3, 5, 1, 2, 4))
     ctx.set(node.outputs[0], y.reshape(n, c * bs * bs, h // bs, w // bs))
+
+
+@register("Einsum", since=12)
+def einsum(ctx: Ctx, node: Node):
+    eq = node.attr("equation")
+    if isinstance(eq, bytes):
+        eq = eq.decode()
+    vals = [ctx.get(n) for n in node.inputs]
+    ctx.set(node.outputs[0], jnp.einsum(eq, *vals))
+
+
+@register("GatherND", since=11)
+def gather_nd(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    idx = ctx.get(node.inputs[1])
+    batch_dims = int(node.attr("batch_dims", 0))
+    if batch_dims:
+        raise NotSupportedError("GatherND batch_dims > 0")
+    k = idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    out = x[tuple(flat_idx[:, i] for i in range(k))]
+    ctx.set(node.outputs[0], out.reshape(idx.shape[:-1] + x.shape[k:]))
+
+
+@register("ScatterND", since=11)
+def scatter_nd(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    idx = ctx.get(node.inputs[1])
+    upd = ctx.get(node.inputs[2])
+    k = idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    flat_upd = upd.reshape((-1,) + x.shape[k:])
+    out = x.at[tuple(flat_idx[:, i] for i in range(k))].set(flat_upd)
+    ctx.set(node.outputs[0], out)
+
+
+@register("ScatterElements", since=11)
+def scatter_elements(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    idx = ctx.get(node.inputs[1])
+    upd = ctx.get(node.inputs[2])
+    axis = node.attr("axis", 0)
+    reduction = node.attr("reduction", "none")
+    if isinstance(reduction, bytes):
+        reduction = reduction.decode()
+    import jax
+
+    dnums = None
+    # use put_along_axis semantics
+    if reduction == "none":
+        out = jnp.put_along_axis(x, idx, upd.astype(x.dtype), axis=axis,
+                                 inplace=False)
+    elif reduction == "add":
+        out = x
+        # at[]-based scatter-add along axis via take_along trick
+        idx_full = [jnp.arange(s).reshape([-1 if i == d else 1 for i in range(x.ndim)])
+                    * jnp.ones_like(idx) for d, s in enumerate(x.shape)]
+        idx_full[axis] = idx
+        out = x.at[tuple(idx_full)].add(upd.astype(x.dtype))
+    else:
+        raise NotSupportedError(f"ScatterElements reduction {reduction}")
+    ctx.set(node.outputs[0], out)
+
+
+@register("OneHot", since=9)
+def one_hot(ctx: Ctx, node: Node):
+    import jax
+
+    indices = ctx.get(node.inputs[0])
+    depth = int(ctx.static(node.inputs[1]).reshape(-1)[0])
+    values = ctx.static(node.inputs[2]).reshape(-1)  # [off, on]
+    axis = node.attr("axis", -1)
+    oh = jax.nn.one_hot(indices, depth, axis=axis)
+    off, on = float(values[0]), float(values[1])
+    ctx.set(node.outputs[0], (oh * (on - off) + off).astype(np.asarray(values).dtype))
+
+
+@register("Trilu", since=14)
+def trilu(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    k = 0
+    if len(node.inputs) > 1 and node.inputs[1]:
+        k = int(ctx.static(node.inputs[1]).reshape(-1)[0])
+    if node.attr("upper", 1):
+        ctx.set(node.outputs[0], jnp.triu(x, k))
+    else:
+        ctx.set(node.outputs[0], jnp.tril(x, k))
+
+
+@register("Flip", since=1)
+def flip_op(ctx: Ctx, node: Node):
+    # non-standard helper op (some exporters emit Reverse-like patterns)
+    x = ctx.get(node.inputs[0])
+    axes = node.attr("axes", [0])
+    ctx.set(node.outputs[0], jnp.flip(x, axis=tuple(axes)))
