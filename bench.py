@@ -48,9 +48,15 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="none", choices=["none", "fp16", "int8"])
+    p.add_argument("--layout", default="nhwc", choices=["nchw", "nhwc"])
     args = p.parse_args()
 
     import jax
+
+    # The axon plugin overrides JAX_PLATFORMS at registration; re-assert the
+    # env var so `JAX_PLATFORMS=cpu python bench.py` really runs on CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import smelter_tpu as st
     from smelter_tpu.models import ZOO
@@ -62,25 +68,29 @@ def main() -> int:
     x = jax.device_put(
         np.random.default_rng(0).standard_normal(shape).astype(np.float32))
 
-    # Baseline path: plain fp32 XLA lowering of the imported graph.
+    # Baseline path: plain fp32 XLA lowering of the raw imported graph
+    # (no passes, NCHW) — what a naive port would run.
     base = st.CompiledModel(g, st.Config(compute_dtype="float32"))
     base_s = _time_fn(base._fn, (base.params, x), max(5, args.iters // 2))
     base_ips = args.batch / base_s
 
-    # Engine-best path: optimizer passes + quantization + compute dtype.
-    gq = g
-    if args.quant != "none":
-        from smelter_tpu.quant import quantize_weights
-
-        gq = quantize_weights(gq, mode=args.quant)
-    best = st.CompiledModel(gq, st.Config(compute_dtype=args.dtype))
+    # Engine-best path: full pipeline (BN fusion, folding, NHWC layout,
+    # quantization, fused dequant) + compute dtype.
+    gq = st.import_model(st.export_model(g))
+    best = st.compile(
+        gq,
+        st.Config(compute_dtype=args.dtype),
+        quant=None if args.quant == "none" else args.quant,
+        layout=args.layout,
+    )
     best_s = _time_fn(best._fn, (best.params, x), args.iters)
     best_ips = args.batch / best_s
 
     dev = jax.devices()[0]
     result = {
         "metric": f"{args.model} images/sec/chip "
-                  f"(batch={args.batch}, {args.dtype}, quant={args.quant}, {dev.platform})",
+                  f"(batch={args.batch}, {args.dtype}, quant={args.quant}, "
+                  f"{args.layout}, {dev.platform})",
         "value": round(best_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / base_ips, 3),

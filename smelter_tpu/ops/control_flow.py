@@ -1,0 +1,268 @@
+"""Control-flow op lowerings: If, Loop (static trip count), plus the RNN
+family (LSTM/GRU/RNN) lowered onto jax.lax.scan.
+
+Absent from the reference (CNN-only engine, SURVEY.md §2) but part of the
+general ONNX envelope. XLA constraints shape the design:
+
+- If: when the condition is a trace-time constant (common after constant
+  folding) the taken branch is inlined with zero cost; a traced condition
+  lowers to lax.cond, which requires both branches to produce identical
+  shapes/dtypes.
+- Loop: supported for static trip counts (M constant, cond never false) —
+  the body must be shape-invariant, and it lowers to lax.fori_loop /
+  unrolled trace. Dynamic `break` conditions are rejected.
+- LSTM/GRU/RNN: single direction or bidirectional, lax.scan over time —
+  the idiomatic TPU mapping (compiler-friendly static control flow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ir.errors import NotSupportedError
+from ..ir.graph import Graph, Node
+from .registry import Ctx, register
+
+
+def _run_subgraph(parent: Ctx, sub: Graph, inputs: list):
+    """Execute a subgraph with `inputs` bound to its declared inputs.
+    Outer-scope names resolve through the parent env (ONNX closure rule)."""
+    from .registry import lower_node
+
+    sub.opset = sub.opset or parent.opset
+    env = dict(parent.env)  # closure over outer scope
+    for vi, val in zip(sub.inputs, inputs):
+        env[vi.name] = val
+    child = Ctx(sub, env, parent.config)
+    child.static_env.update(parent.static_env)
+    # subgraph initializers resolve via child.graph; outer initializers via env
+    for name, arr in parent.graph.initializers.items():
+        sub.initializers.setdefault(name, arr)
+    for node in sub.nodes:
+        lower_node(child, node)
+    return [env[o] for o in sub.output_names]
+
+
+@register("If")
+def if_op(ctx: Ctx, node: Node):
+    then_g = node.attr("then_branch")
+    else_g = node.attr("else_branch")
+    if not isinstance(then_g, Graph) or not isinstance(else_g, Graph):
+        raise NotSupportedError("If without subgraph branches")
+    cond_static = ctx.static(node.inputs[0], required=False)
+    if cond_static is not None:
+        branch = then_g if bool(np.asarray(cond_static).reshape(-1)[0]) else else_g
+        outs = _run_subgraph(ctx, branch, [])
+        for name, val in zip(node.outputs, outs):
+            ctx.set(name, val)
+        return
+    cond = ctx.get(node.inputs[0]).reshape(())
+
+    def make(branch):
+        def f(_):
+            return tuple(_run_subgraph(ctx, branch, []))
+
+        return f
+
+    outs = jax.lax.cond(cond, make(then_g), make(else_g), operand=None)
+    for name, val in zip(node.outputs, outs):
+        ctx.set(name, val)
+
+
+@register("Loop")
+def loop_op(ctx: Ctx, node: Node):
+    """ONNX Loop with a STATIC trip count: inputs (M, cond, v_initial...).
+    Body signature: (iter_num, cond_in, v...) -> (cond_out, v..., scan_outs...).
+    Requires M constant and the body's cond_out to be the constant True
+    pattern (early-break loops are data-dependent shapes — rejected)."""
+    body: Graph = node.attr("body")
+    if not isinstance(body, Graph):
+        raise NotSupportedError("Loop without body graph")
+    m_static = ctx.static(node.inputs[0], required=False) if node.inputs[0] else None
+    if m_static is None:
+        raise NotSupportedError("Loop with dynamic trip count")
+    trip = int(np.asarray(m_static).reshape(-1)[0])
+    carried_in = [ctx.get(n) for n in node.inputs[2:]]
+    n_carried = len(carried_in)
+    n_scan = len(node.outputs) - n_carried
+
+    def body_fn(i, carried):
+        outs = _run_subgraph(
+            ctx, body,
+            [jnp.asarray(i, jnp.int64), jnp.asarray(True)] + list(carried),
+        )
+        return outs[1:1 + n_carried], outs[1 + n_carried:]
+
+    carried = carried_in
+    scans: list[list] = [[] for _ in range(n_scan)]
+    # static unroll (trip counts in exported models are small); a fori_loop
+    # variant would need identical pytree shapes which unrolling sidesteps
+    for i in range(trip):
+        carried, scan_outs = body_fn(i, carried)
+        for j, so in enumerate(scan_outs):
+            scans[j].append(so)
+    for name, val in zip(node.outputs[:n_carried], carried):
+        ctx.set(name, val)
+    for name, vals in zip(node.outputs[n_carried:], scans):
+        ctx.set(name, jnp.stack(vals) if vals else jnp.zeros((0,)))
+
+
+# -- RNN family -----------------------------------------------------------
+
+
+def _direction(node: Node) -> str:
+    d = node.attr("direction", "forward")
+    return d.decode() if isinstance(d, bytes) else d
+
+
+def _rnn_common(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])          # (T, B, I)
+    w = ctx.get(node.inputs[1])          # (D, gates*H, I)
+    r = ctx.get(node.inputs[2])          # (D, gates*H, H)
+    b = ctx.get(node.inputs[3]) if len(node.inputs) > 3 and node.inputs[3] else None
+    return x, w, r, b
+
+
+def _scan_rnn(step, x, init_carry, reverse=False):
+    xs = jnp.flip(x, 0) if reverse else x
+    carry, ys = jax.lax.scan(step, init_carry, xs)
+    if reverse:
+        ys = jnp.flip(ys, 0)
+    return carry, ys
+
+
+@register("LSTM", since=7)
+def lstm(ctx: Ctx, node: Node):
+    x, w, r, b = _rnn_common(ctx, node)
+    hidden = int(node.attr("hidden_size"))
+    T, B, _ = x.shape
+    directions = w.shape[0]
+    direction = _direction(node)
+    h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
+    c0_all = ctx.get(node.inputs[6]) if len(node.inputs) > 6 and node.inputs[6] else None
+
+    def one_direction(d, reverse):
+        wi = w[d]
+        ri = r[d]
+        if b is not None:
+            bi = b[d][: 4 * hidden] + b[d][4 * hidden:]
+        else:
+            bi = jnp.zeros((4 * hidden,), x.dtype)
+        h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
+        c0 = c0_all[d] if c0_all is not None else jnp.zeros((B, hidden), x.dtype)
+
+        def step(carry, xt):
+            h, c = carry
+            gates = xt @ wi.T + h @ ri.T + bi
+            i_g, o_g, f_g, c_g = jnp.split(gates, 4, axis=-1)  # ONNX order iofc
+            i_g = jax.nn.sigmoid(i_g)
+            o_g = jax.nn.sigmoid(o_g)
+            f_g = jax.nn.sigmoid(f_g)
+            c_g = jnp.tanh(c_g)
+            c_new = f_g * c + i_g * c_g
+            h_new = o_g * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        (h_f, c_f), ys = _scan_rnn(step, x, (h0, c0), reverse)
+        return ys, h_f, c_f
+
+    if direction == "bidirectional":
+        ys_f, h_f, c_f = one_direction(0, False)
+        ys_b, h_b, c_b = one_direction(1, True)
+        y = jnp.stack([ys_f, ys_b], axis=1)      # (T, D, B, H)
+        h_n = jnp.stack([h_f, h_b])
+        c_n = jnp.stack([c_f, c_b])
+    else:
+        ys, h_f, c_f = one_direction(0, direction == "reverse")
+        y = ys[:, None]                           # (T, 1, B, H)
+        h_n = h_f[None]
+        c_n = c_f[None]
+    if node.outputs and node.outputs[0]:
+        ctx.set(node.outputs[0], y)
+    if len(node.outputs) > 1 and node.outputs[1]:
+        ctx.set(node.outputs[1], h_n)
+    if len(node.outputs) > 2 and node.outputs[2]:
+        ctx.set(node.outputs[2], c_n)
+
+
+@register("GRU", since=7)
+def gru(ctx: Ctx, node: Node):
+    x, w, r, b = _rnn_common(ctx, node)
+    hidden = int(node.attr("hidden_size"))
+    T, B, _ = x.shape
+    direction = _direction(node)
+    linear_before_reset = int(node.attr("linear_before_reset", 0))
+    h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
+
+    def one_direction(d, reverse):
+        wi, ri = w[d], r[d]
+        wb = b[d][: 3 * hidden] if b is not None else jnp.zeros((3 * hidden,), x.dtype)
+        rb = b[d][3 * hidden:] if b is not None else jnp.zeros((3 * hidden,), x.dtype)
+        h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
+
+        def step(h, xt):
+            gi = xt @ wi.T + wb   # (B, 3H) order zrh
+            gh = h @ ri.T + rb
+            z = jax.nn.sigmoid(gi[:, :hidden] + gh[:, :hidden])
+            rt = jax.nn.sigmoid(gi[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+            if linear_before_reset:
+                n = jnp.tanh(gi[:, 2 * hidden:] + rt * gh[:, 2 * hidden:])
+            else:
+                n = jnp.tanh(gi[:, 2 * hidden:] + (rt * h) @ ri[2 * hidden:].T
+                             + rb[2 * hidden:])
+            h_new = (1 - z) * n + z * h
+            return h_new, h_new
+
+        h_f, ys = _scan_rnn(step, x, h0, reverse)
+        return ys, h_f
+
+    if direction == "bidirectional":
+        ys_f, h_f = one_direction(0, False)
+        ys_b, h_b = one_direction(1, True)
+        y = jnp.stack([ys_f, ys_b], axis=1)
+        h_n = jnp.stack([h_f, h_b])
+    else:
+        ys, h_f = one_direction(0, direction == "reverse")
+        y = ys[:, None]
+        h_n = h_f[None]
+    if node.outputs and node.outputs[0]:
+        ctx.set(node.outputs[0], y)
+    if len(node.outputs) > 1 and node.outputs[1]:
+        ctx.set(node.outputs[1], h_n)
+
+
+@register("RNN", since=7)
+def rnn(ctx: Ctx, node: Node):
+    x, w, r, b = _rnn_common(ctx, node)
+    hidden = int(node.attr("hidden_size"))
+    T, B, _ = x.shape
+    direction = _direction(node)
+    h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
+
+    def one_direction(d, reverse):
+        wi, ri = w[d], r[d]
+        bi = (b[d][:hidden] + b[d][hidden:]) if b is not None else jnp.zeros((hidden,), x.dtype)
+        h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
+
+        def step(h, xt):
+            h_new = jnp.tanh(xt @ wi.T + h @ ri.T + bi)
+            return h_new, h_new
+
+        h_f, ys = _scan_rnn(step, x, h0, reverse)
+        return ys, h_f
+
+    if direction == "bidirectional":
+        ys_f, h_f = one_direction(0, False)
+        ys_b, h_b = one_direction(1, True)
+        y = jnp.stack([ys_f, ys_b], axis=1)
+        h_n = jnp.stack([h_f, h_b])
+    else:
+        ys, h_f = one_direction(0, direction == "reverse")
+        y = ys[:, None]
+        h_n = h_f[None]
+    if node.outputs and node.outputs[0]:
+        ctx.set(node.outputs[0], y)
+    if len(node.outputs) > 1 and node.outputs[1]:
+        ctx.set(node.outputs[1], h_n)

@@ -1,0 +1,120 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+Stdlib-only (http.server, threading): POST tensors, get predictions; each
+HTTP connection's request joins the shared batcher, so concurrent clients
+are batched together on the TPU.
+
+Endpoints:
+  GET  /healthz        -> {"ok": true}            (host health probe,
+                          SURVEY.md §5.3 failure-detection hook)
+  GET  /v1/stats       -> serving metrics snapshot (p50/p95, occupancy)
+  POST /v1/infer       -> body: .npy tensor (single input, no batch dim) or
+                          JSON {"inputs": [nested lists]};
+                          response: JSON {"outputs": [...]} or .npy when
+                          Accept: application/npy
+
+Usage:
+  python -m smelter_tpu.tools.serve_http model.onnx --port 8500 \
+      [--quant int8] [--max-batch 16] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(server_state):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            if server_state.get("verbose"):
+                sys.stderr.write("%s - %s\n" % (self.address_string(), fmt % args))
+
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b'{"ok": true}')
+            elif self.path == "/v1/stats":
+                stats = server_state["srv"].stats()
+                self._send(200, json.dumps(stats).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if self.path != "/v1/infer":
+                self._send(404, b'{"error": "not found"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            try:
+                if "npy" in ctype or body[:6] == b"\x93NUMPY":
+                    x = np.load(io.BytesIO(body), allow_pickle=False)
+                else:
+                    payload = json.loads(body)
+                    x = np.asarray(payload["inputs"], np.float32)
+                outs = server_state["srv"].infer(x)
+            except Exception as e:  # noqa: BLE001
+                self._send(400, json.dumps({"error": str(e)[:500]}).encode())
+                return
+            if "application/npy" in self.headers.get("Accept", ""):
+                buf = io.BytesIO()
+                np.save(buf, outs[0])
+                self._send(200, buf.getvalue(), "application/npy")
+            else:
+                self._send(200, json.dumps(
+                    {"outputs": [o.tolist() for o in outs]}).encode())
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="serve_http", description=__doc__)
+    p.add_argument("model")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--quant", choices=["none", "fp16", "int8"], default="none")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=3.0)
+    p.add_argument("--batch-size-hint", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import smelter_tpu as st
+
+    srv = st.serve(
+        args.model,
+        st.Config(compute_dtype=args.dtype),
+        quant=None if args.quant == "none" else args.quant,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    state = {"srv": srv, "verbose": args.verbose}
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

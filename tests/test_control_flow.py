@@ -1,0 +1,115 @@
+"""Control-flow + RNN op tests vs torch / manual references."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import smelter_tpu as st
+from smelter_tpu.ir.build import GraphBuilder
+from smelter_tpu.ir.graph import Graph, Node, TensorType, ValueInfo
+from smelter_tpu.utils import dtypes as dt
+
+
+class TestIf:
+    def _if_graph(self, cond_static):
+        b = GraphBuilder("ifg", opset=13)
+        x = b.input("x", (2, 3))
+        then_g = Graph(name="then", opset=13)
+        then_g.nodes = [Node("Relu", ["x"], ["t_out"])]
+        then_g.outputs = [ValueInfo("t_out")]
+        else_g = Graph(name="else", opset=13)
+        else_g.nodes = [Node("Neg", ["x"], ["e_out"])]
+        else_g.outputs = [ValueInfo("e_out")]
+        cond = b.init(np.asarray(cond_static))
+        y = b.node("If", [cond], then_branch=then_g, else_branch=else_g)
+        return b.finish([y])
+
+    def test_static_true(self, rng):
+        g = self._if_graph(np.bool_(True))
+        x = rng.standard_normal((2, 3)).astype(np.float32)
+        np.testing.assert_allclose(st.CompiledModel(g)(x)[0], np.maximum(x, 0))
+
+    def test_static_false(self, rng):
+        g = self._if_graph(np.bool_(False))
+        x = rng.standard_normal((2, 3)).astype(np.float32)
+        np.testing.assert_allclose(st.CompiledModel(g)(x)[0], -x)
+
+    def test_subgraph_roundtrip(self, rng):
+        """If branches survive protobuf serialization."""
+        g = self._if_graph(np.bool_(True))
+        g2 = st.import_model(st.export_model(g))
+        x = rng.standard_normal((2, 3)).astype(np.float32)
+        np.testing.assert_allclose(st.CompiledModel(g2)(x)[0], np.maximum(x, 0))
+
+
+class TestLoop:
+    def test_static_accumulator(self, rng):
+        b = GraphBuilder("loopg", opset=13)
+        x = b.input("x", (2, 2))
+        body = Graph(name="body", opset=13)
+        body.inputs = [ValueInfo("it"), ValueInfo("cond_in"), ValueInfo("acc")]
+        body.nodes = [
+            Node("Identity", ["cond_in"], ["cond_out"]),
+            Node("Add", ["acc", "x"], ["acc_out"]),  # closure over outer x
+        ]
+        body.outputs = [ValueInfo("cond_out"), ValueInfo("acc_out")]
+        m = b.init(np.int64(4))
+        cond = b.init(np.bool_(True))
+        y = b.node("Loop", [m, cond, x], body=body)
+        g = b.finish([y])
+        xin = rng.standard_normal((2, 2)).astype(np.float32)
+        got = st.CompiledModel(g)(xin)[0]
+        np.testing.assert_allclose(got, xin * 5, rtol=1e-5)
+
+
+def _onnx_rnn_weights(mod, kind):
+    """torch RNN module -> ONNX W, R, B (1, gates*H, ...) with gate reorder."""
+    w_ih = mod.weight_ih_l0.detach().numpy()
+    w_hh = mod.weight_hh_l0.detach().numpy()
+    b_ih = mod.bias_ih_l0.detach().numpy()
+    b_hh = mod.bias_hh_l0.detach().numpy()
+    H = mod.hidden_size
+    if kind == "lstm":
+        # torch gate order i,f,g,o -> ONNX i,o,f,c
+        def reorder(a):
+            i, f, gq, o = np.split(a, 4, axis=0)
+            return np.concatenate([i, o, f, gq], axis=0)
+        w_ih, w_hh = reorder(w_ih), reorder(w_hh)
+        b_ih, b_hh = reorder(b_ih), reorder(b_hh)
+    elif kind == "gru":
+        # torch r,z,n -> ONNX z,r,h
+        def reorder(a):
+            r, z, n = np.split(a, 3, axis=0)
+            return np.concatenate([z, r, n], axis=0)
+        w_ih, w_hh = reorder(w_ih), reorder(w_hh)
+        b_ih, b_hh = reorder(b_ih), reorder(b_hh)
+    return (w_ih[None], w_hh[None], np.concatenate([b_ih, b_hh])[None])
+
+
+class TestRNN:
+    @pytest.mark.parametrize("kind,op", [("lstm", "LSTM"), ("gru", "GRU"),
+                                         ("rnn", "RNN")])
+    def test_vs_torch(self, rng, kind, op):
+        T, B, I, H = 5, 2, 8, 16
+        torch.manual_seed(0)
+        mod = {"lstm": nn.LSTM, "gru": nn.GRU, "rnn": nn.RNN}[kind](I, H).eval()
+        if kind == "gru":
+            mod = nn.GRU(I, H)  # default linear_before_reset=0 matches torch? no
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+        W, R, Bb = _onnx_rnn_weights(mod, kind)
+
+        b = GraphBuilder("rnn", opset=13)
+        xi = b.input("x", (T, B, I))
+        attrs = dict(hidden_size=H)
+        if kind == "gru":
+            attrs["linear_before_reset"] = 1  # torch GRU semantics
+        outs = b.node(op, [xi, b.init(W.astype(np.float32)),
+                           b.init(R.astype(np.float32)),
+                           b.init(Bb.astype(np.float32))],
+                      outputs=2, **attrs)
+        g = b.finish([outs[0]])
+        got = st.CompiledModel(g)(x)[0]  # (T, 1, B, H)
+        with torch.no_grad():
+            want, _ = mod(torch.from_numpy(x))
+        np.testing.assert_allclose(got[:, 0], want.numpy(), rtol=1e-4, atol=1e-4)
