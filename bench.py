@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -43,11 +44,11 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="resnet50")
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--quant", default="none", choices=["none", "fp16", "int8"])
+    p.add_argument("--quant", default="int8", choices=["none", "fp16", "int8"])
     p.add_argument("--layout", default="nhwc", choices=["nchw", "nhwc"])
     args = p.parse_args()
 

@@ -10,6 +10,12 @@ commute with the K sum).
 
 Grid: (M/TM, N/TN, K/TK), K innermost so the f32 accumulator tile stays
 resident in VMEM across the K sweep (Pallas revisiting pattern).
+
+Block defaults from the v5e sweep in experiments/tpu_probe3.py (M=8192
+serving-gemm: 44 -> 63 TFLOP/s over the untuned blocks). Note: current XLA
+fuses dequant+matmul at ~98 TFLOP/s on the same shape, so the engine keeps
+use_pallas opt-in; the kernel wins where XLA tiles badly (plain bf16
+matmul on tall-skinny M=8192 regressed to 29 TFLOP/s vs 59 here).
 """
 
 from __future__ import annotations
@@ -69,8 +75,8 @@ def dequant_matmul(
     w_q: jax.Array,  # (K, N) int8
     scales: jax.Array,  # (N,) float32 per-output-channel
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int = 2048,
+    block_n: int = 512,
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,

@@ -47,6 +47,20 @@ def _nearest_idx(coords: np.ndarray, in_size: int, nearest_mode: str) -> np.ndar
     return np.clip(idx, 0, in_size - 1).astype(np.int32)
 
 
+def _cubic_weights(t: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic kernel weights for the 4 taps at offsets {-1,0,1,2} given
+    fractional positions t in [0,1). Returns (len(t), 4)."""
+    def w(d):
+        d = np.abs(d)
+        return np.where(
+            d <= 1,
+            ((a + 2) * d - (a + 3)) * d * d + 1,
+            np.where(d < 2, ((a * d - 5 * a) * d + 8 * a) * d - 4 * a, 0.0),
+        )
+
+    return np.stack([w(t + 1), w(t), w(t - 1), w(t - 2)], axis=-1)
+
+
 def resize_spatial(
     x,
     out_sizes: tuple[int, ...],
@@ -55,14 +69,11 @@ def resize_spatial(
     coord_mode: str = "half_pixel",
     nearest_mode: str = "round_prefer_floor",
     spatial_start: int = 2,
+    cubic_a: float = -0.75,
 ):
-    """Resize trailing spatial dims of `x` (layout-agnostic: spatial dims are
-    axes [spatial_start:]) to `out_sizes`. mode: nearest | linear | cubic*.
-
-    (*cubic falls back to linear for now.)
-    """
-    if mode == "cubic":
-        mode = "linear"
+    """Resize spatial dims of `x` (axes [spatial_start, spatial_start+len(
+    out_sizes))) to `out_sizes`. mode: nearest | linear | cubic (Keys kernel,
+    ONNX cubic_coeff_a default -0.75, edge-clamped taps)."""
     # spatial dims are axes [spatial_start, spatial_start + len(out_sizes))
     # (NHWC keeps channels after the spatial block)
     in_sizes = x.shape[spatial_start:spatial_start + len(out_sizes)]
@@ -87,6 +98,19 @@ def resize_spatial(
             a = jnp.take(out, jnp.asarray(lo), axis=axis)
             b = jnp.take(out, jnp.asarray(hi), axis=axis)
             out = a + (b - a) * wj
+        elif mode == "cubic":
+            base = np.floor(coords).astype(np.int64)
+            t = (coords - base).astype(np.float64)
+            weights = _cubic_weights(t, cubic_a).astype(np.float32)  # (out, 4)
+            acc = None
+            for tap in range(4):
+                idx = np.clip(base + tap - 1, 0, in_s - 1).astype(np.int32)
+                shape = [1] * out.ndim
+                shape[axis] = out_s
+                wj = jnp.asarray(weights[:, tap].reshape(shape), dtype=out.dtype)
+                term = jnp.take(out, jnp.asarray(idx), axis=axis) * wj
+                acc = term if acc is None else acc + term
+            out = acc
         else:
             raise NotSupportedError(f"resize mode {mode!r}")
     return out

@@ -477,3 +477,27 @@ class TestBinary:
         b_ = rng.standard_normal((3, 4)).astype(np.float32)
         got = run_op("Where", [c, a, b_], opset=13)
         np.testing.assert_allclose(got, np.where(c, a, b_))
+
+
+class TestResizeCubic:
+    def test_cubic_half_pixel_vs_torch(self, rng):
+        x = rng.standard_normal((1, 2, 7, 7)).astype(np.float32)
+        got = run_op("Resize", [x], dict(
+            mode="cubic", coordinate_transformation_mode="half_pixel"),
+            opset=13,
+            initializers=[np.array([], np.float32),
+                          np.array([1, 1, 2, 2], np.float32)])
+        want = t2n(F.interpolate(torch.from_numpy(x), scale_factor=2,
+                                 mode="bicubic", align_corners=False))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_cubic_align_corners(self, rng):
+        x = rng.standard_normal((1, 1, 6, 6)).astype(np.float32)
+        got = run_op("Resize", [x], dict(
+            mode="cubic", coordinate_transformation_mode="align_corners"),
+            opset=13,
+            initializers=[np.array([], np.float32),
+                          np.array([1, 1, 2, 2], np.float32)])
+        want = t2n(F.interpolate(torch.from_numpy(x), scale_factor=2,
+                                 mode="bicubic", align_corners=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
