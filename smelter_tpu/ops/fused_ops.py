@@ -27,6 +27,12 @@ def fused_attention(ctx: Ctx, node: Node):
     bias = None
     if len(node.inputs) > 3 and node.inputs[3]:
         bias = ctx.get(node.inputs[3])
+    use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
+    if use_pallas and q.ndim == 4 and bias is None:
+        from ..kernels.flash_attention import flash_attention
+
+        ctx.set(node.outputs[0], flash_attention(q, k, v, scale=scale).astype(q.dtype))
+        return
     # dot_product_attention wants (B, N, H, hd); our pattern is (B, H, N, hd).
     rank = q.ndim
     if rank == 4:

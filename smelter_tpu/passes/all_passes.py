@@ -79,11 +79,18 @@ def fold_constants(graph: Graph) -> int:
     from ..ops.registry import Ctx, lower_node, resolve
     from ..ir.errors import UnknownOpError, NotSupportedError
 
-    cpu = jax.devices("cpu")[0]
+    import contextlib
+
+    try:
+        dev_ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        # axon TPU platform registers no CPU backend; fold on the default
+        # device (folding volume is tiny after BN fusion).
+        dev_ctx = contextlib.nullcontext()
     changed = 0
     ctx = Ctx(graph, {}, None)
     folded: set[int] = set()
-    with jax.default_device(cpu):
+    with dev_ctx:
         for node in graph.nodes:
             try:
                 resolve(node.op_type, graph.opset)

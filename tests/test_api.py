@@ -32,3 +32,31 @@ class TestApi:
             assert out.shape == (10,)
         finally:
             srv.shutdown()
+
+
+class TestInputRescale:
+    def test_forced_bilinear_input_scale(self):
+        """Reference parity: Configuration.inputConstraint forceInputScale
+        (ONNXGraph.swift:222-240) — oversized inputs are resized into the
+        graph's expected spatial dims before the body."""
+        from smelter_tpu.models import mobilenet_v2
+
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        m = st.CompiledModel(g, st.Config(input_scale="bilinear",
+                                          input_size=(96, 96)))
+        big = np.random.default_rng(0).standard_normal((1, 3, 192, 192)).astype(np.float32)
+        out = m(big)[0]
+        assert out.shape == (1, 10)
+        # equivalent to resizing first, then running the plain model
+        import jax
+        small = np.asarray(jax.image.resize(big, (1, 3, 96, 96), "bilinear"))
+        want = st.CompiledModel(g)(small)[0]
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+    def test_lanczos_scale_runs(self):
+        from smelter_tpu.models import mobilenet_v2
+
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        m = st.CompiledModel(g, st.Config(input_scale="lanczos", input_size=(96, 96)))
+        big = np.zeros((1, 3, 128, 128), np.float32)
+        assert m(big)[0].shape == (1, 10)

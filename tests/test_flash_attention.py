@@ -1,0 +1,50 @@
+"""Flash-attention Pallas kernel tests (interpret mode) vs reference."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from smelter_tpu.kernels.flash_attention import (
+    flash_attention,
+    flash_attention_reference,
+)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("b,h,n,d", [
+        (1, 2, 128, 64),     # single KV tile
+        (2, 4, 384, 64),     # multi-tile
+        (1, 2, 200, 64),     # unaligned sequence (mask path)
+        (1, 1, 8, 128),      # tiny sequence
+    ])
+    def test_matches_reference(self, rng, b, h, n, d):
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        scale = 1.0 / np.sqrt(d)
+        got = flash_attention(q, k, v, scale=scale, block_q=128, block_kv=128,
+                              interpret=True)
+        want = flash_attention_reference(q, k, v, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_bf16(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.bfloat16)
+        got = flash_attention(q, k, v, scale=0.125, interpret=True)
+        want = flash_attention_reference(q, k, v, scale=0.125)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=5e-2, atol=5e-2)
+
+    def test_extreme_logits_stable(self, rng):
+        """Streaming softmax must not overflow with large logits."""
+        q = jnp.asarray(rng.standard_normal((1, 1, 128, 64)).astype(np.float32)) * 30
+        k = jnp.asarray(rng.standard_normal((1, 1, 128, 64)).astype(np.float32)) * 30
+        v = jnp.asarray(rng.standard_normal((1, 1, 128, 64)).astype(np.float32))
+        got = np.asarray(flash_attention(q, k, v, scale=1.0, interpret=True))
+        assert np.isfinite(got).all()
+        want = np.asarray(flash_attention_reference(q, k, v, scale=1.0))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
