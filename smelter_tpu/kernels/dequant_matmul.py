@@ -70,7 +70,7 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
     jax.jit,
     static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
 )
-def dequant_matmul(
+def _dequant_matmul_impl(
     x: jax.Array,  # (M, K) float
     w_q: jax.Array,  # (K, N) int8
     scales: jax.Array,  # (N,) float32 per-output-channel
@@ -121,3 +121,14 @@ def dequant_matmul_reference(x, w_q, scales):
     """jnp reference implementation (what XLA runs without the kernel)."""
     w = w_q.astype(jnp.float32) * scales[None, :].astype(jnp.float32)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def dequant_matmul(x, w_q, scales, *, block_m: int = 2048, block_n: int = 512,
+                   block_k: int = 512, out_dtype=None, interpret: bool | None = None):
+    """Public entry: auto-selects interpret mode on CPU backends (Mosaic
+    compiles only for TPU), so Config.use_pallas works everywhere."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dequant_matmul_impl(x, w_q, scales, block_m=block_m, block_n=block_n,
+                                block_k=block_k, out_dtype=out_dtype,
+                                interpret=interpret)

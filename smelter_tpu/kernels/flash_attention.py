@@ -66,7 +66,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
                                              "interpret"))
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array,  # (B, H, N, D)
     k: jax.Array,  # (B, H, N, D)
     v: jax.Array,  # (B, H, N, D)
@@ -125,3 +125,12 @@ def flash_attention_reference(q, k, v, scale: float = 1.0):
                    k.astype(jnp.float32)) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def flash_attention(q, k, v, *, scale: float = 1.0, block_q: int = 256,
+                    block_kv: int = 256, interpret: bool | None = None):
+    """Public entry: auto-selects interpret mode on CPU backends."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q,
+                                 block_kv=block_kv, interpret=interpret)
