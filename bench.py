@@ -41,6 +41,48 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_serving(args, st, g, shape) -> int:
+    """Continuous-batching serving benchmark: N client threads firing
+    requests; reports throughput + p50/p95 end-to-end latency."""
+    import concurrent.futures as cf
+    import jax
+
+    srv = st.serve(
+        g,
+        st.Config(compute_dtype=args.dtype),
+        quant=None if args.quant == "none" else args.quant,
+        layout=args.layout,
+        max_batch=args.batch,
+        max_wait_ms=2.0,
+        buckets=(args.batch,),
+        eager_compile=True,
+    )
+    x = np.random.default_rng(0).standard_normal(shape[1:]).astype(np.float32)
+    # warm the pipeline
+    srv.infer(x)
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=args.clients) as pool:
+        futures = [pool.submit(srv.infer, x) for _ in range(args.requests)]
+        for f in futures:
+            f.result(timeout=600)
+    wall = time.perf_counter() - t0
+    stats = srv.stats()
+    srv.shutdown()
+    dev = jax.devices()[0]
+    result = {
+        "metric": f"{args.model} serving images/sec/chip "
+                  f"(bucket={args.batch}, {args.dtype}, quant={args.quant}, "
+                  f"p50={stats['latency_ms_p50']:.0f}ms, "
+                  f"p95={stats['latency_ms_p95']:.0f}ms, "
+                  f"occupancy={stats['occupancy']:.2f}, {dev.platform})",
+        "value": round(args.requests / wall, 2),
+        "unit": "images/sec",
+        "vs_baseline": 1.0,
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="resnet50")
@@ -50,6 +92,11 @@ def main() -> int:
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="int8", choices=["none", "fp16", "int8"])
     p.add_argument("--layout", default="nhwc", choices=["nchw", "nhwc"])
+    p.add_argument("--serve", action="store_true",
+                   help="measure continuous-batching serving (throughput + "
+                        "p50 latency) instead of raw step time")
+    p.add_argument("--requests", type=int, default=256)
+    p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
 
     import jax
@@ -63,6 +110,9 @@ def main() -> int:
     from smelter_tpu.models import ZOO
 
     g, _tm, shape = ZOO[args.model](batch=args.batch, image_size=args.image_size)
+
+    if args.serve:
+        return _bench_serving(args, st, g, shape)
 
     # Device-put the input once: serving keeps inputs on device; re-uploading
     # per call would measure host->device transfer, not the model.

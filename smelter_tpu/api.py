@@ -44,7 +44,7 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
     if layout == "nhwc" and optimize and g.metadata.get("layout") != "nhwc":
         run_passes(g, ["layout_nhwc"])
     if g.metadata.get("quant") == "int8":
-        run_passes(g, ["fuse_dequant_matmul"])
+        run_passes(g, ["fuse_dequant_matmul", "fuse_dequant_conv1x1"])
     run_passes(g, ["dce"])
     return g
 

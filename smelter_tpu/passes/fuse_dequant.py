@@ -104,3 +104,85 @@ def self_fuse(graph: Graph, node: Node, dq: Node, q: np.ndarray, s: np.ndarray,
             name=node.name + "_bias",
         ))
     return nodes
+
+
+@register_pass("fuse_dequant_conv1x1")
+def fuse_dequant_conv1x1(graph: Graph) -> int:
+    """In NHWC graphs, a 1x1 stride-1 ungrouped Conv is a GEMM over the
+    flattened (N*H*W, Cin) activations: rewrite
+    DequantizeLinear(w_q HWIO 1x1) -> Conv  into
+    Reshape -> FusedDequantMatMul -> Reshape (+ bias Add), so the int8
+    weight feeds the fused matmul kernel directly. Requires the layout
+    pass to have run (metadata layout=nhwc) and value_types populated."""
+    if graph.metadata.get("layout") != "nhwc":
+        return 0
+    if not graph.value_types:
+        from ..ir.errors import SmelterError
+        from ..runtime.executor import Executor
+
+        try:
+            Executor(graph).infer_value_types()
+        except SmelterError:
+            return 0
+    changed = 0
+    producers = graph.producers()
+    consumers = graph.consumers()
+    new_nodes: list[Node] = []
+    dead: set[int] = set()
+    for node in graph.nodes:
+        if (
+            node.op_type == "Conv"
+            and node.attr("data_layout") == "NHWC"
+            and int(node.attr("group", 1)) == 1
+            and list(node.attr("strides", [1, 1])) == [1, 1]
+            and list(node.attr("dilations", [1, 1])) == [1, 1]
+            and all(p == 0 for p in node.attr("pads", [0, 0, 0, 0]))
+        ):
+            dq = producers.get(node.inputs[1])
+            x_t = graph.value_types.get(node.inputs[0])
+            if (
+                dq is not None and dq.op_type == "DequantizeLinear"
+                and len(dq.inputs) == 2
+                and dq.inputs[0] in graph.initializers
+                and dq.inputs[1] in graph.initializers
+                and int(dq.attr("axis", 1)) == 3
+                and x_t is not None and len(x_t.shape) == 4
+            ):
+                q = graph.initializers[dq.inputs[0]]  # HWIO, 1x1
+                if q.ndim == 4 and q.shape[0] == 1 and q.shape[1] == 1:
+                    n_, h_, w_, cin = x_t.shape
+                    cout = q.shape[3]
+                    q2_name = graph.fresh_name(dq.inputs[0] + "_2d")
+                    graph.initializers[q2_name] = np.ascontiguousarray(
+                        q.reshape(cin, cout))
+                    flat_spec = graph.fresh_name("c1x1_in_shape")
+                    graph.initializers[flat_spec] = np.asarray(
+                        [n_ * h_ * w_, cin], np.int64)
+                    out_spec = graph.fresh_name("c1x1_out_shape")
+                    graph.initializers[out_spec] = np.asarray(
+                        [n_, h_, w_, cout], np.int64)
+                    flat = graph.fresh_name(node.outputs[0] + "_flat")
+                    mm = graph.fresh_name(node.outputs[0] + "_mm")
+                    has_bias = len(node.inputs) > 2 and node.inputs[2]
+                    mm_out = graph.fresh_name(node.outputs[0] + "_r") if has_bias \
+                        else node.outputs[0]
+                    new_nodes.append(Node("Reshape", [node.inputs[0], flat_spec],
+                                          [flat], name=node.name + "_fl"))
+                    new_nodes.append(Node(
+                        "FusedDequantMatMul", [flat, q2_name, dq.inputs[1]],
+                        [mm], name=node.name + "_fdq"))
+                    new_nodes.append(Node("Reshape", [mm, out_spec], [mm_out],
+                                          name=node.name + "_rs"))
+                    if has_bias:
+                        new_nodes.append(Node("Add", [mm_out, node.inputs[2]],
+                                              [node.outputs[0]],
+                                              name=node.name + "_b"))
+                    if len(consumers.get(node.inputs[1], [])) == 1:
+                        dead.add(id(dq))
+                    changed += 1
+                    continue
+        new_nodes.append(node)
+    if changed:
+        graph.nodes = [n for n in new_nodes if id(n) not in dead]
+        graph.toposort()
+    return changed

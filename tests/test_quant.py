@@ -135,3 +135,16 @@ class TestFusedDequant:
         finally:
             dm.dequant_matmul = orig
         np.testing.assert_allclose(after2, after, rtol=1e-3, atol=1e-3)
+
+    def test_resnet_conv1x1_fused(self):
+        """NHWC 1x1 convs route through FusedDequantMatMul (st.compile)."""
+        from smelter_tpu.models import resnet50
+
+        g, tm, shape = resnet50.build(2, 64, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        m = st.compile(g, quant="int8")
+        assert sum(1 for _ in m.graph.find_nodes("FusedDequantMatMul")) >= 9
+        got = m(x)[0]
+        assert (got.argmax(1) == want.argmax(1)).all()
