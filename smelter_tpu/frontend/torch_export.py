@@ -278,6 +278,48 @@ class _Exporter:
                 self.val(a[0]), node,
                 size=kw.get("size"), scale_factor=kw.get("scale_factor"),
                 mode=kw.get("mode", "nearest"), align_corners=kw.get("align_corners"))
+        if f is F.max_pool2d:
+            k = a[1] if len(a) > 1 else kw["kernel_size"]
+            k = (k, k) if isinstance(k, int) else tuple(k)
+            st_ = kw.get("stride", a[2] if len(a) > 2 else None) or k
+            st_ = (st_, st_) if isinstance(st_, int) else tuple(st_)
+            pd = kw.get("padding", a[3] if len(a) > 3 else 0)
+            pd = (pd, pd) if isinstance(pd, int) else tuple(pd)
+            return b.node("MaxPool", [self.val(a[0])], kernel_shape=list(k),
+                          strides=list(st_), pads=list(pd) * 2,
+                          ceil_mode=int(kw.get("ceil_mode", False)))
+        if f is F.avg_pool2d:
+            k = a[1] if len(a) > 1 else kw["kernel_size"]
+            k = (k, k) if isinstance(k, int) else tuple(k)
+            st_ = kw.get("stride", a[2] if len(a) > 2 else None) or k
+            st_ = (st_, st_) if isinstance(st_, int) else tuple(st_)
+            pd = kw.get("padding", a[3] if len(a) > 3 else 0)
+            pd = (pd, pd) if isinstance(pd, int) else tuple(pd)
+            return b.node("AveragePool", [self.val(a[0])], kernel_shape=list(k),
+                          strides=list(st_), pads=list(pd) * 2,
+                          count_include_pad=int(kw.get("count_include_pad", True)))
+        if f is torch.bmm:
+            return two("MatMul")
+        if f in (torch.clamp, torch.clip):
+            x = self.val(a[0])
+            lo = kw.get("min", a[1] if len(a) > 1 else None)
+            hi = kw.get("max", a[2] if len(a) > 2 else None)
+            ins = [x,
+                   self.const(np.float32(lo)) if lo is not None else "",
+                   self.const(np.float32(hi)) if hi is not None else ""]
+            while ins and ins[-1] == "":
+                ins.pop()
+            return b.node("Clip", ins)
+        if f is F.linear:
+            x = self.val(a[0])
+            wt = a[1]
+            w_np = _np(self.gm.get_parameter(wt.target)) if isinstance(wt, torch.fx.Node) and wt.op == "get_attr" else None
+            if w_np is None:
+                raise NotSupportedError("F.linear with non-parameter weight")
+            y = b.node("MatMul", [x, b.init(w_np.T.copy())])
+            if len(a) > 2 and a[2] is not None:
+                y = b.node("Add", [y, b.init(_np(self.gm.get_parameter(a[2].target)))])
+            return y
         if f is F.adaptive_avg_pool2d:
             out = a[1]
             if out in (1, (1, 1)):
@@ -332,6 +374,12 @@ class _Exporter:
         rank = len(self.shape_of(node.args[0]))
         if not isinstance(idx, tuple):
             idx = (idx,)
+        if all(it is None or it == slice(None) for it in idx):
+            # pure newaxis/full-slice indexing -> static reshape
+            return self.b.node("Reshape", [x, self.const(
+                np.asarray(self.shape_of(node), np.int64))])
+        if any(it is None for it in idx):
+            raise NotSupportedError("mixed newaxis + slicing getitem")
         starts, ends, axes, steps = [], [], [], []
         squeeze_axes = []
         axis = 0

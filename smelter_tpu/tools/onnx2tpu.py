@@ -31,7 +31,11 @@ def main(argv=None) -> int:
     from ..ir.importer import PREPROCESSED_PRODUCER, load_model, save_model
     from ..passes.pass_manager import run_passes
 
-    g = load_model(args.input)
+    try:
+        g = load_model(args.input)
+    except FileNotFoundError:
+        print(f"onnx2tpu: input file not found: {args.input}", file=sys.stderr)
+        return 2
     if args.verbose:
         print("loaded:", g.summary())
 
