@@ -44,7 +44,11 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
     if layout == "nhwc" and optimize and g.metadata.get("layout") != "nhwc":
         run_passes(g, ["layout_nhwc"])
     if g.metadata.get("quant") == "int8":
-        run_passes(g, ["fuse_dequant_matmul", "fuse_dequant_conv1x1"])
+        # NOTE: fuse_dequant_conv1x1 measured 7x SLOWER end-to-end on
+        # MobileNetV2 (experiments/tpu_probe4.py): the reshape->matmul
+        # chains on large spatial maps break XLA's conv fusion. It stays
+        # available as an explicit pass for serving-gemm-shaped graphs.
+        run_passes(g, ["fuse_dequant_matmul"])
     run_passes(g, ["dce"])
     return g
 

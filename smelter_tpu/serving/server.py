@@ -63,6 +63,7 @@ class InferenceServer:
 
         # One executor per bucket: same graph, batch dim pinned per bucket.
         self._executors: dict[int, tuple[Executor, object, dict]] = {}
+        self._shared_params: dict | None = None
         self._graph = graph
         self._config = config
         self._exec_lock = threading.Lock()
@@ -85,8 +86,11 @@ class InferenceServer:
                 cfg = dataclasses.replace(self._config, batch_size=bucket)
                 ex = Executor(self._graph, cfg)
                 fn = ex.jit()
-                params = ex.init_params()
-                self._executors[bucket] = (ex, fn, params)
+                # Weights don't depend on the batch bucket: upload once and
+                # share the device buffers across every bucket executable.
+                if self._shared_params is None:
+                    self._shared_params = ex.init_params()
+                self._executors[bucket] = (ex, fn, self._shared_params)
             return self._executors[bucket]
 
     def _bucket_for(self, n: int) -> int:

@@ -145,6 +145,8 @@ class TestFusedDequant:
         x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
         want = st.CompiledModel(g)(x)[0]
         m = st.compile(g, quant="int8")
+        # explicit pass (off the default pipeline — see api._prepare note)
+        run_passes(m.graph, ["fuse_dequant_conv1x1", "dce"])
         assert sum(1 for _ in m.graph.find_nodes("FusedDequantMatMul")) >= 9
-        got = m(x)[0]
+        got = st.CompiledModel(m.graph)(x)[0]
         assert (got.argmax(1) == want.argmax(1)).all()

@@ -88,3 +88,23 @@ class TestServer:
             assert srv.stats()["errors"] == 1
         finally:
             srv.shutdown()
+
+
+class TestSharedParams:
+    def test_buckets_share_device_weights(self, small_model):
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=4, buckets=(1, 2, 4), eager_compile=True)
+        try:
+            param_sets = [p for (_, _, p) in srv._executors.values()]
+            assert len(param_sets) == 3
+            first = param_sets[0]
+            for other in param_sets[1:]:
+                assert other is first  # same dict, same device buffers
+            # still correct
+            x = np.random.default_rng(5).standard_normal(shape[1:]).astype(np.float32)
+            out = srv.infer(x)[0]
+            with torch.no_grad():
+                want = tm(torch.from_numpy(x[None])).numpy()[0]
+            np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
+        finally:
+            srv.shutdown()
