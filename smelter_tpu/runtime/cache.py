@@ -1,9 +1,14 @@
 """Persistent XLA compilation cache helper.
 
-First compiles through the axon tunnel take minutes; enabling jax's
+First compiles on a TPU host take tens of seconds; enabling jax's
 persistent cache makes every later process reuse them (the compile-time
 analog of the artifact cache's serialized executables, which cover only
-exact input shapes)."""
+exact input shapes).
+
+Measured caveat (2026-08-17): through the axon REMOTE-compile tunnel the
+persistent cache does not help — compilation happens service-side
+(second identical compile: 626 s vs 409 s first). On standard TPU VMs
+with local compilation it behaves normally. Keep opt-in."""
 
 from __future__ import annotations
 
