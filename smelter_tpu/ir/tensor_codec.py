@@ -24,6 +24,11 @@ def tensor_to_numpy(tp: onnx.TensorProto) -> np.ndarray:
     """Decode a TensorProto into a numpy array of the tensor's dtype/shape."""
     if tp.data_type == dt.STRING:
         raise ImportError_(f"string tensors not supported (tensor {tp.name!r})")
+    if tp.data_location == 1:  # EXTERNAL
+        raise ImportError_(
+            f"tensor {tp.name!r} uses external data files; re-export the model "
+            f"with weights embedded (save_as_external_data=False)"
+        )
     np_dtype = dt.onnx_to_numpy_dtype(tp.data_type)
     shape = tuple(tp.dims)
     count = int(np.prod(shape)) if shape else 1

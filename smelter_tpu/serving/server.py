@@ -85,11 +85,25 @@ class InferenceServer:
 
                 cfg = dataclasses.replace(self._config, batch_size=bucket)
                 ex = Executor(self._graph, cfg)
-                fn = ex.jit()
-                # Weights don't depend on the batch bucket: upload once and
-                # share the device buffers across every bucket executable.
-                if self._shared_params is None:
-                    self._shared_params = ex.init_params()
+                plan = self._config.mesh  # a parallel.MeshPlan or None
+                if plan is not None:
+                    import jax
+
+                    from ..parallel import param_shardings, shard_params
+
+                    fn = jax.jit(
+                        ex.build_fn(),
+                        in_shardings=(param_shardings(ex, plan),
+                                      plan.batch_sharding()),
+                    )
+                    if self._shared_params is None:
+                        self._shared_params = shard_params(ex, plan)
+                else:
+                    fn = ex.jit()
+                    if self._shared_params is None:
+                        # Weights don't depend on the bucket: upload once and
+                        # share device buffers across bucket executables.
+                        self._shared_params = ex.init_params()
                 self._executors[bucket] = (ex, fn, self._shared_params)
             return self._executors[bucket]
 

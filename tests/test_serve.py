@@ -108,3 +108,32 @@ class TestSharedParams:
             np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
         finally:
             srv.shutdown()
+
+
+class TestShardedServing:
+    def test_serving_over_mesh(self, small_model):
+        """Continuous batching with tensor+data-parallel sharded weights on
+        the virtual 8-device mesh — the multi-host serving configuration
+        (BASELINE.json:5) in CI form."""
+        import jax
+        from smelter_tpu.parallel import MeshPlan
+
+        g, tm, shape = small_model
+        plan = MeshPlan.for_devices(8, tp=2)
+        srv = InferenceServer(g, st.Config(mesh=plan), max_batch=8,
+                              buckets=(8,), max_wait_ms=100)
+        try:
+            rng = np.random.default_rng(7)
+            xs = [rng.standard_normal(shape[1:]).astype(np.float32)
+                  for _ in range(8)]
+            futures = [srv.submit(x) for x in xs]
+            outs = [f.result(timeout=180) for f in futures]
+            with torch.no_grad():
+                want = tm(torch.from_numpy(np.stack(xs))).numpy()
+            got = np.stack([o[0] for o in outs])
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+            # weights really sharded: at least one param not fully replicated
+            params = srv._shared_params
+            assert any(not p.sharding.is_fully_replicated for p in params.values())
+        finally:
+            srv.shutdown()
