@@ -12,7 +12,9 @@ Grid: (M/TM, N/TN, K/TK), K innermost so the f32 accumulator tile stays
 resident in VMEM across the K sweep (Pallas revisiting pattern).
 
 Block defaults from the v5e sweep in experiments/tpu_probe3.py (M=8192
-serving-gemm: 44 -> 63 TFLOP/s over the untuned blocks). Note: current XLA
+serving-gemm: 44 -> 62 TFLOP/s over the untuned blocks; bm=2048 measured
+marginally faster but OOMs the 16MB scoped VMEM with f32 activations —
+bm=512/bn=1024 is the safe near-peak point). Note: current XLA
 fuses dequant+matmul at ~98 TFLOP/s on the same shape, so the engine keeps
 use_pallas opt-in; the kernel wins where XLA tiles badly (plain bf16
 matmul on tall-skinny M=8192 regressed to 29 TFLOP/s vs 59 here).
@@ -75,8 +77,8 @@ def _dequant_matmul_impl(
     w_q: jax.Array,  # (K, N) int8
     scales: jax.Array,  # (N,) float32 per-output-channel
     *,
-    block_m: int = 2048,
-    block_n: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,
@@ -123,7 +125,7 @@ def dequant_matmul_reference(x, w_q, scales):
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def dequant_matmul(x, w_q, scales, *, block_m: int = 2048, block_n: int = 512,
+def dequant_matmul(x, w_q, scales, *, block_m: int = 512, block_n: int = 1024,
                    block_k: int = 512, out_dtype=None, interpret: bool | None = None):
     """Public entry: auto-selects interpret mode on CPU backends (Mosaic
     compiles only for TPU), so Config.use_pallas works everywhere."""

@@ -197,6 +197,7 @@ def max_pool(ctx: Ctx, node: Node):
     if len(node.outputs) > 1 and node.outputs[1]:
         raise NotSupportedError("MaxPool indices output")
     neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    neg = jnp.asarray(neg, x.dtype)  # keep init dtype == operand dtype (int8 pools)
     wd, ws, wdl, wp = _pool_dims(rank, kernel, strides, dilations, pads, layout)
     y = lax.reduce_window(x, neg, lax.max, window_dimensions=wd,
                           window_strides=ws, window_dilation=wdl, padding=wp)

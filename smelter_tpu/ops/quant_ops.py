@@ -112,51 +112,93 @@ def _requant(y_f32, scale, zp, ctx, node):
 
 @register("QLinearMatMul", since=10)
 def qlinear_matmul(ctx: Ctx, node: Node):
-    """Full quantized matmul: dequant A/B -> matmul -> requant to y dtype."""
-    a = ctx.get(node.inputs[0]).astype(jnp.int32)
+    """Full quantized matmul: dequant A/B -> matmul -> requant to y dtype.
+    Extension over the ONNX spec: per-output-column B scales are accepted
+    (static_quant.py emits them for accuracy)."""
+    a_raw = ctx.get(node.inputs[0])
     a_s = ctx.get(node.inputs[1]).astype(jnp.float32)
     a_z = ctx.get(node.inputs[2]).astype(jnp.int32)
-    b = ctx.get(node.inputs[3]).astype(jnp.int32)
+    b_raw = ctx.get(node.inputs[3])
     b_s = ctx.get(node.inputs[4]).astype(jnp.float32)
     b_z = ctx.get(node.inputs[5]).astype(jnp.int32)
     y_s = ctx.get(node.inputs[6])
     y_z = ctx.get(node.inputs[7])
-    acc = jnp.matmul(a - a_z.reshape(()), b - b_z.reshape(()),
-                     preferred_element_type=jnp.int32)
-    y_f = acc.astype(jnp.float32) * (a_s.reshape(()) * b_s.reshape(()))
+    symmetric = (_static_is_zero(ctx, node.inputs[2])
+                 and _static_is_zero(ctx, node.inputs[5]))
+    if symmetric and a_raw.dtype == jnp.int8 and b_raw.dtype == jnp.int8:
+        # int8 MXU path (no upcast before the dot)
+        acc = jnp.matmul(a_raw, b_raw, preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.matmul(a_raw.astype(jnp.int32) - a_z.reshape(()),
+                         b_raw.astype(jnp.int32) - b_z.reshape(()),
+                         preferred_element_type=jnp.int32)
+    bs = b_s.reshape(()) if b_s.size == 1 else b_s.reshape((1,) * (acc.ndim - 1) + (-1,))
+    y_f = acc.astype(jnp.float32) * (a_s.reshape(()) * bs)
     ctx.set(node.outputs[0], _requant(y_f, y_s.reshape(()), y_z.reshape(()), ctx, node))
+
+
+def _static_is_zero(ctx: Ctx, name: str) -> bool:
+    v = ctx.static(name, required=False)
+    return v is not None and not np.any(np.asarray(v))
 
 
 @register("QLinearConv", since=10)
 def qlinear_conv(ctx: Ctx, node: Node):
-    from .nn import _conv_attrs, _spatial_dim_numbers
+    from .nn import _conv_attrs, _layout, _spatial_dim_numbers
     from . import padding as P
     from jax import lax
 
-    x = ctx.get(node.inputs[0]).astype(jnp.int32)
+    x_raw = ctx.get(node.inputs[0])
     x_s = ctx.get(node.inputs[1]).astype(jnp.float32).reshape(())
     x_z = ctx.get(node.inputs[2]).astype(jnp.int32).reshape(())
-    w = ctx.get(node.inputs[3]).astype(jnp.int32)
+    w_raw = ctx.get(node.inputs[3])
     w_s = ctx.get(node.inputs[4]).astype(jnp.float32)
     w_z = ctx.get(node.inputs[5]).astype(jnp.int32)
     y_s = ctx.get(node.inputs[6]).astype(jnp.float32).reshape(())
     y_z = ctx.get(node.inputs[7]).astype(jnp.int32).reshape(())
 
-    rank = x.ndim - 2
+    nhwc = _layout(node) == "NHWC"
+    rank = x_raw.ndim - 2
     strides, dilations, group = _conv_attrs(node, rank)
-    kernel = tuple(w.shape[2:])
-    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
-    wz = w_z.reshape((-1,) + (1,) * (w.ndim - 1)) if w_z.size > 1 else w_z.reshape(())
-    acc = lax.conv_general_dilated(
-        x - x_z, w - wz, window_strides=strides, padding=pads,
-        rhs_dilation=dilations, dimension_numbers=_spatial_dim_numbers(rank),
-        feature_group_count=group, preferred_element_type=jnp.int32)
-    ws = w_s.reshape((1, -1) + (1,) * rank) if w_s.size > 1 else w_s.reshape(())
+    if nhwc:
+        kernel = tuple(w_raw.shape[:2])
+        in_spatial = tuple(x_raw.shape[1:3])
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        kernel = tuple(w_raw.shape[2:])
+        in_spatial = tuple(x_raw.shape[2:])
+        dn = _spatial_dim_numbers(rank)
+    pads = P.resolve_pads(node, in_spatial, kernel, strides, dilations)
+
+    symmetric = (_static_is_zero(ctx, node.inputs[2])
+                 and _static_is_zero(ctx, node.inputs[5]))
+    if symmetric and x_raw.dtype == jnp.int8 and w_raw.dtype == jnp.int8:
+        # Keep int8 operands so XLA lowers onto the int8 MXU path
+        # (394 TOP/s on v5e vs 197 bf16 TFLOP/s).
+        acc = lax.conv_general_dilated(
+            x_raw, w_raw, window_strides=strides, padding=pads,
+            rhs_dilation=dilations, dimension_numbers=dn,
+            feature_group_count=group, preferred_element_type=jnp.int32)
+    else:
+        x = x_raw.astype(jnp.int32)
+        w = w_raw.astype(jnp.int32)
+        wz = (w_z.reshape((-1,) + (1,) * (w.ndim - 1))
+              if w_z.size > 1 else w_z.reshape(()))
+        acc = lax.conv_general_dilated(
+            x - x_z, w - wz, window_strides=strides, padding=pads,
+            rhs_dilation=dilations, dimension_numbers=dn,
+            feature_group_count=group, preferred_element_type=jnp.int32)
+    if nhwc:
+        # channel axis is last: transpose helper shapes below accordingly
+        rank_shape = (1,) * (rank + 1) + (-1,)
+    else:
+        rank_shape = (1, -1) + (1,) * rank
+    ws = w_s.reshape(rank_shape) if w_s.size > 1 else w_s.reshape(())
     y_f = acc.astype(jnp.float32) * (x_s * ws)
     if len(node.inputs) > 8 and node.inputs[8]:
         bias = ctx.get(node.inputs[8]).astype(jnp.float32)  # int32, scale x_s*w_s
         b_f = bias * (x_s * (w_s.reshape(-1) if w_s.size > 1 else w_s))
-        y_f = y_f + b_f.reshape((1, -1) + (1,) * rank)
+        y_f = y_f + b_f.reshape(rank_shape)
     y = jnp.round(y_f / y_s) + y_z
     out_dtype = ctx.get(node.inputs[2]).dtype  # same family as x zero point
     info = jnp.iinfo(out_dtype)

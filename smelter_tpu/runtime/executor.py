@@ -165,11 +165,34 @@ class Executor:
         input_names = graph.input_names
         output_names = graph.output_names
 
+        # Params that must keep full precision under a reduced compute
+        # dtype: quantization scales/zero-points (rounding them to bf16
+        # would corrupt dequantization).
+        precision_critical: set[str] = set()
+        _SCALE_POS = {
+            "DequantizeLinear": (1, 2), "QuantizeLinear": (1, 2),
+            "QLinearConv": (1, 2, 4, 5, 6, 7), "QLinearMatMul": (1, 2, 4, 5, 6, 7),
+            "FusedDequantMatMul": (2,),
+        }
+        for node in graph.nodes:
+            for pos in _SCALE_POS.get(node.op_type, ()):
+                if pos < len(node.inputs):
+                    precision_critical.add(node.inputs[pos])
+
         def fn(params: dict[str, Any], *inputs):
             env: dict[str, Any] = {}
+            cd0 = jnp.dtype(config.compute_dtype)
             for name in self.param_names:
-                env[name] = params[name]
-            cd = jnp.dtype(config.compute_dtype)
+                v = params[name]
+                # Keep activations in the compute dtype end-to-end: a float32
+                # param flowing into Concat/Add would otherwise promote the
+                # whole downstream graph to f32 (jnp type promotion).
+                if (cd0 != jnp.float32 and hasattr(v, "dtype")
+                        and v.dtype == jnp.float32
+                        and name not in precision_critical):
+                    v = v.astype(cd0)
+                env[name] = v
+            cd = cd0
             for name, x in zip(input_names, inputs):
                 x = jnp.asarray(x)
                 if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != cd:
