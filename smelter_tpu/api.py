@@ -24,7 +24,8 @@ from .runtime.executor import CompiledModel
 
 
 def _prepare(model: str | os.PathLike | Graph, quant: str | None,
-             optimize: bool, layout: str = "nhwc") -> Graph:
+             optimize: bool, layout: str = "nhwc",
+             calibration_data=None) -> Graph:
     g = load_model(model) if not isinstance(model, Graph) else model
     # Preprocessed detection needs BOTH the producer tag and the explicit
     # optimized flag the offline tool writes — a bare save_model also stamps
@@ -35,7 +36,17 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
         from .passes.pass_manager import run_passes
 
         run_passes(g)
-    if quant and g.metadata.get("quant") != quant:
+    if quant == "int8-static":
+        if g.metadata.get("quant") != quant:
+            if calibration_data is None:
+                raise ValueError(
+                    "quant='int8-static' needs calibration_data: a list of "
+                    "graph-input tuples, e.g. [(batch1,), (batch2,)]")
+            from .quant import calibrate, quantize_static
+
+            amax = calibrate(g, calibration_data)
+            quantize_static(g, amax)
+    elif quant and g.metadata.get("quant") != quant:
         from .quant import quantize_weights
 
         quantize_weights(g, mode=quant)
@@ -55,11 +66,14 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
 
 def compile(model: str | os.PathLike | Graph, config: Config | None = None,
             quant: str | None = None, optimize: bool = True,
-            layout: str = "nhwc") -> CompiledModel:
+            layout: str = "nhwc", calibration_data=None) -> CompiledModel:
     """Load (path or Graph), optimize, optionally quantize, jit-compile.
     layout="nhwc" (default) rewrites 4-D CNN flow to the TPU-preferred
-    channels-last layout; pass "nchw" to keep ONNX order."""
-    return CompiledModel(_prepare(model, quant, optimize, layout), config)
+    channels-last layout; pass "nchw" to keep ONNX order.
+    quant: None | "fp16" | "int8" (weight-only) | "int8-static" (full int8,
+    requires calibration_data: list of graph-input tuples)."""
+    return CompiledModel(
+        _prepare(model, quant, optimize, layout, calibration_data), config)
 
 
 def serve(model: str | os.PathLike | Graph, config: Config | None = None,

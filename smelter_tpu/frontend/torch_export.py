@@ -180,6 +180,8 @@ class _Exporter:
                 raise NotSupportedError("AdaptiveAvgPool2d with non-divisible output")
             k = (in_shape[2] // out[0], in_shape[3] // out[1])
             return b.node("AveragePool", [x], kernel_shape=list(k), strides=list(k))
+        if isinstance(m, nn.Embedding):
+            return b.node("Gather", [b.init(_np(m.weight)), x], axis=0)
         if isinstance(m, (nn.Dropout, nn.Identity)):
             return x
         if isinstance(m, nn.Flatten):

@@ -205,3 +205,91 @@ def dropout(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], x)
     if len(node.outputs) > 1 and node.outputs[1]:
         ctx.set(node.outputs[1], jnp.ones(x.shape, jnp.bool_))
+
+
+@register("Celu", since=12)
+def celu(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    alpha = jnp.asarray(node.attr("alpha", 1.0), x.dtype)
+    ctx.set(node.outputs[0],
+            jnp.maximum(x, 0) + jnp.minimum(0, alpha * jnp.expm1(x / alpha)))
+
+
+@register("ThresholdedRelu", since=10)
+def thresholded_relu(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    alpha = jnp.asarray(node.attr("alpha", 1.0), x.dtype)
+    ctx.set(node.outputs[0], jnp.where(x > alpha, x, jnp.zeros_like(x)))
+
+
+@register("Shrink", since=9)
+def shrink(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    lambd = jnp.asarray(node.attr("lambd", 0.5), x.dtype)
+    bias = jnp.asarray(node.attr("bias", 0.0), x.dtype)
+    ctx.set(node.outputs[0],
+            jnp.where(x < -lambd, x + bias,
+                      jnp.where(x > lambd, x - bias, jnp.zeros_like(x))))
+
+
+@register("IsNaN", since=9)
+def isnan(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.isnan(ctx.get(node.inputs[0])))
+
+
+@register("IsInf", since=10)
+def isinf(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    pos = bool(node.attr("detect_positive", 1))
+    neg = bool(node.attr("detect_negative", 1))
+    y = jnp.zeros(x.shape, jnp.bool_)
+    if pos:
+        y = y | (x == jnp.inf)
+    if neg:
+        y = y | (x == -jnp.inf)
+    ctx.set(node.outputs[0], y)
+
+
+@register("Atan")
+def atan(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arctan(ctx.get(node.inputs[0])))
+
+
+@register("Asin")
+def asin(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arcsin(ctx.get(node.inputs[0])))
+
+
+@register("Acos")
+def acos(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arccos(ctx.get(node.inputs[0])))
+
+
+@register("Tan")
+def tan(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.tan(ctx.get(node.inputs[0])))
+
+
+@register("Sinh")
+def sinh(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.sinh(ctx.get(node.inputs[0])))
+
+
+@register("Cosh")
+def cosh(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.cosh(ctx.get(node.inputs[0])))
+
+
+@register("Asinh")
+def asinh(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arcsinh(ctx.get(node.inputs[0])))
+
+
+@register("Acosh")
+def acosh(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arccosh(ctx.get(node.inputs[0])))
+
+
+@register("Atanh")
+def atanh(ctx: Ctx, node: Node):
+    ctx.set(node.outputs[0], jnp.arctanh(ctx.get(node.inputs[0])))

@@ -77,3 +77,21 @@ class TestStaticQuant:
         x = calib[0][0]
         np.testing.assert_allclose(st.CompiledModel(g2)(x)[0],
                                    st.CompiledModel(g)(x)[0], rtol=1e-5)
+
+
+class TestApiStaticQuant:
+    def test_compile_int8_static(self, rng):
+        g = small_conv_graph(rng, 2)
+        calib = [(rng.standard_normal((2, 8, 16, 16)).astype(np.float32),)]
+        before = st.CompiledModel(st.import_model(st.export_model(g)))(calib[0][0])[0]
+        m = st.compile(g, quant="int8-static", layout="nchw",
+                       calibration_data=calib)
+        assert m.graph.metadata["quant"] == "int8-static"
+        after = m(calib[0][0])[0]
+        rel = np.abs(after - before).max() / np.abs(before).max()
+        assert rel < 0.05, rel
+
+    def test_compile_int8_static_without_calib_raises(self, rng):
+        g = small_conv_graph(rng, 1)
+        with pytest.raises(ValueError, match="calibration_data"):
+            st.compile(g, quant="int8-static")
