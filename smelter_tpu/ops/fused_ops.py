@@ -28,7 +28,10 @@ def fused_attention(ctx: Ctx, node: Node):
     if len(node.inputs) > 3 and node.inputs[3]:
         bias = ctx.get(node.inputs[3])
     use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
-    if use_pallas and q.ndim == 4 and bias is None:
+    # Flash kernel pays off only for long sequences; at ViT-sized N (~200)
+    # its small tiles lose to XLA's fused attention (v5e: 1154 vs 1569
+    # img/s, experiments/tpu_probe6.py).
+    if use_pallas and q.ndim == 4 and bias is None and q.shape[2] >= 512:
         from ..kernels.flash_attention import flash_attention
 
         ctx.set(node.outputs[0], flash_attention(q, k, v, scale=scale).astype(q.dtype))
