@@ -180,6 +180,8 @@ class _Exporter:
                 raise NotSupportedError("AdaptiveAvgPool2d with non-divisible output")
             k = (in_shape[2] // out[0], in_shape[3] // out[1])
             return b.node("AveragePool", [x], kernel_shape=list(k), strides=list(k))
+        if isinstance(m, nn.MultiheadAttention):
+            return self._mha_module(node, m)
         if isinstance(m, nn.Embedding):
             return b.node("Gather", [b.init(_np(m.weight)), x], axis=0)
         if isinstance(m, (nn.Dropout, nn.Identity)):
@@ -198,6 +200,50 @@ class _Exporter:
             pads = [0, 0, p[2], p[0], 0, 0, p[3], p[1]]
             return b.node("Pad", [x, self.const(np.asarray(pads, np.int64))], mode="constant")
         raise NotSupportedError(f"torch module {type(m).__name__}")
+
+    def _mha_module(self, node: torch.fx.Node, m: nn.MultiheadAttention):
+        """nn.MultiheadAttention (self-attention, batch_first, no mask) ->
+        the explicit QKV/attention pattern fuse_attention recognizes."""
+        if not m.batch_first or not m._qkv_same_embed_dim:
+            raise NotSupportedError("MultiheadAttention: need batch_first=True"
+                                    " and same embed dims")
+        q_in = self.val(node.args[0])
+        k_in = self.val(node.args[1]) if len(node.args) > 1 else q_in
+        v_in = self.val(node.args[2]) if len(node.args) > 2 else q_in
+        if not (q_in == k_in == v_in):
+            raise NotSupportedError("MultiheadAttention: only self-attention")
+        b = self.b
+        B, N, D = self.shape_of(node.args[0])
+        H = m.num_heads
+        hd = D // H
+        w = _np(m.in_proj_weight)            # (3D, D)
+        bias = _np(m.in_proj_bias) if m.in_proj_bias is not None else None
+        qkv = b.node("MatMul", [q_in, b.init(w.T.copy())])
+        if bias is not None:
+            qkv = b.node("Add", [qkv, b.init(bias)])
+        qkv = b.node("Reshape", [qkv, self.const(
+            np.asarray([B, N, 3, H, hd], np.int64))])
+        qkv = b.node("Transpose", [qkv], perm=[2, 0, 3, 1, 4])  # (3,B,H,N,hd)
+        parts = []
+        for i in range(3):
+            sl = b.node("Slice", [qkv, self.const(np.asarray([i], np.int64)),
+                                  self.const(np.asarray([i + 1], np.int64)),
+                                  self.const(np.asarray([0], np.int64))])
+            parts.append(b.node("Squeeze", [sl, self.const(np.asarray([0], np.int64))]))
+        qh, kh, vh = parts
+        kt = b.node("Transpose", [kh], perm=[0, 1, 3, 2])
+        s_ = b.node("MatMul", [qh, kt])
+        s_ = b.node("Mul", [s_, self.const(np.float32(hd ** -0.5))])
+        p = b.node("Softmax", [s_], axis=-1)
+        o = b.node("MatMul", [p, vh])                  # (B,H,N,hd)
+        o = b.node("Transpose", [o], perm=[0, 2, 1, 3])
+        o = b.node("Reshape", [o, self.const(np.asarray([B, N, D], np.int64))])
+        o = b.node("MatMul", [o, b.init(_np(m.out_proj.weight).T.copy())])
+        if m.out_proj.bias is not None:
+            o = b.node("Add", [o, b.init(_np(m.out_proj.bias))])
+        # torch MHA returns (attn_output, attn_weights); expose as a tuple so
+        # the caller's getitem(0) unpacks it (weights unsupported -> None).
+        return (o, None)
 
     # -- function/method converters --------------------------------------
 

@@ -113,3 +113,70 @@ class TestRNN:
         with torch.no_grad():
             want, _ = mod(torch.from_numpy(x))
         np.testing.assert_allclose(got[:, 0], want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+class TestMHAFrontend:
+    def test_multihead_attention_export_and_fusion(self, rng):
+        import smelter_tpu as st
+        from smelter_tpu.frontend.torch_export import export_torch
+        from smelter_tpu.passes.pass_manager import run_passes
+
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.mha = nn.MultiheadAttention(32, 4, batch_first=True)
+
+            def forward(self, x):
+                a, _ = self.mha(x, x, x, need_weights=False)
+                return x + a
+
+        torch.manual_seed(0)
+        m = M().eval()
+        x = torch.randn(2, 8, 32)
+        g = export_torch(m, x, "mha")
+        got = st.CompiledModel(g)(x.numpy())[0]
+        with torch.no_grad():
+            want = m(x).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        st.Executor(g).infer_value_types()
+        run_passes(g, ["fuse_attention", "dce"])
+        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 1
+        np.testing.assert_allclose(st.CompiledModel(g)(x.numpy())[0], want,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestGRUDefaultMode:
+    def test_gru_linear_before_reset_0(self, rng):
+        """ONNX default (linear_before_reset=0) against a manual numpy
+        reference (torch only implements =1)."""
+        T, B, I, H = 4, 2, 5, 7
+        W = rng.standard_normal((1, 3 * H, I)).astype(np.float32) * 0.3
+        R = rng.standard_normal((1, 3 * H, H)).astype(np.float32) * 0.3
+        Bb = rng.standard_normal((1, 6 * H)).astype(np.float32) * 0.1
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+
+        def sigmoid(a):
+            return 1 / (1 + np.exp(-a))
+
+        wz, wr, wh = np.split(W[0], 3)
+        rz, rr, rh = np.split(R[0], 3)
+        wbz, wbr, wbh = np.split(Bb[0, :3 * H], 3)
+        rbz, rbr, rbh = np.split(Bb[0, 3 * H:], 3)
+        h = np.zeros((B, H), np.float32)
+        outs = []
+        for t in range(T):
+            xt = x[t]
+            z = sigmoid(xt @ wz.T + wbz + h @ rz.T + rbz)
+            r = sigmoid(xt @ wr.T + wbr + h @ rr.T + rbr)
+            n = np.tanh(xt @ wh.T + wbh + (r * h) @ rh.T + rbh)
+            h = (1 - z) * n + z * h
+            outs.append(h.copy())
+        want = np.stack(outs)
+
+        b = GraphBuilder("gru0", opset=13)
+        xi = b.input("x", (T, B, I))
+        y = b.node("GRU", [xi, b.init(W), b.init(R), b.init(Bb)], outputs=2,
+                   hidden_size=H, linear_before_reset=0)
+        g = b.finish([y[0]])
+        got = st.CompiledModel(g)(x)[0][:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
