@@ -43,7 +43,7 @@ def fuse_dequant_matmul(graph: Graph) -> int:
                 if axis < 0:
                     axis += q.ndim
                 if q.ndim == 2 and q.dtype == np.int8:
-                    fused = self_fuse(graph, node, dq, q, s, axis)
+                    fused = _build_fused(graph, node, dq, q, s, axis)
         if fused is not None:
             new_nodes.extend(fused)
             # Drop the DequantizeLinear if this was its only consumer.
@@ -59,7 +59,7 @@ def fuse_dequant_matmul(graph: Graph) -> int:
     return changed
 
 
-def self_fuse(graph: Graph, node: Node, dq: Node, q: np.ndarray, s: np.ndarray,
+def _build_fused(graph: Graph, node: Node, dq: Node, q: np.ndarray, s: np.ndarray,
               axis: int) -> list[Node] | None:
     """Build replacement nodes for one matmul/gemm, or None if ineligible."""
     s = np.asarray(s, np.float32).reshape(-1)

@@ -127,10 +127,16 @@ class _Rewriter:
         return False
 
     def _producer_of(self, name: str) -> Node | None:
-        for n in self.out_nodes:
-            if name in n.outputs:
-                return n
-        return None
+        # out_nodes grows as we emit; index lazily and incrementally.
+        if not hasattr(self, "_prod_idx"):
+            self._prod_idx: dict[str, Node] = {}
+            self._prod_seen = 0
+        for n in self.out_nodes[self._prod_seen:]:
+            for o in n.outputs:
+                if o:
+                    self._prod_idx[o] = n
+        self._prod_seen = len(self.out_nodes)
+        return self._prod_idx.get(name)
 
     def run(self) -> int:
         g = self.graph

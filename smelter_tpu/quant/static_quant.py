@@ -101,9 +101,7 @@ def quantize_static(
 
     def get_int8(x_name: str) -> tuple[str, str, str] | None:
         """Return (q_edge, scale_init, zp_init) for edge `x_name`."""
-        if x_name in int8_edges:
-            q_edge, s = int8_edges[x_name]
-        else:
+        if x_name not in int8_edges:
             s = _scale_for(amax, x_name)
             if s is None:
                 return None
@@ -112,13 +110,9 @@ def quantize_static(
             z_init = add_init(x_name + "_xz", np.int8(0))
             new_nodes.append(Node("QuantizeLinear", [x_name, s_init, z_init],
                                   [q_edge], name=q_edge))
-            int8_edges[x_name] = (q_edge, s)
-            return q_edge, s_init, z_init
-        s_init = add_init(x_name + "_xs", np.float32(s))
-        z_init = add_init(x_name + "_xz", np.int8(0))
+            int8_edges[x_name] = (q_edge, s, s_init, z_init)
+        q_edge, s, s_init, z_init = int8_edges[x_name]
         return q_edge, s_init, z_init
-
-    consumers = graph.consumers()
 
     for node in graph.nodes:
         handled = False
@@ -197,7 +191,7 @@ def quantize_static(
                             handled = True
                     if handled:
                         continue
-                    int8_edges[node.outputs[0]] = (out_edge, y_scale)
+                    int8_edges[node.outputs[0]] = (out_edge, y_scale, ys_i, yz_i)
                     # float consumers get a DequantizeLinear under the original name
                     new_nodes.append(Node(
                         "DequantizeLinear", [out_edge, ys_i, yz_i],
@@ -206,11 +200,11 @@ def quantize_static(
                     continue
         if node.op_type in TRANSPARENT and node.inputs[0] in int8_edges:
             # run transparently on the int8 edge as well
-            q_in, s = int8_edges[node.inputs[0]]
+            q_in, s, s_i, z_i = int8_edges[node.inputs[0]]
             q_out = fresh(node.outputs[0] + "_q")
             new_nodes.append(Node(node.op_type, [q_in], [q_out],
                                   attrs=dict(node.attrs), name=node.name + "_q"))
-            int8_edges[node.outputs[0]] = (q_out, s)
+            int8_edges[node.outputs[0]] = (q_out, s, s_i, z_i)
             # keep the float version too (computed from the float input edge)
             new_nodes.append(node)
             continue
