@@ -48,6 +48,7 @@ class InferenceServer:
         max_wait_ms: float = 2.0,
         buckets: tuple[int, ...] | None = None,
         eager_compile: bool = False,
+        max_queue: int = 4096,
     ):
         config = config or Config()
         self.max_batch = max_batch
@@ -71,7 +72,9 @@ class InferenceServer:
             for b in self.buckets:
                 self._get_executor(b)
 
-        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        # Bounded queue: overload sheds with a fast error instead of
+        # unbounded latency growth (backpressure).
+        self._queue: queue.Queue[_Request | None] = queue.Queue(maxsize=max_queue)
         self._running = True
         self._thread = threading.Thread(target=self._batch_loop, daemon=True)
         self._thread.start()
@@ -120,7 +123,12 @@ class InferenceServer:
         if not self._running:
             raise RuntimeError("server is shut down")
         req = _Request(inputs)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.metrics.record_error()
+            raise RuntimeError(
+                f"server overloaded: queue depth {self._queue.maxsize} reached")
         return req.future
 
     def infer(self, *inputs: np.ndarray):

@@ -19,14 +19,29 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="onnx2tpu", description=__doc__)
     p.add_argument("input", help="input .onnx path")
     p.add_argument("-o", "--output", required=True, help="output artifact path")
-    p.add_argument("--quant", choices=["none", "fp16", "int8"], default="none",
-                   help="weight-only quantization mode (ONNX2MPS --half analog)")
+    p.add_argument("--quant", choices=["none", "fp16", "int8", "int8-static"],
+                   default="none",
+                   help="quantization: fp16/int8 weight-only (ONNX2MPS --half "
+                        "analog) or int8-static (full int8, needs --calib)")
+    p.add_argument("--calib", default=None, metavar="NPZ",
+                   help="calibration batches for int8-static: .npz whose "
+                        "arrays are sample inputs (one per graph input, "
+                        "grouped by suffix _0, _1, ...)")
     p.add_argument("--no-fuse", action="store_true",
                    help="skip BN-into-Conv fusion and folding passes")
     p.add_argument("--dim", action="append", default=[], metavar="NAME=VAL",
                    help="pin a symbolic input dim, e.g. --dim batch=8")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
+
+    # Offline host tool: run on CPU regardless of accelerator plugins
+    # (constant folding / calibration must not claim the serving chip).
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
     from ..ir.importer import PREPROCESSED_PRODUCER, load_model, save_model
     from ..passes.pass_manager import run_passes
@@ -49,7 +64,24 @@ def main(argv=None) -> int:
 
     if not args.no_fuse:
         run_passes(g, verbose=args.verbose)
-    if args.quant != "none":
+    if args.quant == "int8-static":
+        if not args.calib:
+            print("onnx2tpu: --quant int8-static requires --calib", file=sys.stderr)
+            return 2
+        import numpy as np
+
+        from ..quant import calibrate, quantize_static
+
+        data = np.load(args.calib)
+        n_inputs = len(g.inputs)
+        keys = sorted(data.files)
+        batches = [tuple(data[k] for k in keys[i:i + n_inputs])
+                   for i in range(0, len(keys), n_inputs)]
+        amax = calibrate(g, batches)
+        n = quantize_static(g, amax)
+        if args.verbose:
+            print(f"static-quantized {n} nodes from {len(batches)} batches")
+    elif args.quant != "none":
         from ..quant import quantize_weights
 
         quantize_weights(g, mode=args.quant)

@@ -66,3 +66,22 @@ class TestModelStructure:
         assert sum(1 for _ in g.find_nodes("MatMul")) >= 2 * 4  # qk, av + mlp
         assert sum(1 for _ in g.find_nodes("Softmax")) == 2
         assert sum(1 for _ in g.find_nodes("LayerNormalization")) == 5
+
+
+class TestComputeDtypePolicy:
+    def test_no_f32_promotion_under_bf16(self):
+        """Regression guard for the probe5 finding: f32 params entering
+        Concat/Add must not promote downstream activations to f32."""
+        import jax.numpy as jnp
+        from smelter_tpu.runtime.executor import Executor
+
+        g, tm, shape = vit.build(1, 32, patch=8, dim=64, depth=1, heads=4,
+                                 num_classes=10)
+        ex = Executor(g, st.Config(compute_dtype="bfloat16"))
+        types = ex.infer_value_types()
+        # every float activation after the patch embed should be bf16
+        from smelter_tpu.utils import dtypes as dt
+        f32_edges = [n for n, t in types.items()
+                     if t.dtype == dt.FLOAT and n not in g.initializers
+                     and len(t.shape) >= 3]
+        assert not f32_edges, f"f32 activations leaked: {f32_edges[:5]}"

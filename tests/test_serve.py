@@ -137,3 +137,21 @@ class TestShardedServing:
             assert any(not p.sharding.is_fully_replicated for p in params.values())
         finally:
             srv.shutdown()
+
+
+class TestBackpressure:
+    def test_queue_overload_sheds(self, small_model):
+        g, _, shape = small_model
+        srv = InferenceServer(g, max_batch=2, max_queue=4, max_wait_ms=1)
+        try:
+            x = np.zeros(shape[1:], np.float32)
+            subs = []
+            with pytest.raises(RuntimeError, match="overloaded"):
+                for _ in range(500):
+                    subs.append(srv.submit(x))
+            # server recovers: drain and serve again
+            for f in subs:
+                f.result(timeout=120)
+            assert srv.infer(x)[0].shape == (10,)
+        finally:
+            srv.shutdown()
