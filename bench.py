@@ -41,6 +41,42 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_latency(args, st, g, shape) -> int:
+    """p50/p95 single-dispatch latency with a device-resident input — the
+    chip-side component of end-to-end latency (host transfer excluded; on
+    the dev tunnel that would measure the link, docs/DESIGN.md)."""
+    import jax
+
+    m = st.compile(
+        g,
+        st.Config(compute_dtype=args.dtype),
+        quant=None if args.quant == "none" else args.quant,
+        layout=args.layout,
+    )
+    x = jax.device_put(
+        np.random.default_rng(0).standard_normal(shape).astype(np.float32))
+    for _ in range(3):
+        _sync(m._fn(m.params, x))
+    lats = []
+    for _ in range(max(10, args.iters)):
+        t0 = time.perf_counter()
+        _sync(m._fn(m.params, x))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"{args.model} p50 batch-{args.batch} latency "
+                  f"({args.dtype}, quant={args.quant}, p95={p95:.1f}ms, "
+                  f"{dev.platform})",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": 1.0,
+    }))
+    return 0
+
+
 def _bench_serving(args, st, g, shape) -> int:
     """Continuous-batching serving benchmark: N client threads firing
     requests; reports throughput + p50/p95 end-to-end latency."""
@@ -92,6 +128,9 @@ def main() -> int:
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="int8", choices=["none", "fp16", "int8"])
     p.add_argument("--layout", default="nhwc", choices=["nchw", "nhwc"])
+    p.add_argument("--latency", action="store_true",
+                   help="measure single-batch p50/p95 latency (chip-side, "
+                        "device-resident input) instead of throughput")
     p.add_argument("--serve", action="store_true",
                    help="measure continuous-batching serving (throughput + "
                         "p50 latency) instead of raw step time")
@@ -113,6 +152,8 @@ def main() -> int:
 
     if args.serve:
         return _bench_serving(args, st, g, shape)
+    if args.latency:
+        return _bench_latency(args, st, g, shape)
 
     # Device-put the input once: serving keeps inputs on device; re-uploading
     # per call would measure host->device transfer, not the model.

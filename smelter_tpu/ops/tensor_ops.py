@@ -442,3 +442,19 @@ def flip_op(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axes = node.attr("axes", [0])
     ctx.set(node.outputs[0], jnp.flip(x, axis=tuple(axes)))
+
+
+def _unsupported(op_type: str, why: str):
+    @register(op_type)
+    def _lower(ctx: Ctx, node: Node, _op=op_type, _why=why):
+        raise NotSupportedError(f"{_op}: {_why}")
+
+
+# Dynamic-output-shape ops fundamentally conflict with XLA's static shapes;
+# fail with an explanation instead of UnknownOpError (docs/ROADMAP.md items).
+_unsupported("NonMaxSuppression",
+             "dynamic output shape; static max_detections-padded variant is "
+             "on the roadmap")
+_unsupported("NonZero", "dynamic output shape under XLA static shapes")
+_unsupported("Unique", "dynamic output shape under XLA static shapes")
+_unsupported("StringNormalizer", "string tensors unsupported")

@@ -85,3 +85,35 @@ class TestComputeDtypePolicy:
                      if t.dtype == dt.FLOAT and n not in g.initializers
                      and len(t.shape) >= 3]
         assert not f32_edges, f"f32 activations leaked: {f32_edges[:5]}"
+
+
+class TestMultiOutput:
+    def test_multi_output_model(self):
+        """The reference rejects multi-output graphs (ONNXGraph.swift:178-180);
+        we support them end to end."""
+        import torch.nn as nn
+
+        class TwoHeads(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone = nn.Conv2d(3, 8, 3, padding=1)
+                self.head_a = nn.Conv2d(8, 4, 1)
+                self.head_b = nn.Conv2d(8, 2, 1)
+
+            def forward(self, x):
+                h = torch.relu(self.backbone(x))
+                return self.head_a(h), self.head_b(h)
+
+        from smelter_tpu.frontend.torch_export import export_torch
+
+        torch.manual_seed(0)
+        tm = TwoHeads().eval()
+        x = np.random.default_rng(0).standard_normal((1, 3, 16, 16)).astype(np.float32)
+        g = export_torch(tm, torch.from_numpy(x), "two")
+        g = st.import_model(st.export_model(g))
+        assert len(g.outputs) == 2
+        outs = st.CompiledModel(g)(x)
+        with torch.no_grad():
+            wa, wb = tm(torch.from_numpy(x))
+        np.testing.assert_allclose(outs[0], wa.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(outs[1], wb.numpy(), rtol=1e-4, atol=1e-5)
