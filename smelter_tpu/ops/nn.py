@@ -460,3 +460,58 @@ def resize(ctx: Ctx, node: Node):
     y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord,
                        nearest_mode=nearest_mode, spatial_start=sp0)
     ctx.set(node.outputs[0], y)
+
+
+@register("GridSample", since=16)
+def grid_sample(ctx: Ctx, node: Node):
+    """Bilinear/nearest grid sampling (spatial transformer). x: (N,C,H,W),
+    grid: (N,Ho,Wo,2) with normalized coords in [-1,1]. Lowered to traced
+    gathers + lerp — static shapes, dynamic indices."""
+    x = ctx.get(node.inputs[0])
+    grid = ctx.get(node.inputs[1])
+    mode = _as_str(node.attr("mode", "bilinear"))
+    if mode == "linear":
+        mode = "bilinear"
+    pad_mode = _as_str(node.attr("padding_mode", "zeros"))
+    align = bool(node.attr("align_corners", 0))
+    if _layout(node) == "NHWC":
+        raise NotSupportedError("GridSample under NHWC layout")
+    n, c, h, w = x.shape
+    gx = grid[..., 0].astype(jnp.float32)  # (N, Ho, Wo)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align:
+        ix = (gx + 1) * 0.5 * (w - 1)
+        iy = (gy + 1) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1) * w - 1) * 0.5
+        iy = ((gy + 1) * h - 1) * 0.5
+
+    def sample(iy_idx, ix_idx):
+        iyc = jnp.clip(iy_idx, 0, h - 1)
+        ixc = jnp.clip(ix_idx, 0, w - 1)
+        flat = x.reshape(n, c, h * w)
+        lin = (iyc * w + ixc).reshape(n, 1, -1)  # (N,1,Ho*Wo)
+        vals = jnp.take_along_axis(flat, jnp.broadcast_to(lin, (n, c, lin.shape[-1])),
+                                   axis=2)
+        vals = vals.reshape((n, c) + iy_idx.shape[1:])
+        if pad_mode == "zeros":
+            inb = ((iy_idx >= 0) & (iy_idx < h) & (ix_idx >= 0) & (ix_idx < w))
+            vals = vals * inb[:, None].astype(vals.dtype)
+        return vals
+
+    if mode == "nearest":
+        y = sample(jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32))
+    elif mode == "bilinear":
+        x0 = jnp.floor(ix).astype(jnp.int32)
+        y0 = jnp.floor(iy).astype(jnp.int32)
+        wx = (ix - x0)[:, None].astype(x.dtype)
+        wy = (iy - y0)[:, None].astype(x.dtype)
+        v00 = sample(y0, x0)
+        v01 = sample(y0, x0 + 1)
+        v10 = sample(y0 + 1, x0)
+        v11 = sample(y0 + 1, x0 + 1)
+        y = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+             + v10 * (1 - wx) * wy + v11 * wx * wy)
+    else:
+        raise NotSupportedError(f"GridSample mode {mode!r}")
+    ctx.set(node.outputs[0], y.astype(x.dtype))

@@ -329,6 +329,16 @@ def depth_to_space(ctx: Ctx, node: Node):
     mode = node.attr("mode", "DCR")
     if isinstance(mode, bytes):
         mode = mode.decode()
+    if node.attr("data_layout") == "NHWC":
+        n, h, w, c = x.shape
+        if mode == "DCR":
+            y = x.reshape(n, h, w, bs, bs, c // (bs * bs))
+            y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        else:  # CRD
+            y = x.reshape(n, h, w, c // (bs * bs), bs, bs)
+            y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))
+        ctx.set(node.outputs[0], y.reshape(n, h * bs, w * bs, c // (bs * bs)))
+        return
     n, c, h, w = x.shape
     if mode == "DCR":
         y = x.reshape(n, bs, bs, c // (bs * bs), h, w)
@@ -343,6 +353,12 @@ def depth_to_space(ctx: Ctx, node: Node):
 def space_to_depth(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     bs = int(node.attr("blocksize"))
+    if node.attr("data_layout") == "NHWC":
+        n, h, w, c = x.shape
+        y = x.reshape(n, h // bs, bs, w // bs, bs, c)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        ctx.set(node.outputs[0], y.reshape(n, h // bs, w // bs, bs * bs * c))
+        return
     n, c, h, w = x.shape
     y = x.reshape(n, c, h // bs, bs, w // bs, bs)
     y = jnp.transpose(y, (0, 3, 5, 1, 2, 4))

@@ -40,7 +40,7 @@ _TO_NCHW = [0, 3, 1, 2]
 _CONVERT = {
     "Conv", "MaxPool", "AveragePool", "GlobalAveragePool", "GlobalMaxPool",
     "BatchNormalization", "InstanceNormalization", "GroupNormalization",
-    "custom_group_norm", "Upsample", "Resize",
+    "custom_group_norm", "Upsample", "Resize", "DepthToSpace", "SpaceToDepth",
 }
 
 # Ops that flow through whichever layout their (4-D) inputs are in.

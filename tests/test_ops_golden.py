@@ -501,3 +501,24 @@ class TestResizeCubic:
         want = t2n(F.interpolate(torch.from_numpy(x), scale_factor=2,
                                  mode="bicubic", align_corners=True))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestGridSample:
+    @pytest.mark.parametrize("mode,align", [("bilinear", 0), ("bilinear", 1),
+                                            ("nearest", 1)])
+    def test_vs_torch(self, rng, mode, align):
+        x = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+        grid = (rng.random((2, 5, 6, 2)).astype(np.float32) * 2 - 1)
+        got = run_op("GridSample", [x, grid], dict(
+            mode=mode, align_corners=align, padding_mode="zeros"), opset=16)
+        want = t2n(F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                                 mode=mode, align_corners=bool(align),
+                                 padding_mode="zeros"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_out_of_bounds_zeros(self, rng):
+        x = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+        grid = np.full((1, 2, 2, 2), 3.0, np.float32)  # far outside
+        got = run_op("GridSample", [x, grid], dict(
+            mode="bilinear", align_corners=1, padding_mode="zeros"), opset=16)
+        np.testing.assert_allclose(got, 0.0)

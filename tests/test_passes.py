@@ -224,3 +224,22 @@ class TestLayoutNHWC:
         run_passes(g, ["layout_nhwc"])
         assert run_passes(g, ["layout_nhwc"]) is g  # second run no-ops
         assert g.metadata["layout"] == "nhwc"
+
+
+class TestLayoutDepthToSpace:
+    @pytest.mark.parametrize("mode", ["DCR", "CRD"])
+    def test_d2s_nhwc_parity(self, mode):
+        b = GraphBuilder("d2s", opset=13)
+        x = b.input("x", (1, 3, 16, 16))
+        h = b.conv(x, np.random.default_rng(0).standard_normal((16, 3, 3, 3)).astype(np.float32),
+                   pads=(1, 1, 1, 1))
+        h = b.node("DepthToSpace", [h], blocksize=2, mode=mode)
+        h = b.node("Relu", [h])
+        g = b.finish([h])
+        xin = np.random.default_rng(1).standard_normal((1, 3, 16, 16)).astype(np.float32)
+        before = outputs_of(g, xin)
+        run_passes(g, ["layout_nhwc", "dce"])
+        d2s = next(g.find_nodes("DepthToSpace"))
+        assert d2s.attr("data_layout") == "NHWC"
+        assert sum(1 for _ in g.find_nodes("Transpose")) == 2
+        np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-4, atol=1e-5)
