@@ -266,3 +266,36 @@ def rnn(ctx: Ctx, node: Node):
         ctx.set(node.outputs[0], y)
     if len(node.outputs) > 1 and node.outputs[1]:
         ctx.set(node.outputs[1], h_n)
+
+
+@register("Scan", since=9)
+def scan_op(ctx: Ctx, node: Node):
+    """ONNX Scan: body applied per slice of the scan inputs (axis 0 by
+    default), threading state variables. Unrolled at trace time (scan
+    lengths are static), sharing the Loop subgraph machinery."""
+    body: Graph = node.attr("body")
+    if not isinstance(body, Graph):
+        raise NotSupportedError("Scan without body graph")
+    n_state = int(node.attr("num_scan_inputs", 0))
+    # ONNX: inputs = [state_0..state_{M-1}, scan_0..scan_{N-1}]
+    n_scan = int(node.attr("num_scan_inputs"))
+    n_state = len(node.inputs) - n_scan
+    if node.attr("scan_input_axes") or node.attr("scan_output_axes") or \
+            node.attr("scan_input_directions") or node.attr("scan_output_directions"):
+        raise NotSupportedError("Scan with non-default axes/directions")
+    states = [ctx.get(n) for n in node.inputs[:n_state]]
+    scans = [ctx.get(n) for n in node.inputs[n_state:]]
+    trip = scans[0].shape[0]
+    n_body_out = len(body.outputs)
+    n_scan_out = n_body_out - n_state
+    collected: list[list] = [[] for _ in range(n_scan_out)]
+    for t in range(trip):
+        slices = [s[t] for s in scans]
+        outs = _run_subgraph(ctx, body, list(states) + slices)
+        states = outs[:n_state]
+        for j in range(n_scan_out):
+            collected[j].append(outs[n_state + j])
+    for name, val in zip(node.outputs[:n_state], states):
+        ctx.set(name, val)
+    for name, vals in zip(node.outputs[n_state:], collected):
+        ctx.set(name, jnp.stack(vals))

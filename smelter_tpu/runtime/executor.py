@@ -211,7 +211,11 @@ class Executor:
 
     def jit(self, donate_params: bool = False) -> Callable:
         fn = self.build_fn()
-        donate = (0,) if donate_params else ()
+        donate: tuple[int, ...] = (0,) if donate_params else ()
+        if self.config.donate_inputs:
+            # Donate input buffers (args 1..N): serving uploads a fresh
+            # batch per call, so the previous buffer can be reused in-place.
+            donate = donate + tuple(range(1, 1 + len(self.graph.inputs)))
         return jax.jit(fn, donate_argnums=donate)
 
     def infer_value_types(self) -> dict[str, TensorType]:

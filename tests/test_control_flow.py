@@ -180,3 +180,23 @@ class TestGRUDefaultMode:
         g = b.finish([y[0]])
         got = st.CompiledModel(g)(x)[0][:, 0]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestScan:
+    def test_cumulative_sum_scan(self, rng):
+        """Scan computing running sums: state + scan input -> state, output."""
+        body = Graph(name="body", opset=13)
+        body.inputs = [ValueInfo("acc"), ValueInfo("xt")]
+        body.nodes = [Node("Add", ["acc", "xt"], ["acc_out"]),
+                      Node("Identity", ["acc_out"], ["y_out"])]
+        body.outputs = [ValueInfo("acc_out"), ValueInfo("y_out")]
+
+        b = GraphBuilder("scan", opset=13)
+        x = b.input("x", (5, 2, 3))
+        init = b.init(np.zeros((2, 3), np.float32))
+        outs = b.node("Scan", [init, x], outputs=2, num_scan_inputs=1, body=body)
+        g = b.finish([outs[0], outs[1]])
+        xin = rng.standard_normal((5, 2, 3)).astype(np.float32)
+        final, ys = st.CompiledModel(g)(xin)
+        np.testing.assert_allclose(final, xin.sum(0), rtol=1e-5)
+        np.testing.assert_allclose(ys, np.cumsum(xin, axis=0), rtol=1e-5)
