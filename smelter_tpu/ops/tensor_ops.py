@@ -247,6 +247,9 @@ def gather(ctx: Ctx, node: Node):
         ctx.set_static(node.outputs[0], np.take(st_x, st_idx.astype(np.int64), axis=axis))
         return
     indices = ctx.get(node.inputs[1])
+    # ONNX allows negative indices (from the end); jnp.take clips OOB.
+    dim = x.shape[axis if axis >= 0 else axis + x.ndim]
+    indices = jnp.where(indices < 0, indices + dim, indices)
     ctx.set(node.outputs[0], jnp.take(x, indices, axis=axis))
 
 
@@ -255,6 +258,8 @@ def gather_elements(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     indices = ctx.get(node.inputs[1])
     axis = node.attr("axis", 0)
+    dim = x.shape[axis if axis >= 0 else axis + x.ndim]
+    indices = jnp.where(indices < 0, indices + dim, indices)
     ctx.set(node.outputs[0], jnp.take_along_axis(x, indices, axis=axis))
 
 

@@ -522,3 +522,18 @@ class TestGridSample:
         got = run_op("GridSample", [x, grid], dict(
             mode="bilinear", align_corners=1, padding_mode="zeros"), opset=16)
         np.testing.assert_allclose(got, 0.0)
+
+
+class TestNegativeIndices:
+    def test_gather_negative(self, rng):
+        x = rng.standard_normal((5, 4)).astype(np.float32)
+        idx = np.array([-1, 0, -5], np.int64)
+        got = run_op("Gather", [x, idx], dict(axis=0))
+        np.testing.assert_allclose(got, x[[-1, 0, -5]])
+
+    def test_gather_elements_negative(self, rng):
+        x = rng.standard_normal((3, 4)).astype(np.float32)
+        idx = np.array([[-1, 0, -2, 1]] * 3, np.int64)
+        got = run_op("GatherElements", [x, idx], dict(axis=1), opset=13)
+        want = np.take_along_axis(x, idx % 4, axis=1)
+        np.testing.assert_allclose(got, want)
