@@ -34,3 +34,10 @@ class TestArtifact:
         m = load_artifact(tmp_path / "art2")
         assert not m.used_serialized
         np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
+
+    def test_config_restored(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        save_artifact(tmp_path / "art3", g,
+                      st.Config(compute_dtype="bfloat16"), compile_now=False)
+        m = load_artifact(tmp_path / "art3")
+        assert m.config.compute_dtype == "bfloat16"

@@ -537,3 +537,12 @@ class TestNegativeIndices:
         got = run_op("GatherElements", [x, idx], dict(axis=1), opset=13)
         want = np.take_along_axis(x, idx % 4, axis=1)
         np.testing.assert_allclose(got, want)
+
+
+class TestLRN:
+    def test_vs_torch(self, rng):
+        x = rng.standard_normal((2, 8, 6, 6)).astype(np.float32)
+        got = run_op("LRN", [x], dict(size=5, alpha=1e-3, beta=0.75, bias=1.5))
+        want = t2n(torch.nn.functional.local_response_norm(
+            torch.from_numpy(x), 5, alpha=1e-3, beta=0.75, k=1.5))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
