@@ -77,3 +77,23 @@ class TestHostHealth:
         assert hh.should_reinit("a")
         hh.heartbeat("b", t=7.0)
         assert hh.healthy_hosts() == ["a", "b"]
+
+
+class TestMultihostHelpers:
+    def test_global_mesh_single_process(self, eight_devices):
+        from smelter_tpu.parallel import global_mesh
+
+        plan = global_mesh(tp=2)
+        assert plan.tp_size == 2
+        assert plan.dp_size * plan.tp_size == len(jax.devices())
+
+    def test_process_local_batch_single(self):
+        from smelter_tpu.parallel import process_local_batch
+
+        x = np.arange(8)
+        np.testing.assert_array_equal(process_local_batch(x), x)
+
+    def test_init_distributed_noop_single(self):
+        from smelter_tpu.parallel import init_distributed
+
+        assert init_distributed(num_processes=1) is False

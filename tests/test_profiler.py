@@ -28,3 +28,15 @@ class TestCostModel:
         assert r["bound"] == "compute" and abs(r["t_compute_s"] - 1.0) < 1e-6
         r = roofline(flops=1.0, bytes_=819e9, chip=TPU_V5E)  # pure memory
         assert r["bound"] == "memory" and abs(r["t_memory_s"] - 1.0) < 1e-6
+
+
+class TestTrace:
+    def test_trace_context(self, tmp_path):
+        import jax.numpy as jnp
+
+        from smelter_tpu.runtime.profiler import trace
+
+        with trace(str(tmp_path / "tr")) as logdir:
+            jnp.square(jnp.arange(16.0)).block_until_ready()
+        import os
+        assert os.path.isdir(logdir) and os.listdir(logdir)
