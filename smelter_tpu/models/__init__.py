@@ -7,7 +7,10 @@ from . import esrgan, mobilenet_v2, resnet50, unet, vit  # noqa: F401
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
     "resnet50": resnet50.build,
+    "resnet101": lambda **kw: resnet50.build(layers=(3, 4, 23, 3), **kw),
+    "resnet152": lambda **kw: resnet50.build(layers=(3, 8, 36, 3), **kw),
     "unet": unet.build,
     "esrgan": esrgan.build,
     "vit_b16": vit.build,
+    "vit_l16": lambda **kw: vit.build(dim=1024, depth=24, heads=16, **kw),
 }

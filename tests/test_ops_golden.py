@@ -546,3 +546,27 @@ class TestLRN:
         want = t2n(torch.nn.functional.local_response_norm(
             torch.from_numpy(x), 5, alpha=1e-3, beta=0.75, k=1.5))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestOpsetVariants:
+    def test_squeeze_axes_attr_opset11(self, rng):
+        x = rng.standard_normal((1, 3, 1, 4)).astype(np.float32)
+        got = run_op("Squeeze", [x], dict(axes=[0, 2]), opset=11)
+        assert got.shape == (3, 4)
+
+    def test_unsqueeze_axes_attr_opset11(self, rng):
+        x = rng.standard_normal((3, 4)).astype(np.float32)
+        got = run_op("Unsqueeze", [x], dict(axes=[0, 3]), opset=11)
+        assert got.shape == (1, 3, 4, 1)
+
+    def test_pad_attrs_opset2(self, rng):
+        x = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+        got = run_op("Pad", [x], dict(pads=[0, 0, 1, 1, 0, 0, 1, 1], value=0.0),
+                     opset=10)
+        assert got.shape == (1, 2, 6, 6)
+
+    def test_split_attr_opset11(self, rng):
+        x = rng.standard_normal((2, 9)).astype(np.float32)
+        a, bvals = run_op("Split", [x], dict(axis=1, split=[4, 5]), opset=11,
+                          n_outputs=2)
+        assert a.shape == (2, 4) and bvals.shape == (2, 5)
