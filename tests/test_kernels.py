@@ -60,3 +60,51 @@ class TestDequantMatmul:
         exact = x @ w
         rel = np.abs(got - exact).max() / np.abs(exact).max()
         assert rel < 0.02, rel
+
+
+class TestDequantConv:
+    @pytest.mark.parametrize("h,w,cin,cout,k,pad", [
+        (8, 8, 128, 128, 3, 1),      # single row-tile, SAME
+        (14, 14, 128, 256, 3, 1),    # multi row-tile
+        (10, 10, 128, 128, 1, 0),    # 1x1
+        (12, 12, 128, 128, 5, 2),    # 5x5
+        (11, 9, 128, 128, 3, 0),     # odd sizes, VALID
+    ])
+    def test_matches_reference(self, rng, h, w, cin, cout, k, pad):
+        from smelter_tpu.kernels.dequant_conv import (
+            dequant_conv, dequant_conv_reference)
+        from smelter_tpu.quant import quantize_array
+        import jax.numpy as jnp
+
+        x = rng.standard_normal((2, h, w, cin)).astype(np.float32)
+        wf = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.1
+        q, s = quantize_array(wf, axis=0)
+        q_hwio = np.ascontiguousarray(q.transpose(2, 3, 1, 0))
+        sc = s.reshape(-1)
+        pads = ((pad, pad), (pad, pad))
+        got = dequant_conv(jnp.asarray(x), jnp.asarray(q_hwio), jnp.asarray(sc),
+                           pads=pads, interpret=True)
+        want = dequant_conv_reference(jnp.asarray(x), jnp.asarray(q_hwio),
+                                      jnp.asarray(sc), pads=pads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_bf16_activations(self, rng):
+        from smelter_tpu.kernels.dequant_conv import (
+            dequant_conv, dequant_conv_reference)
+        from smelter_tpu.quant import quantize_array
+        import jax.numpy as jnp
+
+        x = rng.standard_normal((1, 8, 8, 128)).astype(np.float32)
+        wf = rng.standard_normal((128, 128, 3, 3)).astype(np.float32) * 0.1
+        q, s = quantize_array(wf, axis=0)
+        q_hwio = np.ascontiguousarray(q.transpose(2, 3, 1, 0))
+        xb = jnp.asarray(x, jnp.bfloat16)
+        got = dequant_conv(xb, jnp.asarray(q_hwio), jnp.asarray(s.reshape(-1)),
+                           pads=((1, 1), (1, 1)), interpret=True)
+        assert got.dtype == jnp.bfloat16
+        exact = np.asarray(dequant_conv_reference(
+            jnp.asarray(x), jnp.asarray(q_hwio), jnp.asarray(s.reshape(-1)),
+            pads=((1, 1), (1, 1))))
+        rel = np.abs(np.asarray(got, np.float32) - exact).max() / np.abs(exact).max()
+        assert rel < 0.05, rel
