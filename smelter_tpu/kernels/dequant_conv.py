@@ -124,9 +124,19 @@ def _dequant_conv_impl(
 def dequant_conv(x, w_q, scales, *, pads=((0, 0), (0, 0)), tile_h: int = 8,
                  block_cout: int = 256, interpret: bool | None = None):
     """Public entry (auto-interprets off-TPU). x NHWC float, w_q HWIO int8,
-    per-Cout scales; stride 1 / dilation 1 / groups 1."""
+    per-Cout scales; stride 1 / dilation 1 / groups 1.
+
+    Mosaic alignment envelope (measured on v5e, experiments/tpu_probe7.py):
+    compiled kernels need Cout >= 128 lanes and (tile_h * W_out) % 8 == 0;
+    outside it we fall back to the XLA composite rather than fail."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    cout = w_q.shape[3]
+    (ph0, ph1), (pw0, pw1) = pads
+    w_out = x.shape[2] + pw0 + pw1 - w_q.shape[1] + 1
+    aligned = cout % 128 == 0 and (min(tile_h, x.shape[1]) * w_out) % 8 == 0
+    if not (aligned or interpret):
+        return dequant_conv_reference(x, w_q, scales, pads=pads)
     return _dequant_conv_impl(x, w_q, scales, pads=tuple(map(tuple, pads)),
                               tile_h=tile_h, block_cout=block_cout,
                               interpret=interpret)
