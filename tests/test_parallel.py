@@ -97,3 +97,46 @@ class TestMultihostHelpers:
         from smelter_tpu.parallel import init_distributed
 
         assert init_distributed(num_processes=1) is False
+
+
+class TestPipeline:
+    def test_split_and_parity(self, eight_devices):
+        from smelter_tpu.parallel import PipelinedModel, split_graph
+
+        g, tm, shape = resnet50.build(2, 32, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+
+        stages = split_graph(g, 4)
+        assert len(stages) == 4
+        assert sum(len(s.nodes) for s in stages) == len(g.nodes)
+
+        pm = PipelinedModel(g, 4)
+        got = pm(x)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_stream_microbatches(self, eight_devices):
+        from smelter_tpu.parallel import PipelinedModel
+
+        g, tm, shape = resnet50.build(1, 32, layers=(1, 1, 1, 1), width=16,
+                                      num_classes=10)
+        pm = PipelinedModel(g, 2)
+        rng = np.random.default_rng(1)
+        mbs = [rng.standard_normal(shape).astype(np.float32) for _ in range(3)]
+        outs = pm.stream(mbs)
+        import torch
+        for mb, out in zip(mbs, outs):
+            with torch.no_grad():
+                want = tm(torch.from_numpy(mb)).numpy()
+            np.testing.assert_allclose(out[0], want, rtol=1e-3, atol=1e-4)
+
+    def test_params_on_stage_devices(self, eight_devices):
+        from smelter_tpu.parallel import PipelinedModel
+
+        g, _, _ = resnet50.build(1, 32, layers=(1, 1, 1, 1), width=16,
+                                 num_classes=10)
+        pm = PipelinedModel(g, 3)
+        for params, dev in zip(pm._params, pm.devices):
+            for p in params.values():
+                assert list(p.devices()) == [dev]
