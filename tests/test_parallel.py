@@ -140,3 +140,32 @@ class TestPipeline:
         for params, dev in zip(pm._params, pm.devices):
             for p in params.values():
                 assert list(p.devices()) == [dev]
+
+
+class TestRingAttention:
+    def test_matches_full_attention(self, eight_devices):
+        from jax.sharding import Mesh
+        from smelter_tpu.parallel import sequence_sharded_attention
+        from smelter_tpu.kernels.flash_attention import flash_attention_reference
+
+        rng = np.random.default_rng(0)
+        b, h, n, d = 2, 4, 256, 64  # n split 8 x 32
+        q = np.asarray(rng.standard_normal((b, h, n, d)), np.float32)
+        k = np.asarray(rng.standard_normal((b, h, n, d)), np.float32)
+        v = np.asarray(rng.standard_normal((b, h, n, d)), np.float32)
+        mesh = Mesh(np.asarray(jax.devices()), ("sp",))
+        got = np.asarray(sequence_sharded_attention(q, k, v, mesh, scale=0.125))
+        want = np.asarray(flash_attention_reference(q, k, v, scale=0.125))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_extreme_logits_stable_on_ring(self, eight_devices):
+        from jax.sharding import Mesh
+        from smelter_tpu.parallel import sequence_sharded_attention
+
+        rng = np.random.default_rng(1)
+        q = np.asarray(rng.standard_normal((1, 2, 128, 32)), np.float32) * 20
+        k = np.asarray(rng.standard_normal((1, 2, 128, 32)), np.float32) * 20
+        v = np.asarray(rng.standard_normal((1, 2, 128, 32)), np.float32)
+        mesh = Mesh(np.asarray(jax.devices()), ("sp",))
+        got = np.asarray(sequence_sharded_attention(q, k, v, mesh, scale=1.0))
+        assert np.isfinite(got).all()
