@@ -169,3 +169,28 @@ class TestRingAttention:
         mesh = Mesh(np.asarray(jax.devices()), ("sp",))
         got = np.asarray(sequence_sharded_attention(q, k, v, mesh, scale=1.0))
         assert np.isfinite(got).all()
+
+
+class TestMoE:
+    def test_sharded_matches_dense(self, eight_devices):
+        from jax.sharding import Mesh
+        from smelter_tpu.parallel import MoELayer
+
+        moe = MoELayer.init(d_model=32, d_ff=64, n_experts=8, capacity=16)
+        x = jnp_arr = np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32)
+        dense = np.asarray(moe.apply_dense(x))
+        mesh = Mesh(np.asarray(jax.devices()), ("ep",))
+        sharded = np.asarray(moe.apply_sharded(x, mesh))
+        np.testing.assert_allclose(sharded, dense, rtol=1e-4, atol=1e-5)
+        # routing actually spreads tokens (not all dropped/one expert)
+        assert np.abs(dense).sum() > 0
+
+    def test_capacity_drops_tokens(self):
+        from smelter_tpu.parallel import MoELayer
+
+        moe = MoELayer.init(d_model=8, d_ff=16, n_experts=2, capacity=1)
+        x = np.random.default_rng(1).standard_normal((32, 8)).astype(np.float32)
+        out = np.asarray(moe.apply_dense(x))
+        # with capacity 1 and 32 tokens, most rows are dropped -> zeros
+        zero_rows = (np.abs(out).sum(axis=1) == 0).sum()
+        assert zero_rows >= 28
