@@ -158,3 +158,25 @@ class TestGraphUtils:
         g = b.finish([z])
         assert g.producers()[y].op_type == "Relu"
         assert len(g.consumers()[y]) == 2  # Add consumes y twice (per occurrence)
+
+
+class TestImporterFuzz:
+    def test_mutated_models_fail_cleanly(self, rng):
+        """Byte-flip fuzz: every mutation either loads or raises a Smelter
+        error — never an unhandled crash type."""
+        from smelter_tpu.ir.errors import SmelterError
+        from smelter_tpu.ir.importer import export_model, import_model
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("f", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        y = b.conv(x, rng.standard_normal((4, 3, 3, 3)).astype(np.float32))
+        data = bytearray(export_model(b.finish([y])))
+        for i in range(60):
+            buf = bytearray(data)
+            pos = int(rng.integers(0, len(buf)))
+            buf[pos] = int(rng.integers(0, 256))
+            try:
+                import_model(bytes(buf))
+            except (SmelterError, ValueError) as e:
+                pass  # clean, typed failure
