@@ -29,3 +29,23 @@ class TestCli:
         rc = cli_main([str(tmp_path / "nope.onnx"), "-o", str(tmp_path / "o")])
         assert rc == 2
         assert "not found" in capsys.readouterr().err
+
+
+class TestInspect:
+    def test_inspect_summary(self, tmp_path, capsys):
+        from smelter_tpu.models import mobilenet_v2
+        from smelter_tpu.tools.inspect import main as inspect_main
+
+        g, _, _ = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        p = tmp_path / "m.onnx"
+        st.save_model(g, p)
+        rc = inspect_main([str(p), "--top", "3", "--dot", str(tmp_path / "g.dot")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "roofline" in out and "GFLOP" in out
+        assert (tmp_path / "g.dot").read_text().startswith("digraph")
+
+    def test_inspect_missing(self, tmp_path, capsys):
+        from smelter_tpu.tools.inspect import main as inspect_main
+
+        assert inspect_main([str(tmp_path / "no.onnx")]) == 2
