@@ -46,6 +46,16 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
 
             amax = calibrate(g, calibration_data)
             quantize_static(g, amax)
+    elif quant == "int8-conv":
+        # Conv-family weights only: the right int8 envelope for transformer
+        # graphs, where matmul weights are amortized over many rows and
+        # dequant costs more than the bandwidth saved (docs/DESIGN.md,
+        # probe8: ViT b128 int8-all -25% vs bf16).
+        if g.metadata.get("quant") != quant:
+            from .quant import quantize_weights
+
+            quantize_weights(g, mode="int8", ops=("Conv", "ConvTranspose"))
+            g.metadata["quant"] = "int8-conv"
     elif quant and g.metadata.get("quant") != quant:
         from .quant import quantize_weights
 

@@ -60,3 +60,21 @@ class TestInputRescale:
         m = st.CompiledModel(g, st.Config(input_scale="lanczos", input_size=(96, 96)))
         big = np.zeros((1, 3, 128, 128), np.float32)
         assert m(big)[0].shape == (1, 10)
+
+
+class TestInt8ConvMode:
+    def test_conv_only_quant(self):
+        from smelter_tpu.models import vit
+
+        g, tm, shape = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4,
+                                 num_classes=10)
+        m = st.compile(g, quant="int8-conv", layout="nchw")
+        # patch-embed conv quantized, transformer matmul weights untouched
+        dq_feeds = {n.inputs[0] for n in m.graph.find_nodes("DequantizeLinear")}
+        assert len(dq_feeds) == 1  # only the conv weight
+        assert m.graph.metadata["quant"] == "int8-conv"
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        import torch
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        assert (m(x)[0].argmax(1) == want.argmax(1)).all()
