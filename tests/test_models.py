@@ -117,3 +117,34 @@ class TestMultiOutput:
             wa, wb = tm(torch.from_numpy(x))
         np.testing.assert_allclose(outs[0], wa.numpy(), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(outs[1], wb.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestRetinaFPN:
+    def test_parity_and_structure(self):
+        from smelter_tpu.models import retina_fpn
+
+        g, tm, shape = retina_fpn.build(1, 64, num_classes=5, width=8)
+        g = st.import_model(st.export_model(g))
+        assert len(g.outputs) == 6  # 3 levels x (cls, box)
+        m = st.CompiledModel(g)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        outs = m(x)
+        with torch.no_grad():
+            wants = tm(torch.from_numpy(x))
+        for got, want in zip(outs, wants):
+            np.testing.assert_allclose(got, want.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_full_pipeline_int8(self):
+        from smelter_tpu.models import retina_fpn
+
+        g, tm, shape = retina_fpn.build(1, 64, num_classes=5, width=8)
+        m = st.compile(g, quant="int8")
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        outs = m(x)
+        with torch.no_grad():
+            wants = tm(torch.from_numpy(x))
+        # box deltas on the finest level track the reference
+        got = outs[1]
+        want = wants[1].numpy()
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.1, rel
