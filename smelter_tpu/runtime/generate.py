@@ -47,3 +47,53 @@ class Generator:
         if len(tokens) < len(prompt) + n_new and logits is not None:
             tokens.append(int(np.asarray(logits).argmax()))
         return tokens
+
+
+class BatchedGenerator:
+    """Batched decoding by vmapping the batch-1 step graph — the
+    TPU-idiomatic route: one executable, SPMD over the batch axis, no graph
+    rebuild. Prompts must share a length (pad upstream); caches carry a
+    leading batch axis."""
+
+    def __init__(self, step_graph, batch: int, config=None):
+        import jax
+
+        from .config import Config
+        from .executor import Executor
+
+        self.batch = batch
+        ex = Executor(step_graph, config or Config())
+        params = ex.init_params()
+        fn = ex.build_fn()
+        self._fn = jax.jit(jax.vmap(lambda *args: fn(params, *args)))
+        self.cache_shapes = [tuple(v.type.shape) for v in step_graph.inputs
+                             if v.name.startswith(("k_cache_", "v_cache_"))]
+        self.max_len = self.cache_shapes[0][0]
+
+    def generate(self, prompts: list[list[int]], n_new: int) -> list[list[int]]:
+        import jax.numpy as jnp
+
+        assert len(prompts) == self.batch
+        plen = len(prompts[0])
+        assert all(len(p) == plen for p in prompts), "equal-length prompts (pad upstream)"
+        caches = [jnp.zeros((self.batch,) + s, jnp.float32)
+                  for s in self.cache_shapes]
+        tokens = [list(p) for p in prompts]
+        logits = None
+        for pos in range(min(plen + n_new - 1, self.max_len)):
+            if pos < plen:
+                tok = np.asarray([[t[pos]] for t in tokens], np.int64)
+            else:
+                nxt = np.asarray(logits).argmax(-1)
+                for bi in range(self.batch):
+                    tokens[bi].append(int(nxt[bi]))
+                tok = nxt.reshape(self.batch, 1).astype(np.int64)
+            posv = np.full((self.batch, 1), pos, np.int64)
+            outs = self._fn(tok, posv, *caches)
+            logits = outs[0][:, 0]
+            caches = list(outs[1:])
+        if logits is not None and len(tokens[0]) < plen + n_new:
+            nxt = np.asarray(logits).argmax(-1)
+            for bi in range(self.batch):
+                tokens[bi].append(int(nxt[bi]))
+        return tokens

@@ -50,3 +50,16 @@ class TestKVCacheDecode:
         a = gen.generate([7, 7], n_new=4)
         b = gen.generate([7, 7], n_new=4)
         assert a == b
+
+
+class TestBatchedGenerator:
+    def test_batched_matches_single(self, gpt):
+        from smelter_tpu.runtime.generate import BatchedGenerator
+
+        step_g, _ = gpt
+        single = Generator(step_g)
+        a = single.generate([3, 1, 4], n_new=4)
+        b = single.generate([9, 9, 9], n_new=4)
+        batched = BatchedGenerator(step_g, batch=2)
+        got = batched.generate([[3, 1, 4], [9, 9, 9]], n_new=4)
+        assert got[0] == a and got[1] == b
