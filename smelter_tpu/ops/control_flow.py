@@ -40,6 +40,12 @@ def _run_subgraph(parent: Ctx, sub: Graph, inputs: list):
     # subgraph initializers resolve via child.graph; outer initializers via env
     for name, arr in parent.graph.initializers.items():
         sub.initializers.setdefault(name, arr)
+    # Initializers referenced only inside this body are not runtime params
+    # of the parent (split_params does not descend into subgraphs):
+    # materialize them as trace-time constants.
+    for name, arr in sub.initializers.items():
+        if name not in env:
+            env[name] = jnp.asarray(arr)
     for node in sub.nodes:
         lower_node(child, node)
     return [env[o] for o in sub.output_names]
@@ -82,7 +88,35 @@ def loop_op(ctx: Ctx, node: Node):
         raise NotSupportedError("Loop without body graph")
     m_static = ctx.static(node.inputs[0], required=False) if node.inputs[0] else None
     if m_static is None:
-        raise NotSupportedError("Loop with dynamic trip count")
+        # Dynamic/absent trip count: run as lax.while_loop on the body's own
+        # condition. Requires a shape-invariant body and no scan outputs
+        # (those would be dynamically sized).
+        carried_in = [ctx.get(n) for n in node.inputs[2:]]
+        n_carried = len(carried_in)
+        if len(node.outputs) != n_carried:
+            raise NotSupportedError("dynamic Loop with scan outputs")
+        max_iter = jnp.iinfo(jnp.int32).max
+        if node.inputs[0]:
+            max_iter = ctx.get(node.inputs[0]).reshape(()).astype(jnp.int32)
+        cond0 = (ctx.get(node.inputs[1]).reshape(())
+                 if node.inputs[1] else jnp.asarray(True))
+
+        def cond_fn(state):
+            i, c, *_ = state
+            return jnp.logical_and(c, i < max_iter)
+
+        def body_fn(state):
+            i, _, *carried = state
+            outs = _run_subgraph(
+                ctx, body,
+                [i.astype(jnp.int64), jnp.asarray(True)] + list(carried))
+            return (i + 1, outs[0].reshape(()), *outs[1:1 + n_carried])
+
+        final = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0, jnp.int32), cond0, *carried_in))
+        for name, val in zip(node.outputs, final[2:]):
+            ctx.set(name, val)
+        return
     trip = int(np.asarray(m_static).reshape(-1)[0])
     carried_in = [ctx.get(n) for n in node.inputs[2:]]
     n_carried = len(carried_in)

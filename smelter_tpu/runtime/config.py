@@ -29,6 +29,10 @@ class Config:
     # bilinear, ONNXGraph.swift:222-240). None disables.
     input_scale: str | None = None  # None | "bilinear" | "lanczos"
     input_size: tuple[int, int] | None = None
+    # Per-channel (mean, std) applied on device as (x - mean)/std after an
+    # optional uint8 -> float /255 conversion — lets clients POST raw
+    # uint8 images (serving keeps preprocessing on the accelerator).
+    normalize: tuple[tuple[float, ...], tuple[float, ...]] | None = None
 
     # -- numerics --------------------------------------------------------
     # Activation compute dtype: "float32" | "bfloat16" | "float16".

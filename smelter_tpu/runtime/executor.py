@@ -195,6 +195,13 @@ class Executor:
             cd = cd0
             for name, x in zip(input_names, inputs):
                 x = jnp.asarray(x)
+                if config.normalize is not None and x.ndim == 4:
+                    mean, std = config.normalize
+                    if x.dtype == jnp.uint8:
+                        x = x.astype(cd) / jnp.asarray(255.0, cd)
+                    m = jnp.asarray(mean, cd).reshape(1, -1, 1, 1)
+                    sd = jnp.asarray(std, cd).reshape(1, -1, 1, 1)
+                    x = (x.astype(cd) - m) / sd
                 if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != cd:
                     x = x.astype(cd)
                 env[name] = self._preprocess_input(name, x)

@@ -31,12 +31,17 @@ from .metrics import Metrics
 
 
 class _Request:
-    __slots__ = ("inputs", "future", "t_enqueue")
+    __slots__ = ("inputs", "future", "t_enqueue", "deadline")
 
-    def __init__(self, inputs):
+    def __init__(self, inputs, timeout_ms: float | None = None):
         self.inputs = inputs
         self.future: Future = Future()
         self.t_enqueue = time.monotonic()
+        self.deadline = (self.t_enqueue + timeout_ms / 1e3
+                         if timeout_ms is not None else None)
+
+    def expired(self, now: float) -> bool:
+        return self.deadline is not None and now > self.deadline
 
 
 class InferenceServer:
@@ -118,11 +123,13 @@ class InferenceServer:
 
     # -- public API ------------------------------------------------------
 
-    def submit(self, *inputs: np.ndarray) -> Future:
-        """Enqueue one request (unbatched inputs, no leading batch dim)."""
+    def submit(self, *inputs: np.ndarray, timeout_ms: float | None = None) -> Future:
+        """Enqueue one request (unbatched inputs, no leading batch dim).
+        timeout_ms: drop the request (future gets TimeoutError) if it has
+        not STARTED executing by the deadline."""
         if not self._running:
             raise RuntimeError("server is shut down")
-        req = _Request(inputs)
+        req = _Request(inputs, timeout_ms)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -171,6 +178,14 @@ class InferenceServer:
             if not reqs:
                 if not self._running:
                     return
+                continue
+            now = time.monotonic()
+            expired = [r for r in reqs if r.expired(now)]
+            for r in expired:
+                self.metrics.record_error()
+                r.future.set_exception(TimeoutError("request deadline exceeded"))
+            reqs = [r for r in reqs if not r.expired(now)]
+            if not reqs:
                 continue
             try:
                 self._run_batch(reqs)

@@ -78,3 +78,26 @@ class TestInt8ConvMode:
         with torch.no_grad():
             want = tm(torch.from_numpy(x)).numpy()
         assert (m(x)[0].argmax(1) == want.argmax(1)).all()
+
+
+class TestNormalize:
+    def test_uint8_input_normalized_on_device(self):
+        from smelter_tpu.models import mobilenet_v2
+        from smelter_tpu.utils import dtypes as dt
+        from smelter_tpu.ir.graph import TensorType
+
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        # same graph, uint8-typed input
+        g.inputs[0].type = TensorType(dt.UINT8, g.inputs[0].type.shape)
+        mean = (0.485, 0.456, 0.406)
+        std = (0.229, 0.224, 0.225)
+        m = st.CompiledModel(g, st.Config(normalize=(mean, std)))
+        img = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+        got = m(img)[0]
+        xf = (img.astype(np.float32) / 255.0
+              - np.asarray(mean, np.float32).reshape(1, 3, 1, 1)) \
+            / np.asarray(std, np.float32).reshape(1, 3, 1, 1)
+        import torch
+        with torch.no_grad():
+            want = tm(torch.from_numpy(xf)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -200,3 +200,29 @@ class TestScan:
         final, ys = st.CompiledModel(g)(xin)
         np.testing.assert_allclose(final, xin.sum(0), rtol=1e-5)
         np.testing.assert_allclose(ys, np.cumsum(xin, axis=0), rtol=1e-5)
+
+
+class TestDynamicLoop:
+    def test_while_cond_loop(self, rng):
+        """Loop whose body flips cond to False once the accumulator's first
+        element exceeds a bound — lax.while_loop path."""
+        import smelter_tpu as st
+
+        body = Graph(name="body", opset=13)
+        body.inputs = [ValueInfo("it"), ValueInfo("cond_in"), ValueInfo("acc")]
+        body.nodes = [
+            Node("Add", ["acc", "one"], ["acc_out"]),
+            Node("ReduceSum", ["acc_out"], ["s"], attrs={"keepdims": 0}),
+            Node("Less", ["s", "bound"], ["cond_out"]),
+        ]
+        body.outputs = [ValueInfo("cond_out"), ValueInfo("acc_out")]
+        b = GraphBuilder("dynloop", opset=13)
+        x = b.input("x", (2,))
+        b.graph.initializers["one"] = np.ones(2, np.float32)
+        b.graph.initializers["bound"] = np.float32(10.0)
+        cond = b.init(np.bool_(True))
+        y = b.node("Loop", ["", cond, x], body=body)
+        g = b.finish([y])
+        out = st.CompiledModel(g)(np.zeros(2, np.float32))[0]
+        # each iter adds [1,1]; stops when sum >= 10 -> 5 iterations
+        np.testing.assert_allclose(out, [5.0, 5.0])

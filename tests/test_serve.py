@@ -155,3 +155,23 @@ class TestBackpressure:
             assert srv.infer(x)[0].shape == (10,)
         finally:
             srv.shutdown()
+
+
+class TestDeadlines:
+    def test_expired_requests_dropped(self, small_model):
+        import time as _time
+
+        g, tm, shape = small_model
+        srv = InferenceServer(g, max_batch=2, max_wait_ms=1)
+        try:
+            x = np.random.default_rng(0).standard_normal(shape[1:]).astype(np.float32)
+            srv.infer(x)  # warm (compile) so timing below is honest
+            # a request with an already-expired deadline
+            f = srv.submit(x, timeout_ms=0.0)
+            _time.sleep(0.05)
+            with pytest.raises(TimeoutError):
+                f.result(timeout=60)
+            # normal requests still served
+            assert srv.infer(x)[0].shape == (10,)
+        finally:
+            srv.shutdown()
