@@ -119,10 +119,11 @@ def _type_to_proto(t: TensorType) -> onnx.TypeProto:
     return tp
 
 
-def _graph_from_proto(gp: onnx.GraphProto, opset: int) -> Graph:
+def _graph_from_proto(gp: onnx.GraphProto, opset: int,
+                      base_dir: str | None = None) -> Graph:
     g = Graph(name=gp.name or "graph", opset=opset)
     for tp in gp.initializer:
-        g.initializers[tp.name] = tensor_to_numpy(tp)
+        g.initializers[tp.name] = tensor_to_numpy(tp, base_dir)
     for vi in gp.input:
         if vi.name in g.initializers:
             continue  # older exporters list initializers as inputs too
@@ -178,8 +179,10 @@ def _graph_to_proto(g: Graph) -> onnx.GraphProto:
     return gp
 
 
-def import_model(data: bytes) -> Graph:
-    """Parse serialized ONNX ModelProto bytes into the typed IR."""
+def import_model(data: bytes, base_dir: str | None = None) -> Graph:
+    """Parse serialized ONNX ModelProto bytes into the typed IR. base_dir
+    resolves external-data weight files (defaults to the model's dir when
+    loading via load_model)."""
     mp = onnx.ModelProto()
     try:
         mp.ParseFromString(data)
@@ -191,7 +194,7 @@ def import_model(data: bytes) -> Graph:
     for osi in mp.opset_import:
         if osi.domain in ("", "ai.onnx"):
             opset = int(osi.version)
-    g = _graph_from_proto(mp.graph, opset=opset)
+    g = _graph_from_proto(mp.graph, opset=opset, base_dir=base_dir)
     g.producer = mp.producer_name
     g.metadata = {p.key: p.value for p in mp.metadata_props}
     g.toposort()
@@ -200,7 +203,7 @@ def import_model(data: bytes) -> Graph:
 
 def load_model(path: str | os.PathLike) -> Graph:
     with open(path, "rb") as f:
-        return import_model(f.read())
+        return import_model(f.read(), base_dir=os.path.dirname(os.fspath(path)) or ".")
 
 
 def export_model(g: Graph, producer: str | None = None) -> bytes:

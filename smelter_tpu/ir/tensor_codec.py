@@ -20,15 +20,45 @@ from .errors import ImportError_
 _INT32_CARRIED = {dt.UINT8, dt.INT8, dt.UINT16, dt.INT16, dt.INT32, dt.BOOL, dt.FLOAT16, dt.BFLOAT16}
 
 
-def tensor_to_numpy(tp: onnx.TensorProto) -> np.ndarray:
-    """Decode a TensorProto into a numpy array of the tensor's dtype/shape."""
+def _read_external(tp: onnx.TensorProto, base_dir: str) -> bytes:
+    """ONNX external-data convention: key/value pairs location (relative
+    path), offset, length."""
+    import os
+
+    info = {p.key: p.value for p in tp.external_data}
+    loc = info.get("location")
+    if not loc:
+        raise ImportError_(f"tensor {tp.name!r}: external data without location")
+    path = os.path.join(base_dir, loc)
+    if not os.path.exists(path):
+        raise ImportError_(
+            f"tensor {tp.name!r}: external data file {loc!r} not found next "
+            f"to the model")
+    offset = int(info.get("offset", 0))
+    with open(path, "rb") as f:
+        f.seek(offset)
+        length = info.get("length")
+        return f.read(int(length)) if length is not None else f.read()
+
+
+def tensor_to_numpy(tp: onnx.TensorProto, base_dir: str | None = None) -> np.ndarray:
+    """Decode a TensorProto into a numpy array of the tensor's dtype/shape.
+    base_dir resolves ONNX external-data files (weights in side files)."""
     if tp.data_type == dt.STRING:
         raise ImportError_(f"string tensors not supported (tensor {tp.name!r})")
     if tp.data_location == 1:  # EXTERNAL
-        raise ImportError_(
-            f"tensor {tp.name!r} uses external data files; re-export the model "
-            f"with weights embedded (save_as_external_data=False)"
-        )
+        if base_dir is None:
+            raise ImportError_(
+                f"tensor {tp.name!r} uses external data files; load via a "
+                f"file path (load_model) so they can be resolved")
+        raw = _read_external(tp, base_dir)
+        np_dtype = dt.onnx_to_numpy_dtype(tp.data_type)
+        shape = tuple(tp.dims)
+        count = int(np.prod(shape)) if shape else 1
+        if len(raw) < count * np_dtype.itemsize:
+            raise ImportError_(
+                f"tensor {tp.name!r}: external payload too short")
+        return np.frombuffer(raw, dtype=np_dtype, count=count).reshape(shape)
     np_dtype = dt.onnx_to_numpy_dtype(tp.data_type)
     shape = tuple(tp.dims)
     count = int(np.prod(shape)) if shape else 1

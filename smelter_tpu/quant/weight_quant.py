@@ -64,7 +64,7 @@ def quantize_weights(
 ) -> Graph:
     """Rewrite `graph` in place with quantized weights. Weights consumed by
     several nodes are quantized once (first consumer's axis wins)."""
-    if mode not in ("int8", "fp16"):
+    if mode not in ("int8", "fp16", "fp8"):
         raise ValueError(f"quant mode {mode!r}")
     done: set[str] = set()
     new_nodes: list[Node] = []
@@ -80,6 +80,30 @@ def quantize_weights(
             if w_name not in done:
                 graph.initializers[w_name] = w.astype(np.float16)
                 done.add(w_name)
+            continue
+        if mode == "fp8":
+            # e4m3 weight storage with a per-channel scale into the fp8
+            # dynamic range (max 448); DequantizeLinear restores f32.
+            # Storage parity with int8, drop-in for fp8-matmul TPUs.
+            import ml_dtypes
+
+            deq_name = w_name + "_deq"
+            if w_name not in done:
+                axis = _channel_axis(node.op_type, node, w)
+                red = tuple(i for i in range(w.ndim) if i != axis)
+                amax = np.abs(w).max(axis=red, keepdims=True)
+                scales = (amax / 448.0).astype(np.float32)
+                scales = np.where(scales == 0, np.float32(1.0), scales)
+                q8 = (w / scales).astype(ml_dtypes.float8_e4m3fn)
+                graph.initializers[w_name] = q8
+                graph.initializers[w_name + "_scale"] =                     scales.reshape(-1).astype(np.float32)
+                deq = Node("DequantizeLinear",
+                           inputs=[w_name, w_name + "_scale"],
+                           outputs=[deq_name], attrs={"axis": axis},
+                           name=graph.fresh_name(w_name + "_dq"))
+                new_nodes.insert(len(new_nodes) - 1, deq)
+                done.add(w_name)
+            node.inputs[1] = deq_name
             continue
         # int8: replace weight, insert DequantizeLinear before this node.
         deq_name = w_name + "_deq"

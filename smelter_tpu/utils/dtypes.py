@@ -30,6 +30,10 @@ UINT64 = 13
 COMPLEX64 = 14
 COMPLEX128 = 15
 BFLOAT16 = 16
+FLOAT8E4M3FN = 17
+FLOAT8E4M3FNUZ = 18
+FLOAT8E5M2 = 19
+FLOAT8E5M2FNUZ = 20
 
 _ONNX_TO_NUMPY = {
     FLOAT: np.dtype(np.float32),
@@ -47,6 +51,10 @@ _ONNX_TO_NUMPY = {
     COMPLEX64: np.dtype(np.complex64),
     COMPLEX128: np.dtype(np.complex128),
     BFLOAT16: np.dtype(ml_dtypes.bfloat16),
+    FLOAT8E4M3FN: np.dtype(ml_dtypes.float8_e4m3fn),
+    FLOAT8E4M3FNUZ: np.dtype(ml_dtypes.float8_e4m3fnuz),
+    FLOAT8E5M2: np.dtype(ml_dtypes.float8_e5m2),
+    FLOAT8E5M2FNUZ: np.dtype(ml_dtypes.float8_e5m2fnuz),
 }
 
 _NUMPY_TO_ONNX = {v: k for k, v in _ONNX_TO_NUMPY.items()}
@@ -69,6 +77,10 @@ _NAMES = {
     COMPLEX64: "complex64",
     COMPLEX128: "complex128",
     BFLOAT16: "bfloat16",
+    FLOAT8E4M3FN: "float8_e4m3fn",
+    FLOAT8E4M3FNUZ: "float8_e4m3fnuz",
+    FLOAT8E5M2: "float8_e5m2",
+    FLOAT8E5M2FNUZ: "float8_e5m2fnuz",
 }
 
 
@@ -92,7 +104,8 @@ def dtype_name(code: int) -> str:
 
 
 def is_float(code: int) -> bool:
-    return code in (FLOAT, FLOAT16, DOUBLE, BFLOAT16)
+    return code in (FLOAT, FLOAT16, DOUBLE, BFLOAT16, FLOAT8E4M3FN,
+                    FLOAT8E4M3FNUZ, FLOAT8E5M2, FLOAT8E5M2FNUZ)
 
 
 def itemsize(code: int) -> int:

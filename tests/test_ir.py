@@ -180,3 +180,51 @@ class TestImporterFuzz:
                 import_model(bytes(buf))
             except (SmelterError, ValueError) as e:
                 pass  # clean, typed failure
+
+
+class TestExternalData:
+    def test_load_external_weights(self, tmp_path, rng):
+        """Weights in a side file per the ONNX external-data convention."""
+        from smelter_tpu.ir.importer import load_model
+        from smelter_tpu.proto import onnx_pb2 as onnx
+
+        w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+        payload = b"\x00" * 16 + w.tobytes()  # offset 16
+        (tmp_path / "weights.bin").write_bytes(payload)
+
+        b = GraphBuilder("ext", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        y = b.conv(x, np.zeros((4, 3, 3, 3), np.float32))  # placeholder
+        g = b.finish([y])
+        data = export_model(g)
+        mp = onnx.ModelProto(); mp.ParseFromString(data)
+        tp = mp.graph.initializer[0]
+        tp.ClearField("raw_data")
+        tp.data_location = 1
+        for k, v in [("location", "weights.bin"), ("offset", "16"),
+                     ("length", str(w.nbytes))]:
+            e = tp.external_data.add(); e.key = k; e.value = v
+        (tmp_path / "m.onnx").write_bytes(mp.SerializeToString())
+
+        g2 = load_model(tmp_path / "m.onnx")
+        loaded = g2.initializers[tp.name]
+        np.testing.assert_array_equal(loaded, w)
+
+    def test_missing_external_file(self, tmp_path):
+        from smelter_tpu.ir.errors import ImportError_
+        from smelter_tpu.ir.importer import load_model
+        from smelter_tpu.proto import onnx_pb2 as onnx
+
+        b = GraphBuilder("ext2", opset=13)
+        x = b.input("x", (1, 4))
+        y = b.node("Relu", [x])
+        g = b.finish([y])
+        g.initializers["w"] = np.zeros(4, np.float32)
+        mp = onnx.ModelProto(); mp.ParseFromString(export_model(g))
+        tp = mp.graph.initializer[0]
+        tp.ClearField("raw_data")
+        tp.data_location = 1
+        e = tp.external_data.add(); e.key = "location"; e.value = "gone.bin"
+        (tmp_path / "m2.onnx").write_bytes(mp.SerializeToString())
+        with pytest.raises(ImportError_, match="not found"):
+            load_model(tmp_path / "m2.onnx")

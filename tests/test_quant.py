@@ -150,3 +150,22 @@ class TestFusedDequant:
         assert sum(1 for _ in m.graph.find_nodes("FusedDequantMatMul")) >= 9
         got = st.CompiledModel(m.graph)(x)[0]
         assert (got.argmax(1) == want.argmax(1)).all()
+
+
+class TestFp8:
+    def test_fp8_weight_roundtrip(self, rng):
+        import ml_dtypes
+
+        g, w = TestGraphQuant()._conv_graph(rng)
+        x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "fp8", min_elements=1)
+        conv = next(g.find_nodes("Conv"))
+        dq = next(g.find_nodes("DequantizeLinear"))
+        assert g.initializers[dq.inputs[0]].dtype == ml_dtypes.float8_e4m3fn
+        # serialization roundtrip carries fp8 dtype codes
+        g2 = st.import_model(st.export_model(g))
+        after = st.CompiledModel(g2)(x)[0]
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 0.1, rel  # e4m3 has 3 mantissa bits
+        assert (after.argmax(1) == before.argmax(1)).all() or rel < 0.05
