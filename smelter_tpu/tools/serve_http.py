@@ -5,13 +5,17 @@ HTTP connection's request joins the shared batcher, so concurrent clients
 are batched together on the TPU.
 
 Endpoints:
-  GET  /healthz        -> {"ok": true}            (host health probe,
-                          SURVEY.md §5.3 failure-detection hook)
-  GET  /v1/stats       -> serving metrics snapshot (p50/p95, occupancy)
-  POST /v1/infer       -> body: .npy tensor (single input, no batch dim) or
-                          JSON {"inputs": [nested lists]};
-                          response: JSON {"outputs": [...]} or .npy when
-                          Accept: application/npy
+  GET  /healthz            -> {"ok": true}        (host health probe,
+                              SURVEY.md §5.3 failure-detection hook)
+  GET  /v1/models          -> {"models": [names]}
+  GET  /v1/stats           -> metrics snapshot (default model)
+  GET  /v1/models/N/stats  -> metrics snapshot for model N
+  POST /v1/infer           -> infer on the default model
+  POST /v1/models/N/infer  -> infer on model N
+  Bodies: .npy tensor (single input, no batch dim) or JSON
+  {"inputs": [nested lists]}; response JSON {"outputs": [...]} or .npy
+  when Accept: application/npy. Multiple --model name=path pairs serve
+  several models from one process/chip.
 
 Usage:
   python -m smelter_tpu.tools.serve_http model.onnx --port 8500 \
@@ -45,17 +49,32 @@ def make_handler(server_state):
             self.end_headers()
             self.wfile.write(body)
 
+        def _resolve(self, path):
+            """-> (srv, subpath) for /v1/models/<name>/... or default."""
+            servers = server_state["servers"]
+            if path.startswith("/v1/models/"):
+                rest = path[len("/v1/models/"):]
+                name, _, sub = rest.partition("/")
+                return servers.get(name), sub
+            return servers.get(server_state["default"]), path.lstrip("/")
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, b'{"ok": true}')
-            elif self.path == "/v1/stats":
-                stats = server_state["srv"].stats()
-                self._send(200, json.dumps(stats).encode())
+                return
+            if self.path == "/v1/models":
+                self._send(200, json.dumps(
+                    {"models": sorted(server_state["servers"])}).encode())
+                return
+            srv, sub = self._resolve(self.path)
+            if srv is not None and sub in ("v1/stats", "stats"):
+                self._send(200, json.dumps(srv.stats()).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 
         def do_POST(self):
-            if self.path != "/v1/infer":
+            srv, sub = self._resolve(self.path)
+            if srv is None or sub not in ("v1/infer", "infer"):
                 self._send(404, b'{"error": "not found"}')
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -67,7 +86,7 @@ def make_handler(server_state):
                 else:
                     payload = json.loads(body)
                     x = np.asarray(payload["inputs"], np.float32)
-                outs = server_state["srv"].infer(x)
+                outs = srv.infer(x)
             except Exception as e:  # noqa: BLE001
                 self._send(400, json.dumps({"error": str(e)[:500]}).encode())
                 return
@@ -84,7 +103,8 @@ def make_handler(server_state):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="serve_http", description=__doc__)
-    p.add_argument("model")
+    p.add_argument("model", nargs="+",
+                   help="model path, or name=path pairs for multi-model")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--quant", choices=["none", "fp16", "int8"], default="none")
@@ -97,14 +117,21 @@ def main(argv=None) -> int:
 
     import smelter_tpu as st
 
-    srv = st.serve(
-        args.model,
-        st.Config(compute_dtype=args.dtype),
-        quant=None if args.quant == "none" else args.quant,
-        max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
-    )
-    state = {"srv": srv, "verbose": args.verbose}
+    servers = {}
+    default = None
+    for spec in args.model:
+        name, sep, path = spec.partition("=")
+        if not sep:
+            name, path = "default", spec
+        servers[name] = st.serve(
+            path,
+            st.Config(compute_dtype=args.dtype),
+            quant=None if args.quant == "none" else args.quant,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
+        default = default or name
+    state = {"servers": servers, "default": default, "verbose": args.verbose}
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:
@@ -112,7 +139,8 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        srv.shutdown()
+        for srv in servers.values():
+            srv.shutdown()
     return 0
 
 

@@ -17,7 +17,7 @@ from smelter_tpu.tools.serve_http import ThreadingHTTPServer, make_handler
 def http_server():
     g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
     srv = st.serve(g, max_batch=4, max_wait_ms=5)
-    state = {"srv": srv, "verbose": False}
+    state = {"servers": {"default": srv}, "default": "default", "verbose": False}
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
