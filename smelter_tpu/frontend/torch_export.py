@@ -317,6 +317,30 @@ class _Exporter:
         if f is F.gelu:
             approx = kw.get("approximate", "none")
             return b.node("Gelu", [self.val(a[0])], approximate=approx)
+        if f is F.elu:
+            return b.node("Elu", [self.val(a[0])],
+                          alpha=kw.get("alpha", a[1] if len(a) > 1 else 1.0))
+        if f is F.selu:
+            return b.node("Selu", [self.val(a[0])])
+        if f is F.hardswish:
+            return b.node("HardSwish", [self.val(a[0])])
+        if f is F.hardsigmoid:
+            return b.node("HardSigmoid", [self.val(a[0])],
+                          alpha=1.0 / 6.0, beta=0.5)
+        if f is F.mish:
+            return b.node("Mish", [self.val(a[0])])
+        if f is F.group_norm:
+            weight = kw.get("weight", a[2] if len(a) > 2 else None)
+            bias = kw.get("bias", a[3] if len(a) > 3 else None)
+            num_groups = a[1]
+            ch = self.shape_of(node)[1]
+            w_np = (_np(self.gm.get_parameter(weight.target))
+                    if isinstance(weight, torch.fx.Node) else np.ones(ch, np.float32))
+            b_np = (_np(self.gm.get_parameter(bias.target))
+                    if isinstance(bias, torch.fx.Node) else np.zeros(ch, np.float32))
+            return b.node("GroupNormalization",
+                          [self.val(a[0]), b.init(w_np), b.init(b_np)],
+                          num_groups=num_groups, epsilon=kw.get("eps", 1e-5))
         if f is F.leaky_relu:
             return b.node("LeakyRelu", [self.val(a[0])], alpha=a[1] if len(a) > 1 else kw.get("negative_slope", 0.01))
         if f is F.softmax:
@@ -372,7 +396,13 @@ class _Exporter:
             out = a[1]
             if out in (1, (1, 1)):
                 return b.node("GlobalAveragePool", [self.val(a[0])])
-            raise NotSupportedError("adaptive_avg_pool2d != 1")
+            out = (out, out) if isinstance(out, int) else tuple(out)
+            in_shape = self.shape_of(node.args[0])
+            if in_shape[2] % out[0] or in_shape[3] % out[1]:
+                raise NotSupportedError("adaptive_avg_pool2d with non-divisible output")
+            k = (in_shape[2] // out[0], in_shape[3] // out[1])
+            return b.node("AveragePool", [self.val(a[0])],
+                          kernel_shape=list(k), strides=list(k))
         if f is F.pad:
             pad = a[1] if len(a) > 1 else kw["pad"]
             mode = kw.get("mode", a[2] if len(a) > 2 else "constant")

@@ -303,7 +303,9 @@ def _group_norm(x, num_groups: int, scale, bias, eps: float, layout: str = "NCHW
     return y * scale.reshape(shape) + bias.reshape(shape)
 
 
-@register("GroupNormalization", since=18)
+# Official since opset 18; accepted at any opset (exporters emit it
+# earlier, matching the Gelu policy).
+@register("GroupNormalization")
 def group_normalization(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     scale = ctx.get(node.inputs[1]).astype(jnp.float32)

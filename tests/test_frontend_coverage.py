@@ -1,0 +1,65 @@
+"""Exporter module coverage: every supported nn.Module type through
+export -> engine vs torch."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import smelter_tpu as st
+from smelter_tpu.frontend.torch_export import export_torch
+
+CASES = [
+    ("conv_transpose", nn.Sequential(nn.ConvTranspose2d(3, 6, 3, stride=2,
+                                       output_padding=1)), (1, 3, 8, 8)),
+    ("groupnorm", nn.Sequential(nn.Conv2d(3, 8, 1), nn.GroupNorm(4, 8)), (1, 3, 6, 6)),
+    ("instancenorm", nn.Sequential(nn.Conv2d(3, 8, 1), nn.InstanceNorm2d(8, affine=True)), (1, 3, 6, 6)),
+    ("prelu", nn.Sequential(nn.Conv2d(3, 4, 1), nn.PReLU(4)), (1, 3, 5, 5)),
+    ("elu", nn.ELU(alpha=0.7), (2, 7)),
+    ("hardswish", nn.Hardswish(), (2, 7)),
+    ("hardsigmoid", nn.Hardsigmoid(), (2, 7)),
+    ("softmax_mod", nn.Softmax(dim=-1), (2, 9)),
+    ("avgpool_ceil", nn.AvgPool2d(3, 2, 1, ceil_mode=True), (1, 2, 9, 9)),
+    ("maxpool_dil", nn.MaxPool2d(3, 2, 1, dilation=1), (1, 2, 9, 9)),
+    ("pixelshuffle", nn.Sequential(nn.Conv2d(3, 8, 1), nn.PixelShuffle(2)), (1, 3, 4, 4)),
+    ("upsample_nearest", nn.Upsample(scale_factor=2, mode="nearest"), (1, 2, 4, 4)),
+    ("upsample_bilinear", nn.Upsample(scale_factor=2, mode="bilinear", align_corners=False), (1, 2, 4, 4)),
+    ("zeropad", nn.Sequential(nn.ZeroPad2d((1, 2, 3, 0)), nn.Conv2d(2, 2, 1)), (1, 2, 4, 4)),
+    ("silu", nn.SiLU(), (3, 6)),
+    ("gelu_tanh", nn.GELU(approximate="tanh"), (3, 6)),
+    ("leaky", nn.LeakyReLU(0.3), (3, 6)),
+    ("selu", nn.SELU(), (3, 6)),
+    ("embedding", None, None),  # special-cased below
+    ("layernorm", nn.Sequential(nn.Linear(8, 8), nn.LayerNorm(8)), (2, 8)),
+    ("adaptive_pool_div", nn.AdaptiveAvgPool2d(2), (1, 3, 8, 8)),
+]
+
+
+@pytest.mark.parametrize("name,mod,shape", CASES, ids=[c[0] for c in CASES])
+def test_module_exports(name, mod, shape, rng):
+    torch.manual_seed(0)
+    if name == "embedding":
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.emb = nn.Embedding(10, 6)
+
+            def forward(self, idx):
+                return self.emb(idx)
+
+        m = M().eval()
+        idx = torch.from_numpy(np.array([[1, 3, 7]], np.int64))
+        g = export_torch(m, idx, name)
+        got = st.CompiledModel(g)(idx.numpy())[0]
+        with torch.no_grad():
+            want = m(idx).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        return
+    m = (mod if isinstance(mod, nn.Module) else mod).eval()
+    x = torch.randn(*shape)
+    g = export_torch(m, x, name)
+    g = st.import_model(st.export_model(g))
+    got = st.CompiledModel(g)(x.numpy())[0]
+    with torch.no_grad():
+        want = m(x).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
