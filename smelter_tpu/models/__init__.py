@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import esrgan, mobilenet_v2, resnet50, retina_fpn, unet, vit  # noqa: F401
+from . import esrgan, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
@@ -14,4 +14,5 @@ ZOO = {
     "vit_b16": vit.build,
     "vit_l16": lambda **kw: vit.build(dim=1024, depth=24, heads=16, **kw),
     "retina_fpn": retina_fpn.build,
+    "mobilenet_v3": mobilenet_v3.build,
 }

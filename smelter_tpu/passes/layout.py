@@ -53,6 +53,9 @@ _AGNOSTIC_UNARY = {
 _AGNOSTIC_BINARY = {"Add", "Sub", "Mul", "Div", "Pow", "Min", "Max", "Sum",
                     "Mean", "PRelu", "Where", "Equal", "Greater", "Less"}
 _AXIS_ATTR = {"Concat", "Softmax", "LogSoftmax"}
+# Reductions flow through NHWC with their axes remapped (attr or static
+# axes input) as long as output stays 4-D (keepdims) — the SE-block shape.
+_REDUCE_AXES = {"ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"}
 
 
 def _permute_init(arr: np.ndarray) -> np.ndarray:
@@ -223,6 +226,25 @@ class _Rewriter:
             for n in node.inputs:
                 if n and n not in self.graph.initializers and not self._is4d(n):
                     return "barrier"
+            return "agnostic"
+        if op in _REDUCE_AXES:
+            if not node.attr("keepdims", 1):
+                return "barrier"
+            axes = node.attr("axes")
+            if axes is None and len(node.inputs) > 1 and node.inputs[1]:
+                arr = self.graph.initializers.get(node.inputs[1])
+                if arr is None:
+                    return "barrier"
+                axes = [int(a) for a in arr.reshape(-1)]
+                new = np.asarray([_AXIS_MAP[a + 4 if a < 0 else a]
+                                  for a in axes], arr.dtype)
+                pname = self.graph.fresh_name(node.inputs[1] + "__nhwc")
+                self.graph.initializers[pname] = new
+                node.inputs[1] = pname
+                return "agnostic"
+            if axes is None:
+                return "barrier"
+            node.attrs["axes"] = [_AXIS_MAP[a + 4 if a < 0 else a] for a in axes]
             return "agnostic"
         if op == "Pad":
             pads_name = node.inputs[1] if len(node.inputs) > 1 else ""

@@ -148,3 +148,20 @@ class TestRetinaFPN:
         want = wants[1].numpy()
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         assert rel < 0.1, rel
+
+
+class TestMobileNetV3:
+    def test_se_blocks_full_pipeline(self):
+        """SE squeeze (ReduceMean keepdims) stays NHWC — no layout barriers
+        inside the network (2 boundary transposes only)."""
+        from smelter_tpu.models import mobilenet_v3
+
+        g, tm, shape = mobilenet_v3.build(1, 96, width=0.5, num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = st.CompiledModel(g)(x)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        m = st.compile(st.import_model(st.export_model(g)), quant="int8")
+        assert sum(1 for _ in m.graph.find_nodes("Transpose")) == 2
+        assert (m(x)[0].argmax(1) == want.argmax(1)).all()
