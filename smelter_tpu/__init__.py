@@ -13,3 +13,5 @@ from .ir.build import GraphBuilder  # noqa: F401
 from .runtime.config import Config  # noqa: F401,E402
 from .runtime.executor import CompiledModel, Executor  # noqa: F401,E402
 from .api import compile, serve  # noqa: F401,E402,A001
+from .runtime.artifact import load_artifact, save_artifact  # noqa: F401,E402
+from .parallel import MeshPlan  # noqa: F401,E402
