@@ -151,9 +151,14 @@ class InferenceServer:
 
     # -- batcher ---------------------------------------------------------
 
-    def _collect(self) -> list[_Request]:
-        """Block for the first request, then drain stragglers briefly."""
-        first = self._queue.get()
+    def _collect(self, block: bool = True) -> list[_Request]:
+        """Get the next batch. block=True waits for the first request;
+        block=False returns [] almost immediately when the queue is idle
+        (pipelined mode: the caller has a batch in flight to resolve)."""
+        try:
+            first = self._queue.get(timeout=None if block else 0.0005)
+        except queue.Empty:
+            return []
         if first is None:
             return []
         reqs = [first]
@@ -173,29 +178,48 @@ class InferenceServer:
         return reqs
 
     def _batch_loop(self) -> None:
+        # Software pipeline: dispatch batch i, then collect batch i+1 while
+        # the device executes i; resolve i's futures (host readback) only
+        # after i+1 is dispatched. jax's async dispatch makes the device
+        # and the host batcher overlap.
+        pending: tuple[list[_Request], int, tuple] | None = None
         while self._running:
-            reqs = self._collect()
-            if not reqs:
-                if not self._running:
-                    return
-                continue
+            # While a batch is in flight, don't block on the queue — an idle
+            # queue must not delay resolving the in-flight batch's futures.
+            reqs = self._collect(block=pending is None)
+            if not reqs and not self._running:
+                if pending is not None:
+                    self._resolve(*pending)
+                return
             now = time.monotonic()
-            expired = [r for r in reqs if r.expired(now)]
-            for r in expired:
+            for r in [r for r in reqs if r.expired(now)]:
                 self.metrics.record_error()
                 r.future.set_exception(TimeoutError("request deadline exceeded"))
             reqs = [r for r in reqs if not r.expired(now)]
-            if not reqs:
-                continue
+            dispatched = None
+            if reqs:
+                try:
+                    dispatched = self._dispatch(reqs)
+                except Exception as e:  # noqa: BLE001 — fail requests, not the loop
+                    self.metrics.record_error(len(reqs))
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+            if pending is not None:
+                self._resolve(*pending)
+            pending = dispatched
+        # Shutdown: resolve the in-flight batch and fail anything queued.
+        if pending is not None:
+            self._resolve(*pending)
+        while True:
             try:
-                self._run_batch(reqs)
-            except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
-                self.metrics.record_error(len(reqs))
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                left = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if left is not None and not left.future.done():
+                left.future.set_exception(RuntimeError("server is shut down"))
 
-    def _run_batch(self, reqs: list[_Request]) -> None:
+    def _dispatch(self, reqs: list[_Request]):
         n = len(reqs)
         bucket = self._bucket_for(n)
         ex, fn, params = self._get_executor(bucket)
@@ -207,10 +231,20 @@ class InferenceServer:
                 pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
                 stacked = np.concatenate([stacked, pad])
             batch_inputs.append(stacked)
-        outs = fn(params, *batch_inputs)
-        host_outs = [np.asarray(o) for o in outs]  # sync point
+        outs = fn(params, *batch_inputs)  # async dispatch
+        return reqs, bucket, outs
+
+    def _resolve(self, reqs: list[_Request], bucket: int, outs) -> None:
+        try:
+            host_outs = [np.asarray(o) for o in outs]  # sync point
+        except Exception as e:  # noqa: BLE001 — device-side failure
+            self.metrics.record_error(len(reqs))
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return
         t_done = time.monotonic()
         lat = [(t_done - r.t_enqueue) * 1e3 for r in reqs]
-        self.metrics.record_batch(n, bucket, lat)
+        self.metrics.record_batch(len(reqs), bucket, lat)
         for i, r in enumerate(reqs):
             r.future.set_result([o[i] for o in host_outs])

@@ -175,3 +175,14 @@ class TestDeadlines:
             assert srv.infer(x)[0].shape == (10,)
         finally:
             srv.shutdown()
+
+
+class TestPipelinedDrain:
+    def test_inflight_resolved_at_shutdown(self, small_model):
+        g, _, shape = small_model
+        srv = InferenceServer(g, max_batch=2, max_wait_ms=1)
+        x = np.zeros(shape[1:], np.float32)
+        srv.infer(x)  # warm
+        f = srv.submit(x)
+        srv.shutdown()
+        assert f.result(timeout=30)[0].shape == (10,)
