@@ -246,6 +246,20 @@ class _Rewriter:
                 return "barrier"
             node.attrs["axes"] = [_AXIS_MAP[a + 4 if a < 0 else a] for a in axes]
             return "agnostic"
+        if op == "Slice":
+            # opset>=10: remap the static axes input; attr form (opset<10)
+            # would need per-axis pads reordering — barrier for simplicity.
+            if len(node.inputs) > 3 and node.inputs[3]:
+                arr = self.graph.initializers.get(node.inputs[3])
+                if arr is not None:
+                    axes = [int(a) for a in arr.reshape(-1)]
+                    new = np.asarray([_AXIS_MAP[a + 4 if a < 0 else a]
+                                      for a in axes], arr.dtype)
+                    pname = self.graph.fresh_name(node.inputs[3] + "__nhwc")
+                    self.graph.initializers[pname] = new
+                    node.inputs[3] = pname
+                    return "agnostic"
+            return "barrier"
         if op == "Pad":
             pads_name = node.inputs[1] if len(node.inputs) > 1 else ""
             if pads_name in self.graph.initializers:

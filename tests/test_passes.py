@@ -243,3 +243,20 @@ class TestLayoutDepthToSpace:
         assert d2s.attr("data_layout") == "NHWC"
         assert sum(1 for _ in g.find_nodes("Transpose")) == 2
         np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-4, atol=1e-5)
+
+    def test_slice_stays_nhwc(self):
+        """Spatial crop between convs keeps the NHWC flow (axes remapped)."""
+        b = GraphBuilder("crop", opset=13)
+        x = b.input("x", (1, 3, 12, 12))
+        h = b.conv(x, np.random.default_rng(0).standard_normal((8, 3, 3, 3)).astype(np.float32),
+                   pads=(1, 1, 1, 1))
+        h = b.node("Slice", [h, b.init(np.array([2, 2], np.int64)),
+                             b.init(np.array([10, 10], np.int64)),
+                             b.init(np.array([2, 3], np.int64))])
+        h = b.conv(h, np.random.default_rng(1).standard_normal((4, 8, 3, 3)).astype(np.float32))
+        g = b.finish([h])
+        xin = np.random.default_rng(2).standard_normal((1, 3, 12, 12)).astype(np.float32)
+        before = outputs_of(g, xin)
+        run_passes(g, ["layout_nhwc", "dce"])
+        assert sum(1 for _ in g.find_nodes("Transpose")) == 2
+        np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-4, atol=1e-5)
