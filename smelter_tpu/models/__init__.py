@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import esrgan, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, unet, vit  # noqa: F401
+from . import esrgan, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,

@@ -165,3 +165,19 @@ class TestMobileNetV3:
         m = st.compile(st.import_model(st.export_model(g)), quant="int8")
         assert sum(1 for _ in m.graph.find_nodes("Transpose")) == 2
         assert (m(x)[0].argmax(1) == want.argmax(1)).all()
+
+
+class TestTextLSTM:
+    @pytest.mark.parametrize("bidi", [False, True])
+    def test_parity(self, bidi):
+        from smelter_tpu.models import text_lstm
+
+        g, tm, shape = text_lstm.build(seq_len=12, batch=3, vocab=50, dim=16,
+                                       hidden=24, num_classes=4,
+                                       bidirectional=bidi)
+        g = st.import_model(st.export_model(g))
+        tokens = np.random.default_rng(0).integers(0, 50, shape).astype(np.int64)
+        got = st.CompiledModel(g)(tokens)[0]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(tokens)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
