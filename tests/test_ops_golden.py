@@ -570,3 +570,41 @@ class TestOpsetVariants:
         a, bvals = run_op("Split", [x], dict(axis=1, split=[4, 5]), opset=11,
                           n_outputs=2)
         assert a.shape == (2, 4) and bvals.shape == (2, 5)
+
+
+class TestMiscUnary:
+    CASES = [
+        ("Celu", dict(alpha=0.8), lambda t: F.celu(t, alpha=0.8)),
+        ("ThresholdedRelu", dict(alpha=0.5), lambda t: F.threshold(t, 0.5, 0.0)),
+        ("Shrink", dict(lambd=0.4, bias=0.1),
+         lambda t: torch.where(t < -0.4, t + 0.1,
+                               torch.where(t > 0.4, t - 0.1,
+                                           torch.zeros_like(t)))),
+        ("Atan", {}, torch.atan),
+        ("Tan", {}, torch.tan),
+        ("Sinh", {}, torch.sinh),
+        ("Cosh", {}, torch.cosh),
+        ("Asinh", {}, torch.asinh),
+    ]
+
+    @pytest.mark.parametrize("op,attrs,ref", CASES, ids=[c[0] for c in CASES])
+    def test_vs_torch(self, rng, op, attrs, ref):
+        x = rng.standard_normal((3, 11)).astype(np.float32)
+        got = run_op(op, [x], attrs, opset=13)
+        np.testing.assert_allclose(got, t2n(ref(torch.from_numpy(x))),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_asin_acos_atanh_domain(self, rng):
+        x = (rng.random((3, 7)).astype(np.float32) * 1.8 - 0.9)
+        for op, ref in [("Asin", torch.asin), ("Acos", torch.acos),
+                        ("Atanh", torch.atanh)]:
+            got = run_op(op, [x], opset=13)
+            np.testing.assert_allclose(got, t2n(ref(torch.from_numpy(x))),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_isnan_isinf(self):
+        x = np.array([1.0, np.nan, np.inf, -np.inf, 0.0], np.float32)
+        assert list(run_op("IsNaN", [x], opset=13)) == [False, True, False, False, False]
+        assert list(run_op("IsInf", [x], opset=13)) == [False, False, True, True, False]
+        only_pos = run_op("IsInf", [x], dict(detect_negative=0), opset=13)
+        assert list(only_pos) == [False, False, True, False, False]
