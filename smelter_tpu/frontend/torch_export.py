@@ -317,6 +317,56 @@ class _Exporter:
         if f is F.gelu:
             approx = kw.get("approximate", "none")
             return b.node("Gelu", [self.val(a[0])], approximate=approx)
+        if f is F.conv2d:
+            x = self.val(a[0])
+            w_node = a[1]
+            if not (isinstance(w_node, torch.fx.Node) and w_node.op == "get_attr"):
+                raise NotSupportedError("F.conv2d with non-parameter weight")
+            w_np = _np(self.gm.get_parameter(w_node.target))
+            bias = kw.get("bias", a[2] if len(a) > 2 else None)
+            stride = kw.get("stride", a[3] if len(a) > 3 else 1)
+            padding = kw.get("padding", a[4] if len(a) > 4 else 0)
+            dilation = kw.get("dilation", a[5] if len(a) > 5 else 1)
+            groups = kw.get("groups", a[6] if len(a) > 6 else 1)
+            to2 = lambda v: list(v) if isinstance(v, (tuple, list)) else [v, v]
+            ins = [x, b.init(w_np)]
+            if isinstance(bias, torch.fx.Node):
+                ins.append(b.init(_np(self.gm.get_parameter(bias.target))))
+            return b.node("Conv", ins, strides=to2(stride),
+                          pads=to2(padding) * 2, dilations=to2(dilation),
+                          group=groups, kernel_shape=list(w_np.shape[2:]))
+        if f is F.layer_norm:
+            x = self.val(a[0])
+            norm_shape = a[1]
+            weight = kw.get("weight", a[2] if len(a) > 2 else None)
+            bias = kw.get("bias", a[3] if len(a) > 3 else None)
+            eps = kw.get("eps", 1e-5)
+            dim = int(np.prod(norm_shape))
+            w_np = (_np(self.gm.get_parameter(weight.target))
+                    if isinstance(weight, torch.fx.Node)
+                    else np.ones(norm_shape, np.float32))
+            b_np = (_np(self.gm.get_parameter(bias.target))
+                    if isinstance(bias, torch.fx.Node)
+                    else np.zeros(norm_shape, np.float32))
+            return b.node("LayerNormalization",
+                          [x, b.init(w_np), b.init(b_np)],
+                          axis=-len(norm_shape), epsilon=eps)
+        if f is F.batch_norm:
+            x = self.val(a[0])
+            get = lambda v: _np(self.gm.get_parameter(v.target))                 if isinstance(v, torch.fx.Node) else None
+            mean, var = get(a[1]), get(a[2])
+            weight = get(kw.get("weight", a[3] if len(a) > 3 else None))
+            bias = get(kw.get("bias", a[4] if len(a) > 4 else None))
+            ch = mean.shape[0]
+            weight = weight if weight is not None else np.ones(ch, np.float32)
+            bias = bias if bias is not None else np.zeros(ch, np.float32)
+            return b.node("BatchNormalization",
+                          [x, b.init(weight), b.init(bias), b.init(mean),
+                           b.init(var)], epsilon=kw.get("eps", 1e-5))
+        if f is F.embedding:
+            w_node = a[1]
+            w_np = _np(self.gm.get_parameter(w_node.target))
+            return b.node("Gather", [b.init(w_np), self.val(a[0])], axis=0)
         if f is F.elu:
             return b.node("Elu", [self.val(a[0])],
                           alpha=kw.get("alpha", a[1] if len(a) > 1 else 1.0))

@@ -63,3 +63,38 @@ def test_module_exports(name, mod, shape, rng):
     with torch.no_grad():
         want = m(x).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestFunctionalForms:
+    def test_functional_conv_ln_bn(self, rng):
+        """A model written entirely with functional calls + raw parameters."""
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.w = nn.Parameter(torch.randn(8, 3, 3, 3) * 0.1)
+                self.b = nn.Parameter(torch.zeros(8))
+                self.rm = nn.Parameter(torch.randn(8) * 0.1)
+                self.rv = nn.Parameter(torch.rand(8) + 0.5)
+                self.g = nn.Parameter(torch.ones(8))
+                self.be = nn.Parameter(torch.zeros(8))
+                self.ln_w = nn.Parameter(torch.ones(6))
+                self.ln_b = nn.Parameter(torch.zeros(6))
+
+            def forward(self, x):
+                import torch.nn.functional as F
+                h = F.conv2d(x, self.w, self.b, stride=1, padding=1)
+                h = F.batch_norm(h, self.rm, self.rv, self.g, self.be)
+                h = F.relu(h)
+                h = h.mean(dim=(2, 3))          # (B, 8)
+                h = h[:, :6]
+                return F.layer_norm(h, (6,), self.ln_w, self.ln_b)
+
+        torch.manual_seed(0)
+        m = M().eval()
+        x = torch.randn(2, 3, 8, 8)
+        from smelter_tpu.frontend.torch_export import export_torch
+        g = export_torch(m, x, "fn_forms")
+        got = st.CompiledModel(g)(x.numpy())[0]
+        with torch.no_grad():
+            want = m(x).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
