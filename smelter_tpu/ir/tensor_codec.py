@@ -6,6 +6,10 @@ Sources/Smelter/Onnx_TensorProto+Extensions.swift:2-66 and
 Sources/Smelter/Extensions/Foundation/Data+Extensions.swift:4-24).
 This module is the same capability over numpy: zero-copy reinterpret of
 raw_data when possible, typed-field fallback, fp16/bf16 aware.
+
+Note: int4/uint4 tensors serialize UNPACKED (one byte per element) —
+engine-internal convention; the ONNX two-per-byte packing of external
+int4 models is not yet parsed (roadmap).
 """
 
 from __future__ import annotations

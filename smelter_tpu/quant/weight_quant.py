@@ -64,7 +64,7 @@ def quantize_weights(
 ) -> Graph:
     """Rewrite `graph` in place with quantized weights. Weights consumed by
     several nodes are quantized once (first consumer's axis wins)."""
-    if mode not in ("int8", "fp16", "fp8"):
+    if mode not in ("int8", "fp16", "fp8", "int4"):
         raise ValueError(f"quant mode {mode!r}")
     done: set[str] = set()
     new_nodes: list[Node] = []
@@ -105,11 +105,20 @@ def quantize_weights(
                 done.add(w_name)
             node.inputs[1] = deq_name
             continue
-        # int8: replace weight, insert DequantizeLinear before this node.
+        # int8/int4: replace weight, insert DequantizeLinear before this node.
         deq_name = w_name + "_deq"
         if w_name not in done:
             axis = _channel_axis(node.op_type, node, w)
-            q, scales = quantize_array(w, axis)
+            if mode == "int4":
+                import ml_dtypes
+
+                red = tuple(i for i in range(w.ndim) if i != axis)
+                amax = np.abs(w).max(axis=red, keepdims=True)
+                scales = (amax / 7.0).astype(np.float32)
+                scales = np.where(scales == 0, np.float32(1.0), scales)
+                q = np.clip(np.round(w / scales), -7, 7).astype(ml_dtypes.int4)
+            else:
+                q, scales = quantize_array(w, axis)
             graph.initializers[w_name] = q
             graph.initializers[w_name + "_scale"] = scales.reshape(-1).astype(np.float32)
             deq = Node(

@@ -34,6 +34,8 @@ FLOAT8E4M3FN = 17
 FLOAT8E4M3FNUZ = 18
 FLOAT8E5M2 = 19
 FLOAT8E5M2FNUZ = 20
+UINT4 = 21
+INT4 = 22
 
 _ONNX_TO_NUMPY = {
     FLOAT: np.dtype(np.float32),
@@ -55,6 +57,8 @@ _ONNX_TO_NUMPY = {
     FLOAT8E4M3FNUZ: np.dtype(ml_dtypes.float8_e4m3fnuz),
     FLOAT8E5M2: np.dtype(ml_dtypes.float8_e5m2),
     FLOAT8E5M2FNUZ: np.dtype(ml_dtypes.float8_e5m2fnuz),
+    UINT4: np.dtype(ml_dtypes.uint4),
+    INT4: np.dtype(ml_dtypes.int4),
 }
 
 _NUMPY_TO_ONNX = {v: k for k, v in _ONNX_TO_NUMPY.items()}
@@ -81,6 +85,8 @@ _NAMES = {
     FLOAT8E4M3FNUZ: "float8_e4m3fnuz",
     FLOAT8E5M2: "float8_e5m2",
     FLOAT8E5M2FNUZ: "float8_e5m2fnuz",
+    UINT4: "uint4",
+    INT4: "int4",
 }
 
 

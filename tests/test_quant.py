@@ -169,3 +169,21 @@ class TestFp8:
         rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
         assert rel < 0.1, rel  # e4m3 has 3 mantissa bits
         assert (after.argmax(1) == before.argmax(1)).all() or rel < 0.05
+
+
+class TestInt4:
+    def test_int4_weight_roundtrip(self, rng):
+        import ml_dtypes
+
+        g, w = TestGraphQuant()._conv_graph(rng)
+        x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "int4", min_elements=1)
+        dq = next(g.find_nodes("DequantizeLinear"))
+        assert g.initializers[dq.inputs[0]].dtype == np.dtype(ml_dtypes.int4)
+        g2 = st.import_model(st.export_model(g))  # codec carries int4
+        after = st.CompiledModel(g2)(x)[0]
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 0.2, rel  # 3-bit magnitude: coarse but sane
+        corr = np.corrcoef(after.ravel(), before.ravel())[0, 1]
+        assert corr > 0.99
