@@ -29,9 +29,13 @@ def fused_attention(ctx: Ctx, node: Node):
         bias = ctx.get(node.inputs[3])
     use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
     # Flash kernel pays off only for long sequences; at ViT-sized N (~200)
-    # its small tiles lose to XLA's fused attention (v5e: 1154 vs 1569
-    # img/s, experiments/tpu_probe6.py).
-    if use_pallas and q.ndim == 4 and bias is None and q.shape[2] >= 512:
+    # its small tiles lose to XLA's fused attention (1154 vs 1569 img/s,
+    # probe6). From n>=2048 it wins outright — 1.6x at 4096 and 19.5x at
+    # 8192, where XLA materializes the O(N^2) scores (probe9) — so there
+    # it engages regardless of use_pallas.
+    auto_flash = q.ndim == 4 and bias is None and q.shape[2] >= 2048
+    if (auto_flash or (use_pallas and q.ndim == 4 and bias is None
+                       and q.shape[2] >= 512)):
         from ..kernels.flash_attention import flash_attention
 
         ctx.set(node.outputs[0], flash_attention(q, k, v, scale=scale).astype(q.dtype))

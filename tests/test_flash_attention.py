@@ -87,3 +87,25 @@ class TestRingAttentionRDMA:
         want = np.asarray(flash_attention_reference(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=0.1))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestAutoFlash:
+    def test_long_seq_uses_flash_by_default(self, rng):
+        """FusedAttention auto-selects the flash kernel at seq>=2048 even
+        without use_pallas (XLA materializes O(N^2) there — probe9)."""
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("attn", opset=13)
+        q = b.input("q", (1, 2, 2048, 64))
+        k = b.input("k", (1, 2, 2048, 64))
+        v = b.input("v", (1, 2, 2048, 64))
+        y = b.node("FusedAttention", [q, k, v], scale=0.125)
+        g = b.finish([y])
+        qn = rng.standard_normal((1, 2, 2048, 64)).astype(np.float32)
+        kn = rng.standard_normal((1, 2, 2048, 64)).astype(np.float32)
+        vn = rng.standard_normal((1, 2, 2048, 64)).astype(np.float32)
+        got = st.CompiledModel(g)(qn, kn, vn)[0]  # interpret-mode flash on CPU
+        want = np.asarray(flash_attention_reference(
+            jnp.asarray(qn), jnp.asarray(kn), jnp.asarray(vn), scale=0.125))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
