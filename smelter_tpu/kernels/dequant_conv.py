@@ -99,7 +99,7 @@ def _dequant_conv_impl(
         kernel,
         grid=(n, n_th, n_tc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full input, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # full input, DMA'd manually
             pl.BlockSpec((kh, kw, cin, tc), lambda b, r, c: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tc), lambda b, r, c: (0, c),

@@ -109,7 +109,7 @@ def loop_op(ctx: Ctx, node: Node):
             i, _, *carried = state
             outs = _run_subgraph(
                 ctx, body,
-                [i.astype(jnp.int64), jnp.asarray(True)] + list(carried))
+                [i.astype(jnp.int32), jnp.asarray(True)] + list(carried))
             return (i + 1, outs[0].reshape(()), *outs[1:1 + n_carried])
 
         final = jax.lax.while_loop(
@@ -125,7 +125,7 @@ def loop_op(ctx: Ctx, node: Node):
     def body_fn(i, carried):
         outs = _run_subgraph(
             ctx, body,
-            [jnp.asarray(i, jnp.int64), jnp.asarray(True)] + list(carried),
+            [jnp.asarray(i, jnp.int32), jnp.asarray(True)] + list(carried),
         )
         return outs[1:1 + n_carried], outs[1 + n_carried:]
 

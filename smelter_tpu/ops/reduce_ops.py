@@ -61,7 +61,7 @@ def argmax(ctx: Ctx, node: Node):
         y = jnp.argmax(x, axis=axis)
     if keep:
         y = jnp.expand_dims(y, axis)
-    ctx.set(node.outputs[0], y.astype(jnp.int64))
+    ctx.set(node.outputs[0], y.astype(jnp.int32))  # int64 unavailable without x64
 
 
 @register("ArgMin")
@@ -72,7 +72,7 @@ def argmin(ctx: Ctx, node: Node):
     y = jnp.argmin(x, axis=axis)
     if keep:
         y = jnp.expand_dims(y, axis)
-    ctx.set(node.outputs[0], y.astype(jnp.int64))
+    ctx.set(node.outputs[0], y.astype(jnp.int32))  # int64 unavailable without x64
 
 
 @register("CumSum", since=11)
@@ -107,4 +107,4 @@ def topk(ctx: Ctx, node: Node):
         vals = -vals
     ctx.set(node.outputs[0], jnp.moveaxis(vals, -1, axis))
     if len(node.outputs) > 1 and node.outputs[1]:
-        ctx.set(node.outputs[1], jnp.moveaxis(idx, -1, axis).astype(jnp.int64))
+        ctx.set(node.outputs[1], jnp.moveaxis(idx, -1, axis).astype(jnp.int32))

@@ -73,10 +73,9 @@ def sequence_sharded_attention(q, k, v, mesh, *, axis: str = "sp",
     from functools import partial
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     spec = P(None, None, axis, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         partial(ring_attention, axis_name=axis, scale=scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
