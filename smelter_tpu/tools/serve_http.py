@@ -66,6 +66,16 @@ def make_handler(server_state):
                 self._send(200, json.dumps(
                     {"models": sorted(server_state["servers"])}).encode())
                 return
+            if self.path == "/metrics":
+                # Prometheus text exposition over every model
+                lines = []
+                for name, srv in server_state["servers"].items():
+                    for k, v in srv.stats().items():
+                        lines.append(
+                            f'smelter_{k}{{model="{name}"}} {v}')
+                self._send(200, ("\n".join(lines) + "\n").encode(),
+                           "text/plain; version=0.0.4")
+                return
             srv, sub = self._resolve(self.path)
             if srv is not None and sub in ("v1/stats", "stats"):
                 self._send(200, json.dumps(srv.stats()).encode())

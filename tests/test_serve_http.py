@@ -75,3 +75,10 @@ class TestHttp:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(base + "/nope", timeout=30)
         assert ei.value.code == 404
+
+    def test_prometheus_metrics(self, http_server):
+        base, _ = http_server
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            body = r.read().decode()
+        assert 'smelter_requests{model="default"}' in body
+        assert "smelter_latency_ms_p50" in body
