@@ -180,6 +180,10 @@ class Executor:
                     precision_critical.add(node.inputs[pos])
 
         def fn(params: dict[str, Any], *inputs):
+            if len(inputs) != len(input_names):
+                raise TypeError(
+                    f"model expects {len(input_names)} input(s) "
+                    f"{input_names}, got {len(inputs)}")
             env: dict[str, Any] = {}
             cd0 = jnp.dtype(config.compute_dtype)
             for name in self.param_names:

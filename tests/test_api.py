@@ -1,6 +1,7 @@
 """Top-level API tests: st.compile / st.serve from a file path."""
 
 import numpy as np
+import pytest
 
 import smelter_tpu as st
 from smelter_tpu.models import mobilenet_v2
@@ -101,3 +102,15 @@ class TestNormalize:
         with torch.no_grad():
             want = tm(torch.from_numpy(xf)).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestInputValidation:
+    def test_wrong_arity_clear_error(self):
+        from smelter_tpu.models import mobilenet_v2
+
+        g, _, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        m = st.CompiledModel(g)
+        with pytest.raises(TypeError, match="expects 1 input"):
+            m(np.zeros(shape, np.float32), np.zeros((1,), np.float32))
+        with pytest.raises(TypeError, match="expects 1 input"):
+            m()
