@@ -1,4 +1,5 @@
-"""Internal fused ops emitted by optimizer passes.
+"""Internal fused ops emitted by optimizer passes (the hot-op fusion the
+north star names: fused dequant+matmul / attention, BASELINE.json:5).
 
 FusedDequantMatMul(x, w_q:int8 (K,N), scales:(N,)) — lowers to the Pallas
 fused dequant+matmul kernel when Config.use_pallas, else to the jnp

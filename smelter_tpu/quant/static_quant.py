@@ -1,4 +1,5 @@
-"""Full int8 (static activation) quantization with calibration.
+"""Full int8 (static activation) quantization with calibration (beyond
+the weight-only north-star requirement, BASELINE.json:5).
 
 Weight-only quantization (weight_quant.py) halves weight traffic but the
 MXU still runs bf16. Static quantization also quantizes activations so

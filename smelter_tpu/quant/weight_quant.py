@@ -1,4 +1,6 @@
-"""Weight quantization graph rewrites.
+"""Weight quantization graph rewrites (north star: weight-only FP16/INT8
+with per-channel scales, BASELINE.json:5; the fp16 mode is the analog of
+ONNX2MPS --half, reference ONNX2MPS.py:14-31).
 
 fp16 mode: cast weight initializers of matmul-family ops to fp16; the
 lowering casts back up to the activation dtype at the op (weight-only —

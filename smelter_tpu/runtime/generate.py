@@ -1,5 +1,8 @@
 """Autoregressive decoding driver over a cache-step graph.
 
+Beyond the reference's scope (single-forward CNN engine, SURVEY.md §0);
+required for transformer serving (BASELINE.json:11 ViT path generalized).
+
 Runs a compiled decode-step model (token, pos, *caches) -> (logits,
 *new_caches) in a host loop with device-resident caches — the KV-cache
 serving pattern. The executable is compiled once (static shapes); each
