@@ -36,13 +36,14 @@ def _np(t: torch.Tensor) -> np.ndarray:
 
 
 class _Exporter:
-    def __init__(self, module: nn.Module, example: torch.Tensor, name: str, opset: int = 17):
+    def __init__(self, module: nn.Module, example, name: str, opset: int = 17):
         self.module = module.eval()
         self.gm = symbolic_trace(self.module)
-        ShapeProp(self.gm).propagate(example)
+        examples = example if isinstance(example, (tuple, list)) else (example,)
+        ShapeProp(self.gm).propagate(*examples)
         self.b = GraphBuilder(name, opset=opset)
         self.env: dict[torch.fx.Node, Any] = {}
-        self.example = example
+        self.example = examples
 
     # -- helpers ---------------------------------------------------------
 
@@ -466,6 +467,23 @@ class _Exporter:
                 full[rank + dim] = pad[2 * i + 1]
             onnx_mode = {"constant": "constant", "reflect": "reflect", "replicate": "edge"}[mode]
             return b.node("Pad", [x, self.const(np.asarray(full, np.int64))], mode=onnx_mode)
+        if f is torch.einsum:
+            eq = a[0]
+            tensors = [self.val(t) for t in a[1:]]
+            return b.node("Einsum", tensors, equation=eq)
+        if f is F.scaled_dot_product_attention:
+            q, k_, v_ = (self.val(t) for t in a[:3])
+            if kw.get("attn_mask") is not None or len(a) > 3 and a[3] is not None:
+                raise NotSupportedError("sdpa with explicit attn_mask")
+            d = self.shape_of(node.args[0])[-1]
+            scale = kw.get("scale") or d ** -0.5
+            ins = [q, k_, v_]
+            if kw.get("is_causal", False):
+                n = self.shape_of(node.args[0])[-2]
+                nk = self.shape_of(node.args[1])[-2]
+                causal = np.triu(np.full((n, nk), -1e9, np.float32), 1)
+                ins.append(self.const(causal, "causal_mask"))
+            return b.node("FusedAttention", ins, scale=float(scale))
         if f is getattr:
             if a[1] == "shape":
                 return tuple(self.shape_of(a[0]))
@@ -620,8 +638,9 @@ class _Exporter:
         return g
 
 
-def export_torch(module: nn.Module, example: torch.Tensor, name: str = "model",
+def export_torch(module: nn.Module, example, name: str = "model",
                  opset: int = 17) -> Graph:
-    """Trace `module` in eval mode and convert to an IR graph."""
+    """Trace `module` in eval mode and convert to an IR graph. `example` is
+    one tensor or a tuple of tensors for multi-input modules."""
     with torch.no_grad():
         return _Exporter(module, example, name, opset).run()

@@ -98,3 +98,48 @@ class TestFunctionalForms:
         with torch.no_grad():
             want = m(x).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestModernAttention:
+    def test_sdpa_and_einsum(self, rng):
+        class M(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = nn.Linear(32, 96)
+
+            def forward(self, x):  # (B, N, 32)
+                import torch.nn.functional as F
+                b, n, _ = x.shape
+                qkv = self.qkv(x).reshape(b, n, 3, 4, 8).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]   # (B, H, N, hd)
+                o = F.scaled_dot_product_attention(q, k, v)
+                o = torch.einsum("bhnd->bnhd", o).reshape(b, n, 32)
+                return o
+
+        torch.manual_seed(0)
+        m = M().eval()
+        x = torch.randn(2, 6, 32)
+        from smelter_tpu.frontend.torch_export import export_torch
+        g = export_torch(m, x, "sdpa")
+        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 1
+        got = st.CompiledModel(g)(x.numpy())[0]
+        with torch.no_grad():
+            want = m(x).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_sdpa_causal(self, rng):
+        class M(nn.Module):
+            def forward(self, q, k, v):
+                import torch.nn.functional as F
+                return F.scaled_dot_product_attention(q, k, v, is_causal=True)
+
+        m = M().eval()
+        q = torch.randn(1, 2, 8, 16)
+        k = torch.randn(1, 2, 8, 16)
+        v = torch.randn(1, 2, 8, 16)
+        from smelter_tpu.frontend.torch_export import export_torch
+        g = export_torch(m, (q, k, v), "causal")
+        got = st.CompiledModel(g)(q.numpy(), k.numpy(), v.numpy())[0]
+        with torch.no_grad():
+            want = m(q, k, v).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
