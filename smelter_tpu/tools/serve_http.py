@@ -122,11 +122,20 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
     p.add_argument("--batch-size-hint", type=int, default=None)
+    p.add_argument("--normalize", default=None, metavar="MEANS:STDS",
+                   help="per-channel on-device normalization, e.g. "
+                        "0.485,0.456,0.406:0.229,0.224,0.225 (uint8 bodies "
+                        "are scaled /255 first)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
     import smelter_tpu as st
 
+    normalize = None
+    if args.normalize:
+        means, _, stds = args.normalize.partition(":")
+        normalize = (tuple(float(v) for v in means.split(",")),
+                     tuple(float(v) for v in stds.split(",")))
     servers = {}
     default = None
     for spec in args.model:
@@ -135,7 +144,7 @@ def main(argv=None) -> int:
             name, path = "default", spec
         servers[name] = st.serve(
             path,
-            st.Config(compute_dtype=args.dtype),
+            st.Config(compute_dtype=args.dtype, normalize=normalize),
             quant=None if args.quant == "none" else args.quant,
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
