@@ -608,3 +608,49 @@ class TestMiscUnary:
         assert list(run_op("IsInf", [x], opset=13)) == [False, False, True, True, False]
         only_pos = run_op("IsInf", [x], dict(detect_negative=0), opset=13)
         assert list(only_pos) == [False, False, True, False, False]
+
+
+class TestRankGenerality:
+    def test_conv3d(self, rng):
+        x = rng.standard_normal((1, 2, 6, 7, 8)).astype(np.float32)
+        w = rng.standard_normal((4, 2, 3, 3, 3)).astype(np.float32)
+        got = run_op("Conv", [x], dict(pads=[1, 1, 1, 1, 1, 1],
+                                       kernel_shape=[3, 3, 3]),
+                     initializers=[w])
+        want = t2n(F.conv3d(torch.from_numpy(x), torch.from_numpy(w), padding=1))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_maxpool3d(self, rng):
+        x = rng.standard_normal((1, 2, 6, 6, 6)).astype(np.float32)
+        got = run_op("MaxPool", [x], dict(kernel_shape=[2, 2, 2],
+                                          strides=[2, 2, 2]))
+        want = t2n(F.max_pool3d(torch.from_numpy(x), 2, 2))
+        np.testing.assert_allclose(got, want)
+
+    def test_avgpool1d(self, rng):
+        x = rng.standard_normal((2, 3, 16)).astype(np.float32)
+        got = run_op("AveragePool", [x], dict(kernel_shape=[4], strides=[2],
+                                              pads=[1, 1]))
+        want = t2n(F.avg_pool1d(torch.from_numpy(x), 4, 2, 1,
+                                count_include_pad=False))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_conv_transpose1d(self, rng):
+        x = rng.standard_normal((1, 3, 10)).astype(np.float32)
+        w = rng.standard_normal((3, 5, 4)).astype(np.float32)
+        got = run_op("ConvTranspose", [x], dict(strides=[2], kernel_shape=[4]),
+                     initializers=[w])
+        want = t2n(F.conv_transpose1d(torch.from_numpy(x), torch.from_numpy(w),
+                                      stride=2))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_instancenorm3d(self, rng):
+        x = rng.standard_normal((2, 3, 4, 5, 6)).astype(np.float32)
+        scale = rng.standard_normal(3).astype(np.float32)
+        bias = rng.standard_normal(3).astype(np.float32)
+        got = run_op("InstanceNormalization", [x], dict(epsilon=1e-5),
+                     initializers=[scale, bias])
+        want = t2n(F.instance_norm(torch.from_numpy(x),
+                                   weight=torch.from_numpy(scale),
+                                   bias=torch.from_numpy(bias), eps=1e-5))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
