@@ -473,16 +473,27 @@ class _Exporter:
             return b.node("Einsum", tensors, equation=eq)
         if f is F.scaled_dot_product_attention:
             q, k_, v_ = (self.val(t) for t in a[:3])
-            if kw.get("attn_mask") is not None or len(a) > 3 and a[3] is not None:
-                raise NotSupportedError("sdpa with explicit attn_mask")
+            mask = kw.get("attn_mask", a[3] if len(a) > 3 else None)
             d = self.shape_of(node.args[0])[-1]
             scale = kw.get("scale") or d ** -0.5
             ins = [q, k_, v_]
             if kw.get("is_causal", False):
+                if mask is not None:
+                    raise NotSupportedError("sdpa with both mask and is_causal")
                 n = self.shape_of(node.args[0])[-2]
                 nk = self.shape_of(node.args[1])[-2]
-                causal = np.triu(np.full((n, nk), -1e9, np.float32), 1)
-                ins.append(self.const(causal, "causal_mask"))
+                ins.append(self.const(
+                    np.triu(np.full((n, nk), -1e9, np.float32), 1), "causal_mask"))
+            elif mask is not None:
+                if isinstance(mask, torch.fx.Node) and mask.op == "get_attr":
+                    m_np = _np(self.gm.get_parameter(mask.target))
+                    if m_np.dtype == np.bool_:
+                        m_np = np.where(m_np, 0.0, -1e9).astype(np.float32)
+                    ins.append(b.init(m_np.astype(np.float32)))
+                elif isinstance(mask, torch.fx.Node):
+                    ins.append(self.val(mask))  # runtime additive mask
+                else:
+                    raise NotSupportedError("sdpa mask literal")
             return b.node("FusedAttention", ins, scale=float(scale))
         if f is getattr:
             if a[1] == "shape":

@@ -143,3 +143,22 @@ class TestModernAttention:
         with torch.no_grad():
             want = m(q, k, v).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_sdpa_with_additive_mask(self, rng):
+        class M(nn.Module):
+            def forward(self, q, k, v, mask):
+                import torch.nn.functional as F
+                return F.scaled_dot_product_attention(q, k, v, attn_mask=mask)
+
+        m = M().eval()
+        q = torch.randn(1, 2, 6, 16)
+        k = torch.randn(1, 2, 6, 16)
+        v = torch.randn(1, 2, 6, 16)
+        mask = torch.where(torch.rand(6, 6) > 0.3,
+                           torch.zeros(6, 6), torch.full((6, 6), -1e9))
+        from smelter_tpu.frontend.torch_export import export_torch
+        g = export_torch(m, (q, k, v, mask), "masked")
+        got = st.CompiledModel(g)(q.numpy(), k.numpy(), v.numpy(), mask.numpy())[0]
+        with torch.no_grad():
+            want = m(q, k, v, mask).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
