@@ -109,7 +109,19 @@ class ArtifactModel:
             self._fn = self.executor.jit()
 
     def __call__(self, *inputs) -> list[np.ndarray]:
-        outs = self._fn(self.params, *inputs)
+        import jax.numpy as jnp
+
+        # The serialized executable's signature is strict (inputs in the
+        # compute dtype); mirror the live executor's entry casts.
+        expect = self.executor.input_shapes()
+        cast = []
+        for x, spec in zip(inputs, expect):
+            xa = jnp.asarray(x)
+            if (jnp.issubdtype(xa.dtype, jnp.floating)
+                    and xa.dtype != spec.dtype):
+                xa = xa.astype(spec.dtype)
+            cast.append(xa)
+        outs = self._fn(self.params, *cast)
         return [np.asarray(o) for o in outs]
 
 

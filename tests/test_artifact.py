@@ -35,6 +35,22 @@ class TestArtifact:
         assert not m.used_serialized
         np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
 
+    def test_bf16_artifact_accepts_f32_input(self, tmp_path):
+        """A serialized executable exported under compute_dtype=bfloat16 has a
+        strict bf16 input signature; the live executor casts f32 inputs at
+        entry and ArtifactModel must mirror that cast (regression: 'Dtype
+        mismatch for args[1]: expected bfloat16 and called with float32')."""
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        run_passes(g)
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        cfg = st.Config(compute_dtype="bfloat16")
+        want = st.CompiledModel(g, cfg)(x)[0]
+        save_artifact(tmp_path / "art_bf16", g, cfg, compile_now=True)
+        m = load_artifact(tmp_path / "art_bf16")
+        assert m.used_serialized
+        got = m(x)[0]  # f32 input into a bf16-signature executable
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
     def test_config_restored(self, tmp_path):
         g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
         save_artifact(tmp_path / "art3", g,
