@@ -19,6 +19,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..ir.graph import Node
+from .registry import Ctx, register
+
 
 def _iou(box, boxes):
     """IoU of one box against many. box (4,), boxes (N, 4)."""
@@ -72,3 +75,72 @@ def batched_nms(boxes, scores, *, max_detections: int = 100,
     per_class = jax.vmap(lambda b, s: fn(b, s), in_axes=(None, 0))
     per_image = jax.vmap(per_class, in_axes=(0, 0))
     return per_image(boxes, scores)
+
+
+def _bilinear_samples(img, ys, xs):
+    """img (C, H, W); ys (NY,), xs (NX,) fractional coords -> (C, NY, NX)
+    with ONNX RoiAlign edge semantics: samples outside [-1, size] contribute
+    zero, in-range coords clamp to the border pixel."""
+    h, w = img.shape[1], img.shape[2]
+    vy = (ys >= -1.0) & (ys <= h)
+    vx = (xs >= -1.0) & (xs <= w)
+    ys = jnp.clip(ys, 0.0, h - 1)
+    xs = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (ys - y0)[None, :, None]
+    lx = (xs - x0)[None, None, :]
+    val = ((1 - ly) * (1 - lx) * img[:, y0][:, :, x0]
+           + (1 - ly) * lx * img[:, y0][:, :, x1]
+           + ly * (1 - lx) * img[:, y1][:, :, x0]
+           + ly * lx * img[:, y1][:, :, x1])
+    return val * (vy[None, :, None] & vx[None, None, :])
+
+
+@register("RoiAlign", since=10)
+def roi_align_op(ctx: Ctx, node: Node):
+    """ONNX RoiAlign: X (N,C,H,W), rois (R,4) [x1,y1,x2,y2], batch_indices
+    (R,) -> (R, C, out_h, out_w). Sampling grid per bin is vmapped over
+    rois; all shapes static. Deviation for XLA: ONNX's adaptive grid count
+    (sampling_ratio=0 -> ceil(roi/bin), data-dependent) is replaced by a
+    fixed grid of 2 — the value detection heads export anyway."""
+    x = ctx.get(node.inputs[0]).astype(jnp.float32)
+    rois = ctx.get(node.inputs[1]).astype(jnp.float32)
+    bidx = ctx.get(node.inputs[2]).astype(jnp.int32)
+    out_h = int(node.attr("output_height", 1))
+    out_w = int(node.attr("output_width", 1))
+    scale = float(node.attr("spatial_scale", 1.0))
+    mode = (node.attr("mode", "avg") or "avg")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    ctm = node.attr("coordinate_transformation_mode",
+                    "half_pixel" if ctx.opset >= 16 else "output_half_pixel")
+    if isinstance(ctm, bytes):
+        ctm = ctm.decode()
+    half_pixel = ctm == "half_pixel"
+    sr = int(node.attr("sampling_ratio", 0))
+    grid = sr if sr > 0 else 2
+
+    def one(img, roi):
+        off = 0.5 if half_pixel else 0.0
+        sw, sh = roi[0] * scale - off, roi[1] * scale - off
+        ew, eh = roi[2] * scale - off, roi[3] * scale - off
+        rw, rh = ew - sw, eh - sh
+        if not half_pixel:  # legacy mode clamps rois to at least 1 pixel
+            rw = jnp.maximum(rw, 1.0)
+            rh = jnp.maximum(rh, 1.0)
+        bin_h, bin_w = rh / out_h, rw / out_w
+        ys = (sh + jnp.arange(out_h)[:, None] * bin_h
+              + (jnp.arange(grid)[None, :] + 0.5) * bin_h / grid).reshape(-1)
+        xs = (sw + jnp.arange(out_w)[:, None] * bin_w
+              + (jnp.arange(grid)[None, :] + 0.5) * bin_w / grid).reshape(-1)
+        s = _bilinear_samples(img, ys, xs)  # (C, out_h*grid, out_w*grid)
+        s = s.reshape(img.shape[0], out_h, grid, out_w, grid)
+        if mode == "max":
+            return jnp.max(s, axis=(2, 4))
+        return jnp.mean(s, axis=(2, 4))
+
+    out = jax.vmap(one)(x[bidx], rois)
+    ctx.set(node.outputs[0], out.astype(ctx.get(node.inputs[0]).dtype))

@@ -1,0 +1,215 @@
+"""Long-tail ONNX ops: EyeLike, Hardmax, LpNormalization,
+MeanVarianceNormalization, BitShift, Det, ReverseSequence, CenterCropPad,
+Col2Im, RMSNormalization, Bernoulli, Multinomial. None exist in the
+reference (Sources/Smelter/ONNXGraph.swift:110-155 covers ~30 vision ops);
+included for full-coverage ONNX import.
+
+All formulations keep static shapes (gather/scatter index matrices are
+computed host-side) so XLA sees fixed-layout programs. Random ops derive
+a deterministic PRNG key from the ONNX `seed` attribute — documented
+deviation: ONNX leaves unseeded behavior implementation-defined, we pin
+seed 0 so runs are reproducible under jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ir.graph import Node
+from ..utils import dtypes as dt
+from .registry import Ctx, register
+
+
+@register("EyeLike")
+def eye_like(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    k = int(node.attr("k", 0))
+    code = node.attr("dtype")
+    dtype = dt.onnx_to_numpy_dtype(int(code)) if code is not None else x.dtype
+    ctx.set(node.outputs[0], jnp.eye(x.shape[0], x.shape[1], k=k, dtype=dtype))
+
+
+@register("Hardmax")
+def hardmax(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    axis = int(node.attr("axis", -1 if ctx.opset >= 13 else 1))
+    if axis < 0:
+        axis += x.ndim
+    idx = jnp.argmax(x, axis=axis)
+    ctx.set(node.outputs[0],
+            jax.nn.one_hot(idx, x.shape[axis], axis=axis, dtype=x.dtype))
+
+
+@register("LpNormalization")
+def lp_normalization(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    axis = int(node.attr("axis", -1))
+    p = int(node.attr("p", 2))
+    if p == 1:
+        norm = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    else:
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    ctx.set(node.outputs[0], x / norm)
+
+
+@register("MeanVarianceNormalization")
+def mvn(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    axes = tuple(node.attr("axes", [0, 2, 3]))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
+    ctx.set(node.outputs[0], (x - mean) / jnp.sqrt(var + 1e-12))
+
+
+@register("BitShift", since=11)
+def bit_shift(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    y = ctx.get(node.inputs[1])
+    if node.attr("direction") == "LEFT":
+        ctx.set(node.outputs[0], jnp.left_shift(x, y))
+    else:
+        ctx.set(node.outputs[0], jnp.right_shift(x, y))
+
+
+@register("Det", since=11)
+def det(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    ctx.set(node.outputs[0], jnp.linalg.det(x.astype(jnp.float32)).astype(x.dtype))
+
+
+@register("ReverseSequence", since=10)
+def reverse_sequence(ctx: Ctx, node: Node):
+    """Reverse x[..., :lens[b], ...] along time_axis per batch. The gather
+    index is computed in-graph (lens may be a runtime input), but shapes
+    stay static: idx[t] = lens-1-t for t < lens else t."""
+    x = ctx.get(node.inputs[0])
+    lens = ctx.get(node.inputs[1]).astype(jnp.int32)
+    batch_axis = int(node.attr("batch_axis", 1))
+    time_axis = int(node.attr("time_axis", 0))
+    t = jnp.arange(x.shape[time_axis], dtype=jnp.int32)
+    # (B, T): reversed prefix, identity suffix
+    idx = jnp.where(t[None, :] < lens[:, None], lens[:, None] - 1 - t[None, :],
+                    t[None, :])
+    # Broadcast idx to x's rank with batch/time in place.
+    shape = [1] * x.ndim
+    shape[batch_axis] = x.shape[batch_axis]
+    shape[time_axis] = x.shape[time_axis]
+    if batch_axis < time_axis:
+        idx_full = idx.reshape(shape)
+    else:
+        idx_full = idx.T.reshape(shape)
+    ctx.set(node.outputs[0],
+            jnp.take_along_axis(x, jnp.broadcast_to(idx_full, x.shape),
+                                axis=time_axis))
+
+
+@register("CenterCropPad", since=18)
+def center_crop_pad(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    target = [int(v) for v in np.asarray(ctx.static(node.inputs[1])).reshape(-1)]
+    axes = node.attr("axes")
+    if axes is None:
+        axes = list(range(len(target)))
+    axes = [a + x.ndim if a < 0 else a for a in axes]
+    sl = [slice(None)] * x.ndim
+    pad = [(0, 0)] * x.ndim
+    for a, tgt in zip(axes, target):
+        cur = x.shape[a]
+        if tgt < cur:  # center crop
+            off = (cur - tgt) // 2
+            sl[a] = slice(off, off + tgt)
+        elif tgt > cur:  # center pad, extra at the end
+            amt = tgt - cur
+            pad[a] = (amt // 2, amt - amt // 2)
+    ctx.set(node.outputs[0], jnp.pad(x[tuple(sl)], pad))
+
+
+@register("Col2Im", since=18)
+def col2im(ctx: Ctx, node: Node):
+    """input (N, C*prod(block), L) -> (N, C, *image_shape) by scatter-adding
+    each unfolded block back. The flat scatter index per (block-offset, L)
+    pair is a host-side numpy computation; out-of-image (padding) positions
+    scatter into a trash slot that is cropped away."""
+    x = ctx.get(node.inputs[0])
+    image_shape = [int(v) for v in np.asarray(ctx.static(node.inputs[1])).reshape(-1)]
+    block = [int(v) for v in np.asarray(ctx.static(node.inputs[2])).reshape(-1)]
+    nd = len(image_shape)
+    dil = list(node.attr("dilations", [1] * nd))
+    pads = list(node.attr("pads", [0] * (2 * nd)))
+    strides = list(node.attr("strides", [1] * nd))
+
+    n_, ckk, l_ = x.shape
+    kk = int(np.prod(block))
+    c = ckk // kk
+    # output positions per spatial dim
+    outs = [(image_shape[d] + pads[d] + pads[nd + d]
+             - dil[d] * (block[d] - 1) - 1) // strides[d] + 1 for d in range(nd)]
+    assert int(np.prod(outs)) == l_, (outs, l_)
+
+    img_flat = int(np.prod(image_shape))
+    # index[kk, L] -> flat image position (or img_flat for the trash slot)
+    koff = np.stack(np.meshgrid(*[np.arange(b) for b in block], indexing="ij"),
+                    axis=0).reshape(nd, kk)  # (nd, kk)
+    lpos = np.stack(np.meshgrid(*[np.arange(o) for o in outs], indexing="ij"),
+                    axis=0).reshape(nd, l_)  # (nd, L)
+    coord = (lpos[:, None, :] * np.array(strides)[:, None, None]
+             + koff[:, :, None] * np.array(dil)[:, None, None]
+             - np.array(pads[:nd])[:, None, None])  # (nd, kk, L)
+    valid = np.all((coord >= 0) & (coord < np.array(image_shape)[:, None, None]),
+                   axis=0)
+    flat = np.zeros((kk, l_), np.int32)
+    mult = 1
+    for d in range(nd - 1, -1, -1):
+        flat += np.clip(coord[d], 0, image_shape[d] - 1) * mult
+        mult *= image_shape[d]
+    flat = np.where(valid, flat, img_flat)  # trash slot
+
+    xr = x.reshape(n_, c, kk * l_)
+    out = jnp.zeros((n_, c, img_flat + 1), x.dtype)
+    out = out.at[:, :, jnp.asarray(flat.reshape(-1))].add(xr)
+    ctx.set(node.outputs[0], out[:, :, :img_flat].reshape(n_, c, *image_shape))
+
+
+@register("RMSNormalization", since=23)
+def rms_normalization(ctx: Ctx, node: Node):
+    """y = x / sqrt(mean(x^2 over dims[axis:]) + eps) * scale — the LLM
+    norm (LLaMA/Mistral family). Stats in f32 regardless of compute dtype
+    (stash_type semantics)."""
+    x = ctx.get(node.inputs[0])
+    scale = ctx.get(node.inputs[1])
+    axis = int(node.attr("axis", -1))
+    if axis < 0:
+        axis += x.ndim
+    eps = float(node.attr("epsilon", 1e-5))
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=tuple(range(axis, x.ndim)), keepdims=True)
+    y = xf * jax.lax.rsqrt(ms + eps)
+    ctx.set(node.outputs[0], (y * scale.astype(jnp.float32)).astype(x.dtype))
+
+
+@register("Bernoulli", since=15)
+def bernoulli(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    seed = node.attr("seed")
+    key = jax.random.PRNGKey(np.float32(seed).view(np.int32) if seed is not None else 0)
+    code = node.attr("dtype")
+    dtype = dt.onnx_to_numpy_dtype(int(code)) if code is not None else x.dtype
+    ctx.set(node.outputs[0],
+            jax.random.bernoulli(key, x.astype(jnp.float32)).astype(dtype))
+
+
+@register("Multinomial", since=7)
+def multinomial(ctx: Ctx, node: Node):
+    """Input rows are unnormalized log-probabilities (ONNX spec) — exactly
+    jax.random.categorical's logits contract."""
+    x = ctx.get(node.inputs[0])
+    sample_size = int(node.attr("sample_size", 1))
+    seed = node.attr("seed")
+    key = jax.random.PRNGKey(np.float32(seed).view(np.int32) if seed is not None else 0)
+    code = int(node.attr("dtype", dt.INT32))
+    samples = jax.random.categorical(
+        key, x.astype(jnp.float32), axis=-1,
+        shape=(sample_size, x.shape[0])).T  # (batch, sample_size)
+    ctx.set(node.outputs[0], samples.astype(dt.onnx_to_numpy_dtype(code)))
