@@ -181,3 +181,37 @@ class TestTextLSTM:
         with torch.no_grad():
             want = tm(torch.from_numpy(tokens)).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestAudioKWS:
+    def test_parity(self):
+        """Raw PCM in, logits out: frontend (STFT/mel on-graph) + DS-CNN vs
+        the torch.stft reference."""
+        from smelter_tpu.models import audio_kws
+
+        g, tm, shape = audio_kws.build(batch=2, samples=4000, channels=16,
+                                       blocks=2)
+        g = st.import_model(st.export_model(g))
+        x = (np.random.default_rng(0).standard_normal(shape) * 0.1).astype(np.float32)
+        got = st.CompiledModel(g)(x)[0]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_full_pipeline_int8(self):
+        """Frontend constants fold (windows/mel eaten), conv stack survives
+        BN fusion + NHWC layout + int8 weight quantization."""
+        from smelter_tpu.models import audio_kws
+
+        g, tm, shape = audio_kws.build(batch=1, samples=4000, channels=16,
+                                       blocks=2)
+        x = (np.random.default_rng(1).standard_normal(shape) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        m = st.compile(g, quant="int8")
+        assert not any(n.op_type in ("HannWindow", "MelWeightMatrix")
+                       for n in m.graph.nodes), "frontend constants should fold"
+        got = m(x)[0]
+        assert (got.argmax(1) == want.argmax(1)).all()
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999, corr
