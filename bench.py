@@ -148,6 +148,8 @@ def main() -> int:
     import smelter_tpu as st
     from smelter_tpu.models import ZOO
 
+    if args.model not in ZOO:
+        p.error(f"unknown model {args.model!r}; available: {', '.join(sorted(ZOO))}")
     g, _tm, shape = ZOO[args.model](batch=args.batch, image_size=args.image_size)
 
     if args.serve:
