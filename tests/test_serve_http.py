@@ -82,3 +82,64 @@ class TestHttp:
             body = r.read().decode()
         assert 'smelter_requests{model="default"}' in body
         assert "smelter_latency_ms_p50" in body
+
+
+class TestMultiModelRouting:
+    """Image + audio models served from one process: per-model routes work
+    and the batching path handles heterogeneous input ranks."""
+
+    @pytest.fixture(scope="class")
+    def multi_server(self):
+        from smelter_tpu.models import audio_kws
+
+        gi, _, ishape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        ga, _, ashape = audio_kws.build(batch=1, samples=4000, channels=16,
+                                        blocks=2)
+        srv_img = st.serve(gi, max_batch=4, max_wait_ms=5)
+        srv_aud = st.serve(ga, max_batch=4, max_wait_ms=5)
+        state = {"servers": {"image": srv_img, "audio": srv_aud},
+                 "default": "image", "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", ishape, ashape
+        httpd.shutdown()
+        srv_img.shutdown()
+        srv_aud.shutdown()
+
+    def test_model_list(self, multi_server):
+        base, _, _ = multi_server
+        with urllib.request.urlopen(base + "/v1/models", timeout=30) as r:
+            assert set(json.loads(r.read())["models"]) == {"image", "audio"}
+
+    def test_audio_route(self, multi_server):
+        base, _, ashape = multi_server
+        x = (np.random.default_rng(0).standard_normal(ashape[1:]) * 0.1).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            base + "/v1/models/audio/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/npy", "Accept": "application/npy"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (12,)
+
+    def test_image_route_still_default(self, multi_server):
+        base, ishape, _ = multi_server
+        x = np.zeros(ishape[1:], np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            base + "/v1/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/npy", "Accept": "application/npy"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (10,)
+
+    def test_unknown_model_404(self, multi_server):
+        base, _, _ = multi_server
+        req = urllib.request.Request(base + "/v1/models/nope/infer", data=b"x",
+                                     headers={"Content-Type": "application/npy"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 404
