@@ -77,6 +77,38 @@ def batched_nms(boxes, scores, *, max_detections: int = 100,
     return per_image(boxes, scores)
 
 
+def _dynamic_shape_op(op_type: str, alternative: str):
+    """Register a lowering that fails with a pointer to the static-shape
+    alternative: these ops have data-dependent output shapes, which XLA
+    (trace-once, fixed-layout compilation) cannot express."""
+
+    @register(op_type)
+    def _fail(ctx: Ctx, node: Node, _op=op_type, _alt=alternative):
+        from ..ir.errors import NotSupportedError
+
+        raise NotSupportedError(
+            f"{_op} has a data-dependent output shape, which XLA cannot "
+            f"compile (static shapes only). {_alt}")
+
+
+_dynamic_shape_op(
+    "NonMaxSuppression",
+    "Use smelter_tpu.ops.detection.nms / batched_nms: fixed max_detections "
+    "outputs padded with -1 — the TPU-native detection serving pattern.")
+_dynamic_shape_op(
+    "NonZero",
+    "Rework the graph to use Where/masking with a static upper bound, or "
+    "run this subgraph on the host.")
+_dynamic_shape_op(
+    "Unique",
+    "Rework the graph with a static upper bound (e.g. sort + adjacent-"
+    "difference mask), or run this subgraph on the host.")
+_dynamic_shape_op(
+    "Compress",
+    "Use Where with a padded static output size, or Gather with "
+    "precomputed indices.")
+
+
 def _bilinear_samples(img, ys, xs):
     """img (C, H, W); ys (NY,), xs (NX,) fractional coords -> (C, NY, NX)
     with ONNX RoiAlign edge semantics: samples outside [-1, size] contribute

@@ -62,3 +62,23 @@ class TestNMS:
         scores = rng.random((b, c, n)).astype(np.float32)
         idx, sc = batched_nms(boxes, scores, max_detections=7)
         assert idx.shape == (b, c, 7) and sc.shape == (b, c, 7)
+
+
+class TestDynamicShapeOpErrors:
+    """Data-dependent-shape ops fail with a pointer to the static
+    alternative, not a bare unknown-op error."""
+
+    @pytest.mark.parametrize("op,nin", [
+        ("NonMaxSuppression", 2), ("NonZero", 1), ("Unique", 1), ("Compress", 2),
+    ])
+    def test_explained_failure(self, op, nin):
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.ir.errors import NotSupportedError
+        from smelter_tpu.utils import dtypes as dt
+        import smelter_tpu as st
+
+        b = GraphBuilder("t", opset=17)
+        ins = [b.input(f"x{i}", (4, 4), dt.FLOAT) for i in range(nin)]
+        g = b.finish([b.node(op, ins)])
+        with pytest.raises(NotSupportedError, match="data-dependent"):
+            st.CompiledModel(g)(*[np.zeros((4, 4), np.float32)] * nin)
