@@ -183,6 +183,8 @@ class _Exporter:
             return b.node("AveragePool", [x], kernel_shape=list(k), strides=list(k))
         if isinstance(m, nn.MultiheadAttention):
             return self._mha_module(node, m)
+        if isinstance(m, (nn.LSTM, nn.GRU, nn.RNN)):
+            return self._rnn_module(node, m)
         if isinstance(m, nn.Embedding):
             return b.node("Gather", [b.init(_np(m.weight)), x], axis=0)
         if isinstance(m, (nn.Dropout, nn.Identity)):
@@ -201,6 +203,81 @@ class _Exporter:
             pads = [0, 0, p[2], p[0], 0, 0, p[3], p[1]]
             return b.node("Pad", [x, self.const(np.asarray(pads, np.int64))], mode="constant")
         raise NotSupportedError(f"torch module {type(m).__name__}")
+
+    def _rnn_module(self, node: torch.fx.Node, m):
+        """nn.LSTM/GRU/RNN -> one ONNX LSTM/GRU/RNN node per layer.
+
+        torch gate orders remapped to ONNX: LSTM i,f,g,o -> i,o,f,c; GRU
+        r,z,n -> z,r,n (with linear_before_reset=1, which is exactly the
+        torch GRU candidate formula). Returns fx-shaped results so user
+        unpacking works: LSTM -> (out, (h_n, c_n)), GRU/RNN -> (out, h_n).
+        """
+        b = self.b
+        if getattr(m, "proj_size", 0):
+            raise NotSupportedError("LSTM proj_size is not supported")
+        if len(node.args) > 1 and node.args[1] is not None:
+            raise NotSupportedError("recurrent module with explicit initial "
+                                    "state (pass None / omit hx)")
+        is_lstm = isinstance(m, nn.LSTM)
+        is_gru = isinstance(m, nn.GRU)
+        op = "LSTM" if is_lstm else ("GRU" if is_gru else "RNN")
+        n_gates = 4 if is_lstm else (3 if is_gru else 1)
+        dirs = 2 if m.bidirectional else 1
+        hid = m.hidden_size
+
+        def reorder(a):
+            if is_lstm:
+                i, f, g, o = np.split(a, 4, axis=0)
+                return np.concatenate([i, o, f, g], axis=0)
+            if is_gru:
+                r, z, n = np.split(a, 3, axis=0)
+                return np.concatenate([z, r, n], axis=0)
+            return a
+
+        in_shape = self.shape_of(node.args[0])
+        if m.batch_first:
+            bsz, seq = in_shape[0], in_shape[1]
+        else:
+            seq, bsz = in_shape[0], in_shape[1]
+        x = self.val(node.args[0])
+        if m.batch_first:
+            x = b.node("Transpose", [x], perm=[1, 0, 2])  # -> (T, B, I)
+
+        h_outs, c_outs = [], []
+        for layer in range(m.num_layers):
+            ws, rs, bs = [], [], []
+            for sfx in ([""] if dirs == 1 else ["", "_reverse"]):
+                ws.append(reorder(_np(getattr(m, f"weight_ih_l{layer}{sfx}"))))
+                rs.append(reorder(_np(getattr(m, f"weight_hh_l{layer}{sfx}"))))
+                if m.bias:
+                    bs.append(np.concatenate(
+                        [reorder(_np(getattr(m, f"bias_ih_l{layer}{sfx}"))),
+                         reorder(_np(getattr(m, f"bias_hh_l{layer}{sfx}")))]))
+            ins = [x, b.init(np.stack(ws)), b.init(np.stack(rs))]
+            if m.bias:
+                ins.append(b.init(np.stack(bs)))
+            attrs = dict(hidden_size=hid,
+                         direction="bidirectional" if dirs == 2 else "forward")
+            if is_gru:
+                attrs["linear_before_reset"] = 1
+            if op == "RNN" and getattr(m, "nonlinearity", "tanh") == "relu":
+                attrs["activations"] = ["Relu"] * dirs
+            outs = b.node(op, ins, outputs=3 if is_lstm else 2, **attrs)
+            # Y (T, dirs, B, H) -> next layer's (T, B, dirs*H)
+            y = b.node("Reshape",
+                       [b.node("Transpose", [outs[0]], perm=[0, 2, 1, 3]),
+                        self.const(np.asarray([seq, bsz, dirs * hid], np.int64))])
+            x = y
+            h_outs.append(outs[1])
+            if is_lstm:
+                c_outs.append(outs[2])
+
+        out = b.node("Transpose", [x], perm=[1, 0, 2]) if m.batch_first else x
+        h_n = h_outs[0] if len(h_outs) == 1 else b.node("Concat", h_outs, axis=0)
+        if is_lstm:
+            c_n = c_outs[0] if len(c_outs) == 1 else b.node("Concat", c_outs, axis=0)
+            return (out, (h_n, c_n))
+        return (out, h_n)
 
     def _mha_module(self, node: torch.fx.Node, m: nn.MultiheadAttention):
         """nn.MultiheadAttention (self-attention, batch_first, no mask) ->

@@ -274,14 +274,17 @@ def rnn(ctx: Ctx, node: Node):
     T, B, _ = x.shape
     direction = _direction(node)
     h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
+    acts = node.attr("activations") or []
+    acts = [a.decode() if isinstance(a, bytes) else a for a in acts]
 
     def one_direction(d, reverse):
         wi, ri = w[d], r[d]
         bi = (b[d][:hidden] + b[d][hidden:]) if b is not None else jnp.zeros((hidden,), x.dtype)
         h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
+        act = jax.nn.relu if (len(acts) > d and acts[d] == "Relu") else jnp.tanh
 
         def step(h, xt):
-            h_new = jnp.tanh(xt @ wi.T + h @ ri.T + bi)
+            h_new = act(xt @ wi.T + h @ ri.T + bi)
             return h_new, h_new
 
         h_f, ys = _scan_rnn(step, x, h0, reverse)
