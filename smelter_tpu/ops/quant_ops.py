@@ -9,9 +9,11 @@ DequantizeLinear+Conv/MatMul into fused Pallas kernels instead
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ir.errors import NotSupportedError
 from ..ir.graph import Node
 from .registry import Ctx, register
 
@@ -220,3 +222,81 @@ def dynamic_quantize_linear(ctx: Ctx, node: Node):
         ctx.set(node.outputs[1], scale)
     if len(node.outputs) > 2 and node.outputs[2]:
         ctx.set(node.outputs[2], zp)
+
+
+# -- ORT QOperator-format elementwise ops ---------------------------------
+# onnxruntime's static quantizer (quant_format=QOperator) emits these
+# com.microsoft contrib ops; models quantized that way are common in the
+# wild. Each is dequant -> float op -> requant; XLA fuses the chain.
+
+def _dq(ctx, node, i):
+    """inputs[i]=x, [i+1]=scale, [i+2]=zero_point -> float tensor."""
+    x = ctx.get(node.inputs[i]).astype(jnp.float32)
+    s = ctx.get(node.inputs[i + 1]).astype(jnp.float32).reshape(())
+    if len(node.inputs) > i + 2 and node.inputs[i + 2]:
+        x = x - ctx.get(node.inputs[i + 2]).astype(jnp.float32).reshape(())
+    return x * s
+
+
+def _q_out(ctx, node, y_f, si, zi):
+    s = ctx.get(node.inputs[si]).reshape(())
+    z = ctx.get(node.inputs[zi]).reshape(()) if (
+        len(node.inputs) > zi and node.inputs[zi]) else None
+    ctx.set(node.outputs[0], _requant(y_f, s, z, ctx, node))
+
+
+def _qlinear_binary(op_type: str, fn):
+    @register(op_type)
+    def _lower(ctx: Ctx, node: Node, _fn=fn):
+        a = _dq(ctx, node, 0)
+        b = _dq(ctx, node, 3)
+        _q_out(ctx, node, _fn(a, b), 6, 7)
+
+
+_qlinear_binary("QLinearAdd", lambda a, b: a + b)
+_qlinear_binary("QLinearMul", lambda a, b: a * b)
+
+
+@register("QLinearSigmoid")
+def qlinear_sigmoid(ctx: Ctx, node: Node):
+    _q_out(ctx, node, jax.nn.sigmoid(_dq(ctx, node, 0)), 3, 4)
+
+
+@register("QLinearLeakyRelu")
+def qlinear_leaky_relu(ctx: Ctx, node: Node):
+    alpha = float(node.attr("alpha", 0.01))
+    x = _dq(ctx, node, 0)
+    _q_out(ctx, node, jnp.where(x >= 0, x, alpha * x), 3, 4)
+
+
+@register("QLinearAveragePool")
+def qlinear_average_pool(ctx: Ctx, node: Node):
+    from .nn import average_pool
+
+    x = _dq(ctx, node, 0)
+    if int(node.attr("channels_last", 0)):
+        raise NotSupportedError("QLinearAveragePool channels_last")
+    tmp_in, tmp_out = node.inputs[0] + "__f", node.outputs[0] + "__f"
+    sub = Node(op_type="AveragePool", name=node.name + "_pool",
+               inputs=[tmp_in], outputs=[tmp_out], attrs=dict(node.attrs))
+    ctx.set(tmp_in, x)
+    average_pool(ctx, sub)
+    _q_out(ctx, node, ctx.get(tmp_out), 3, 4)
+
+
+@register("QLinearGlobalAveragePool")
+def qlinear_global_average_pool(ctx: Ctx, node: Node):
+    x = _dq(ctx, node, 0)
+    if int(node.attr("channels_last", 0)):
+        axes = tuple(range(1, x.ndim - 1))
+    else:
+        axes = tuple(range(2, x.ndim))
+    _q_out(ctx, node, jnp.mean(x, axis=axes, keepdims=True), 3, 4)
+
+
+@register("QLinearConcat")
+def qlinear_concat(ctx: Ctx, node: Node):
+    """inputs: y_scale, y_zp, then (x, scale, zp) triples."""
+    parts = [_dq(ctx, node, i) for i in range(2, len(node.inputs), 3)]
+    y = jnp.concatenate(parts, axis=int(node.attr("axis")))
+    _q_out(ctx, node, y, 0, 1)

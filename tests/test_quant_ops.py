@@ -107,3 +107,90 @@ class TestNewTensorOps:
         x = rng.standard_normal((4, 4)).astype(np.float32)
         got = run_op("Trilu", [x], dict(upper=1), opset=14)
         np.testing.assert_array_equal(got, np.triu(x))
+
+
+def _quant_ref(y, s, z, dtype=np.uint8):
+    info = np.iinfo(dtype)
+    return np.clip(np.round(y / s) + z, info.min, info.max).astype(dtype)
+
+
+class TestQLinearElementwise:
+    """ORT QOperator-format contrib ops: dequant -> op -> requant vs a
+    numpy reference with identical rounding."""
+
+    def test_qlinear_add(self, rng):
+        a = rng.integers(0, 255, (2, 8), dtype=np.uint8)
+        b_ = rng.integers(0, 255, (2, 8), dtype=np.uint8)
+        sa, za, sb, zb, sy, zy = 0.02, 120, 0.05, 128, 0.06, 100
+        got = run_op("QLinearAdd",
+                     [a, np.float32(sa), np.uint8(za),
+                      b_, np.float32(sb), np.uint8(zb),
+                      np.float32(sy), np.uint8(zy)])
+        want = _quant_ref((a.astype(np.float32) - za) * sa
+                          + (b_.astype(np.float32) - zb) * sb, sy, zy)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_mul_int8(self, rng):
+        a = rng.integers(-128, 127, (3, 5), dtype=np.int8)
+        b_ = rng.integers(-128, 127, (3, 5), dtype=np.int8)
+        got = run_op("QLinearMul",
+                     [a, np.float32(0.1), np.int8(0),
+                      b_, np.float32(0.2), np.int8(3),
+                      np.float32(0.5), np.int8(-10)])
+        want = _quant_ref((a.astype(np.float32)) * 0.1
+                          * (b_.astype(np.float32) - 3) * 0.2,
+                          0.5, -10, np.int8)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_sigmoid(self, rng):
+        x = rng.integers(0, 255, (4, 4), dtype=np.uint8)
+        got = run_op("QLinearSigmoid",
+                     [x, np.float32(0.05), np.uint8(128),
+                      np.float32(1 / 256), np.uint8(0)])
+        xf = (x.astype(np.float32) - 128) * 0.05
+        want = _quant_ref(1 / (1 + np.exp(-xf)), 1 / 256, 0)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_leaky_relu(self, rng):
+        x = rng.integers(-128, 127, (4, 4), dtype=np.int8)
+        got = run_op("QLinearLeakyRelu",
+                     [x, np.float32(0.1), np.int8(5),
+                      np.float32(0.1), np.int8(5)], dict(alpha=0.2))
+        xf = (x.astype(np.float32) - 5) * 0.1
+        want = _quant_ref(np.where(xf >= 0, xf, 0.2 * xf), 0.1, 5, np.int8)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_global_average_pool(self, rng):
+        x = rng.integers(0, 255, (2, 3, 6, 6), dtype=np.uint8)
+        got = run_op("QLinearGlobalAveragePool",
+                     [x, np.float32(0.04), np.uint8(130),
+                      np.float32(0.04), np.uint8(130)])
+        xf = (x.astype(np.float32) - 130) * 0.04
+        want = _quant_ref(xf.mean(axis=(2, 3), keepdims=True), 0.04, 130)
+        assert got.shape == (2, 3, 1, 1)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_average_pool(self, rng):
+        x = rng.integers(0, 255, (1, 2, 8, 8), dtype=np.uint8)
+        got = run_op("QLinearAveragePool",
+                     [x, np.float32(0.03), np.uint8(128),
+                      np.float32(0.03), np.uint8(128)],
+                     dict(kernel_shape=[2, 2], strides=[2, 2]))
+        xf = (x.astype(np.float32) - 128) * 0.03
+        pooled = xf.reshape(1, 2, 4, 2, 4, 2).mean(axis=(3, 5))
+        want = _quant_ref(pooled, 0.03, 128)
+        assert got.shape == (1, 2, 4, 4)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qlinear_concat(self, rng):
+        a = rng.integers(0, 255, (2, 3), dtype=np.uint8)
+        b_ = rng.integers(0, 255, (2, 5), dtype=np.uint8)
+        got = run_op("QLinearConcat",
+                     [np.float32(0.1), np.uint8(10),
+                      a, np.float32(0.1), np.uint8(0),
+                      b_, np.float32(0.2), np.uint8(50)], dict(axis=1))
+        af = a.astype(np.float32) * 0.1
+        bf = (b_.astype(np.float32) - 50) * 0.2
+        want = _quant_ref(np.concatenate([af, bf], axis=1), 0.1, 10)
+        assert got.shape == (2, 8)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
