@@ -215,3 +215,33 @@ class TestAudioKWS:
         assert (got.argmax(1) == want.argmax(1)).all()
         corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
         assert corr > 0.999, corr
+
+
+class TestSpeechEncoder:
+    def test_parity(self):
+        """Whisper-style conv-subsample + pre-LN transformer over log-mel
+        frames, through the fx exporter (rank-3 Conv + MHA + GELU)."""
+        from smelter_tpu.models import speech_encoder
+
+        g, tm, shape = speech_encoder.build(batch=2, frames=50, dim=64,
+                                            heads=4, depth=2)
+        g = st.import_model(st.export_model(g))
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        got = st.CompiledModel(g)(x)[0]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        assert got.shape == (2, 25, 64)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_bf16_pipeline(self):
+        from smelter_tpu.models import speech_encoder
+
+        g, tm, shape = speech_encoder.build(batch=1, frames=50, dim=64,
+                                            heads=4, depth=2)
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        m = st.compile(g, st.Config(compute_dtype="bfloat16"))
+        got = m(x)[0].astype(np.float32)
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999, corr
