@@ -100,3 +100,66 @@ class BatchedGenerator:
             for bi in range(self.batch):
                 tokens[bi].append(int(nxt[bi]))
         return tokens
+
+
+class FusedGenerator:
+    """Whole greedy decode loop fused into ONE dispatch.
+
+    Generator pays one host->device dispatch per token — fine on a local
+    host (~us), ruinous over any RPC hop (~3 ms/dispatch through the dev
+    tunnel caps decode at ~300 tok/s regardless of model). Here the
+    prefill-and-generate loop is a lax.scan inside a single jit: the chip
+    feeds each argmax back into the next step on its own, and the host
+    gets the finished token array. Greedy-only (sampling needs the host in
+    the loop — use Generator for that); prompt length and n_new are static
+    per compilation (one recompile per (plen, n_new) pair).
+    """
+
+    def __init__(self, step_graph, config=None):
+        import jax
+
+        from .config import Config
+        from .executor import Executor
+
+        ex = Executor(step_graph, config or Config())
+        self._params = ex.init_params()
+        self._step = ex.build_fn()
+        self.cache_shapes = [tuple(v.type.shape) for v in step_graph.inputs
+                             if v.name.startswith(("k_cache_", "v_cache_"))]
+        self.max_len = self.cache_shapes[0][0]
+        self._decode = jax.jit(self._make_decode(),
+                               static_argnames=("plen", "n_new"))
+
+    def _make_decode(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        step = self._step
+
+        def decode(params, prompt, plen, n_new, caches):
+            # Step at position p consumes token[p], emits logits for p+1.
+            def body(carry, pos):
+                caches, tok = carry
+                outs = step(params, tok, pos[None], *caches)
+                logits = outs[0]
+                nxt = jnp.argmax(logits[0]).astype(tok.dtype)
+                # while still inside the prompt, feed the given token
+                nxt = jnp.where(pos + 1 < plen,
+                                prompt[jnp.minimum(pos + 1, plen - 1)], nxt)
+                return (list(outs[1:]), nxt[None]), nxt
+
+            total = plen - 1 + n_new
+            (_, _), toks = lax.scan(body, (list(caches), prompt[0:1]),
+                                    jnp.arange(total))
+            return toks[plen - 1:]  # the n_new generated tokens
+
+        return decode
+
+    def generate(self, prompt: list[int], n_new: int) -> list[int]:
+        import jax.numpy as jnp
+
+        n_new = min(n_new, self.max_len - len(prompt))
+        caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
+        toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
+                            plen=len(prompt), n_new=n_new, caches=caches)
+        return list(prompt) + [int(t) for t in np.asarray(toks)]

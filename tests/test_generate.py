@@ -63,3 +63,28 @@ class TestBatchedGenerator:
         batched = BatchedGenerator(step_g, batch=2)
         got = batched.generate([[3, 1, 4], [9, 9, 9]], n_new=4)
         assert got[0] == a and got[1] == b
+
+
+class TestFusedGenerator:
+    def test_matches_host_loop(self):
+        """One-dispatch lax.scan decode must be token-for-token identical
+        to the per-step host loop (greedy)."""
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        want = Generator(step_g).generate([3, 7, 11], 12)
+        got = FusedGenerator(step_g).generate([3, 7, 11], 12)
+        assert got == want
+
+    def test_single_token_prompt_and_cap(self):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=8)
+        gen = FusedGenerator(step_g)
+        out = gen.generate([5], 100)  # capped at max_len
+        assert out[:1] == [5] and len(out) == 8
+        assert out == Generator(step_g).generate([5], 100)[:len(out)]
