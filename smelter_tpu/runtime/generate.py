@@ -163,3 +163,35 @@ class FusedGenerator:
         toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
                             plen=len(prompt), n_new=n_new, caches=caches)
         return list(prompt) + [int(t) for t in np.asarray(toks)]
+
+
+class FusedBatchedGenerator:
+    """Batched one-dispatch decoding: vmap over FusedGenerator's scan.
+    Equal-length prompts (pad upstream); one dispatch decodes the whole
+    batch — the offline-batch / high-throughput serving shape."""
+
+    def __init__(self, step_graph, batch: int, config=None):
+        import jax
+
+        self.batch = batch
+        self._single = FusedGenerator(step_graph, config)
+        decode = self._single._make_decode()
+        self._decode = jax.jit(
+            jax.vmap(decode, in_axes=(None, 0, None, None, 0)),
+            static_argnums=(2, 3))
+        self.max_len = self._single.max_len
+
+    def generate(self, prompts: list[list[int]], n_new: int) -> list[list[int]]:
+        import jax.numpy as jnp
+
+        assert len(prompts) == self.batch
+        plen = len(prompts[0])
+        assert all(len(p) == plen for p in prompts), "equal-length prompts (pad upstream)"
+        n_new = min(n_new, self.max_len - plen)
+        caches = [jnp.zeros((self.batch,) + s, jnp.float32)
+                  for s in self._single.cache_shapes]
+        toks = self._decode(self._single._params,
+                            jnp.asarray(prompts, jnp.int32), plen, n_new, caches)
+        toks = np.asarray(toks)
+        return [list(p) + [int(t) for t in toks[i]]
+                for i, p in enumerate(prompts)]

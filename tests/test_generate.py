@@ -88,3 +88,17 @@ class TestFusedGenerator:
         out = gen.generate([5], 100)  # capped at max_len
         assert out[:1] == [5] and len(out) == 8
         assert out == Generator(step_g).generate([5], 100)[:len(out)]
+
+    def test_batched_fused_matches_singles(self):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import (FusedBatchedGenerator,
+                                                  FusedGenerator)
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        single = FusedGenerator(step_g)
+        batched = FusedBatchedGenerator(step_g, batch=3)
+        prompts = [[3, 7], [1, 2], [9, 4]]
+        got = batched.generate(prompts, 10)
+        for p, row in zip(prompts, got):
+            assert row == single.generate(p, 10)
