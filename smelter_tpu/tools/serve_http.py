@@ -83,6 +83,9 @@ def make_handler(server_state):
                 self._send(404, b'{"error": "not found"}')
 
         def do_POST(self):
+            if self.path == "/v1/generate" or self.path.endswith("/generate"):
+                self._generate()
+                return
             srv, sub = self._resolve(self.path)
             if srv is None or sub not in ("v1/infer", "infer"):
                 self._send(404, b'{"error": "not found"}')
@@ -108,6 +111,29 @@ def make_handler(server_state):
                 self._send(200, json.dumps(
                     {"outputs": [o.tolist() for o in outs]}).encode())
 
+        def _generate(self):
+            """POST /v1/generate {"prompt": [ints], "n_new": N} -> tokens.
+
+            Served by a FusedGenerator (one dispatch per request); enabled
+            when the server was started with a decode-step graph (a
+            "generator" entry in the state dict)."""
+            gen = server_state.get("generator")
+            if gen is None:
+                self._send(404, b'{"error": "no decode model loaded"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+                prompt = [int(t) for t in payload["prompt"]]
+                n_new = int(payload.get("n_new", 16))
+                if not prompt:
+                    raise ValueError("prompt must be non-empty")
+                toks = gen.generate(prompt, n_new)
+            except Exception as e:  # noqa: BLE001
+                self._send(400, json.dumps({"error": str(e)[:500]}).encode())
+                return
+            self._send(200, json.dumps({"tokens": toks}).encode())
+
     return Handler
 
 
@@ -126,8 +152,21 @@ def main(argv=None) -> int:
                    help="per-channel on-device normalization, e.g. "
                         "0.485,0.456,0.406:0.229,0.224,0.225 (uint8 bodies "
                         "are scaled /255 first)")
+    p.add_argument("--decode-step", default=None, metavar="ONNX",
+                   help="decode-step graph (token, pos, *caches) to serve "
+                        "on POST /v1/generate via the one-dispatch fused "
+                        "decoder")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
+
+    # The axon plugin overrides JAX_PLATFORMS at registration; re-assert it
+    # so `JAX_PLATFORMS=cpu serve_http ...` really serves on CPU.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import smelter_tpu as st
 
@@ -151,6 +190,12 @@ def main(argv=None) -> int:
         )
         default = default or name
     state = {"servers": servers, "default": default, "verbose": args.verbose}
+    if args.decode_step:
+        from ..runtime.generate import FusedGenerator
+
+        state["generator"] = FusedGenerator(
+            st.load_model(args.decode_step),
+            st.Config(compute_dtype=args.dtype))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

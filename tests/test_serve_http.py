@@ -143,3 +143,58 @@ class TestMultiModelRouting:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 404
+
+
+class TestGenerateEndpoint:
+    """POST /v1/generate over a FusedGenerator decode model."""
+
+    @pytest.fixture(scope="class")
+    def gen_server(self):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        gi, _, ishape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        srv = st.serve(gi, max_batch=2, max_wait_ms=5)
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        state = {"servers": {"default": srv}, "default": "default",
+                 "generator": FusedGenerator(step_g), "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+        srv.shutdown()
+
+    def _post(self, base, payload):
+        req = urllib.request.Request(
+            base + "/v1/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=120)
+
+    def test_generate(self, gen_server):
+        with self._post(gen_server, {"prompt": [3, 7, 11], "n_new": 8}) as r:
+            toks = json.loads(r.read())["tokens"]
+        assert toks[:3] == [3, 7, 11] and len(toks) == 11
+
+    def test_deterministic(self, gen_server):
+        out = []
+        for _ in range(2):
+            with self._post(gen_server, {"prompt": [5], "n_new": 6}) as r:
+                out.append(json.loads(r.read())["tokens"])
+        assert out[0] == out[1]
+
+    def test_empty_prompt_400(self, gen_server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(gen_server, {"prompt": [], "n_new": 4})
+        assert ei.value.code == 400
+
+    def test_no_generator_404(self, http_server):
+        base, _ = http_server  # module fixture has no generator
+        req = urllib.request.Request(
+            base + "/v1/generate",
+            data=json.dumps({"prompt": [1], "n_new": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 404
