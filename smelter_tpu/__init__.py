@@ -14,4 +14,10 @@ from .runtime.config import Config  # noqa: F401,E402
 from .runtime.executor import CompiledModel, Executor  # noqa: F401,E402
 from .api import compile, serve  # noqa: F401,E402,A001
 from .runtime.artifact import load_artifact, save_artifact  # noqa: F401,E402
+from .runtime.generate import (  # noqa: F401,E402
+    BatchedGenerator,
+    FusedBatchedGenerator,
+    FusedGenerator,
+    Generator,
+)
 from .parallel import MeshPlan  # noqa: F401,E402
