@@ -95,7 +95,9 @@ def dft(ctx: Ctx, node: Node):
     onesided = bool(node.attr("onesided", 0))
     dft_length = None
     if len(node.inputs) > 1 and node.inputs[1]:
-        dft_length = int(np.asarray(ctx.static(node.inputs[1])).reshape(-1)[0])
+        raw = np.asarray(ctx.static(node.inputs[1])).reshape(-1)
+        if raw.size:  # empty tensor == absent optional input
+            dft_length = int(raw[0])
     n = x.shape[axis]
     if dft_length is not None and dft_length != n:
         if dft_length < n:  # truncate

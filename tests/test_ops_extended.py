@@ -287,3 +287,26 @@ class TestRoiAlign:
             coordinate_transformation_mode="output_half_pixel"), opset=16)
         want = _roi_align_ref(x, rois, bidx, 3, 5, 0.5, 1, False, "avg")
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestDFTOpset20:
+    def test_axis_as_input(self, rng):
+        """Opset 20 moved axis from attribute to input 3."""
+        x = rng.standard_normal((2, 4, 16, 1)).astype(np.float32)
+        got = run_op("DFT", [x], opset=20,
+                     initializers=[np.array([], np.int64),  # dft_length absent
+                                   np.array(2, np.int64)])  # axis input
+        want = np.fft.fft(x[..., 0], axis=2)
+        np.testing.assert_allclose(got[..., 0], want.real, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got[..., 1], want.imag, rtol=1e-3, atol=1e-3)
+
+    def test_complex_stft_signal(self, rng):
+        """STFT over a complex (trailing-dim-2) signal."""
+        x = rng.standard_normal((1, 64, 2)).astype(np.float32)
+        got = run_op("STFT", [x], dict(onesided=0), opset=17,
+                     initializers=[np.array(16, np.int64),
+                                   np.array([], np.float32),
+                                   np.array(32, np.int64)])
+        want = np.fft.fft(x[0, :32, 0] + 1j * x[0, :32, 1])
+        np.testing.assert_allclose(got[0, 0, :, 0], want.real, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got[0, 0, :, 1], want.imag, rtol=1e-3, atol=1e-3)
