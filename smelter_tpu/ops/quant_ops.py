@@ -300,3 +300,43 @@ def qlinear_concat(ctx: Ctx, node: Node):
     parts = [_dq(ctx, node, i) for i in range(2, len(node.inputs), 3)]
     y = jnp.concatenate(parts, axis=int(node.attr("axis")))
     _q_out(ctx, node, y, 0, 1)
+
+
+@register("QGemm")
+def qgemm(ctx: Ctx, node: Node):
+    """ORT contrib QGemm: quantized Gemm with optional int32 bias C.
+    inputs: A, a_scale, a_zp, B, b_scale, b_zp, [C, y_scale, y_zp].
+    Without y_scale/y_zp the output stays float (dequantized)."""
+    alpha = float(node.attr("alpha", 1.0))
+    trans_a = int(node.attr("transA", 0))
+    trans_b = int(node.attr("transB", 0))
+    a_raw = ctx.get(node.inputs[0])
+    a_s = ctx.get(node.inputs[1]).astype(jnp.float32)
+    a_z = ctx.get(node.inputs[2]).astype(jnp.int32)
+    b_raw = ctx.get(node.inputs[3])
+    b_s = ctx.get(node.inputs[4]).astype(jnp.float32)
+    b_z = ctx.get(node.inputs[5]).astype(jnp.int32)
+    if trans_a:
+        a_raw = a_raw.T
+    if trans_b:
+        b_raw = b_raw.T  # per-column b_s already refers to output columns
+    symmetric = (_static_is_zero(ctx, node.inputs[2])
+                 and _static_is_zero(ctx, node.inputs[5]))
+    if symmetric and a_raw.dtype == jnp.int8 and b_raw.dtype == jnp.int8:
+        acc = jnp.matmul(a_raw, b_raw, preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.matmul(a_raw.astype(jnp.int32) - a_z.reshape(()),
+                         b_raw.astype(jnp.int32) - b_z.reshape(()),
+                         preferred_element_type=jnp.int32)
+    if len(node.inputs) > 6 and node.inputs[6]:  # int32 bias at A/B scale
+        acc = acc + ctx.get(node.inputs[6]).astype(jnp.int32)
+    bs = b_s.reshape(()) if b_s.size == 1 else b_s.reshape((1, -1))
+    y_f = acc.astype(jnp.float32) * (alpha * a_s.reshape(()) * bs)
+    if len(node.inputs) > 7 and node.inputs[7]:
+        y_s = ctx.get(node.inputs[7])
+        y_z = ctx.get(node.inputs[8]) if len(node.inputs) > 8 and node.inputs[8] else None
+        ctx.set(node.outputs[0], _requant(
+            y_f, y_s.reshape(()), y_z.reshape(()) if y_z is not None else None,
+            ctx, node))
+    else:
+        ctx.set(node.outputs[0], y_f)

@@ -194,3 +194,25 @@ class TestQLinearElementwise:
         want = _quant_ref(np.concatenate([af, bf], axis=1), 0.1, 10)
         assert got.shape == (2, 8)
         assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qgemm_quantized_out(self, rng):
+        a = rng.integers(-128, 127, (4, 8), dtype=np.int8)
+        b_ = rng.integers(-128, 127, (6, 8), dtype=np.int8)  # transB
+        bias = rng.integers(-1000, 1000, (6,), dtype=np.int32)
+        sa, sb, sy = 0.05, 0.02, 0.3
+        got = run_op("QGemm",
+                     [a, np.float32(sa), np.int8(0),
+                      b_, np.float32(sb), np.int8(0),
+                      bias, np.float32(sy), np.int8(0)], dict(transB=1))
+        acc = a.astype(np.int32) @ b_.T.astype(np.int32) + bias
+        want = _quant_ref(acc.astype(np.float32) * sa * sb, sy, 0, np.int8)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    def test_qgemm_float_out(self, rng):
+        a = rng.integers(0, 255, (3, 5), dtype=np.uint8)
+        b_ = rng.integers(0, 255, (5, 7), dtype=np.uint8)
+        got = run_op("QGemm",
+                     [a, np.float32(0.1), np.uint8(128),
+                      b_, np.float32(0.2), np.uint8(100)])
+        want = ((a.astype(np.float32) - 128) * 0.1) @ ((b_.astype(np.float32) - 100) * 0.2)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
