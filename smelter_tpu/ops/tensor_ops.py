@@ -197,10 +197,14 @@ def split(ctx: Ctx, node: Node):
         sizes = list(s) if s else None
     n_out = len(node.outputs)
     if sizes is None:
-        if x.shape[axis] % n_out:
+        # opset 18 semantics (also the only sane default earlier): chunks of
+        # ceil(dim/n), last chunk takes the remainder.
+        chunk = -(-x.shape[axis] // n_out)
+        sizes = [chunk] * (n_out - 1) + [x.shape[axis] - chunk * (n_out - 1)]
+        if sizes[-1] <= 0:
             raise NotSupportedError(
-                f"Split: dim {x.shape[axis]} not divisible by {n_out} outputs")
-        sizes = [x.shape[axis] // n_out] * n_out
+                f"Split: dim {x.shape[axis]} into {n_out} outputs leaves an "
+                f"empty chunk")
     offs = np.cumsum([0] + sizes)
     for i, out_name in enumerate(node.outputs):
         idx = [slice(None)] * x.ndim

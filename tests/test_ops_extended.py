@@ -310,3 +310,19 @@ class TestDFTOpset20:
         want = np.fft.fft(x[0, :32, 0] + 1j * x[0, :32, 1])
         np.testing.assert_allclose(got[0, 0, :, 0], want.real, rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(got[0, 0, :, 1], want.imag, rtol=1e-3, atol=1e-3)
+
+
+class TestSplitNumOutputs:
+    def test_uneven_split_opset18(self, rng):
+        """num_outputs with non-divisible dim: ceil chunks, smaller last."""
+        x = np.arange(10, dtype=np.float32)
+        got = run_op("Split", [x], dict(num_outputs=3, axis=0), opset=18,
+                     n_outputs=3)
+        np.testing.assert_array_equal(got[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(got[1], [4, 5, 6, 7])
+        np.testing.assert_array_equal(got[2], [8, 9])
+
+    def test_even_split_unchanged(self, rng):
+        x = rng.standard_normal((6, 4)).astype(np.float32)
+        got = run_op("Split", [x], dict(axis=0), opset=13, n_outputs=3)
+        np.testing.assert_allclose(got[1], x[2:4])
