@@ -666,11 +666,26 @@ class _Exporter:
             return b.node("Reshape", [x, self.const(np.asarray(self.shape_of(node), np.int64))])
         if name == "contiguous":
             return x
-        if name == "mean":
+        if name in ("mean", "sum", "amax", "amin", "max", "min", "prod"):
+            onnx_op = {"mean": "ReduceMean", "sum": "ReduceSum",
+                       "amax": "ReduceMax", "max": "ReduceMax",
+                       "amin": "ReduceMin", "min": "ReduceMin",
+                       "prod": "ReduceProd"}[name]
             dim = node.kwargs.get("dim", a[1] if len(a) > 1 else None)
             keep = node.kwargs.get("keepdim", False)
-            axes = [dim] if isinstance(dim, int) else list(dim)
-            return b.node("ReduceMean", [x], axes=axes, keepdims=int(keep))
+            if dim is None:
+                axes = list(range(len(self.shape_of(node.args[0]))))
+            elif name in ("max", "min") and not isinstance(dim, (list, tuple)):
+                # x.max(dim) returns (values, indices) — only support the
+                # reduce-all form here; dim'd max/min comes via torch.max.
+                raise NotSupportedError(f".{name}(dim) returns a tuple; use "
+                                        f"torch.a{name} instead")
+            else:
+                axes = [dim] if isinstance(dim, int) else list(dim)
+            if onnx_op == "ReduceSum":  # axes moved to input at opset 13
+                return b.node(onnx_op, [x, self.const(np.asarray(axes, np.int64))],
+                              keepdims=int(keep))
+            return b.node(onnx_op, [x], axes=axes, keepdims=int(keep))
         if name == "chunk":
             chunks = a[1]
             dim = node.kwargs.get("dim", a[2] if len(a) > 2 else 0)

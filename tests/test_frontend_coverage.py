@@ -162,3 +162,33 @@ class TestModernAttention:
         with torch.no_grad():
             want = m(q, k, v, mask).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestReduceMethods:
+    def test_tensor_reduce_methods(self):
+        """x.sum/mean/amax method forms (incl. dim-less full reduction)."""
+        import torch.nn as nn
+
+        class M(nn.Module):
+            def forward(self, x):
+                a, b, c = torch.chunk(x, 3, dim=1)  # 10 -> [4,4,2]
+                return a.sum(1) + b.mean(1) + c.amax(1) + x.sum() * 0.01
+
+        m = M().eval()
+        x = torch.randn(2, 10)
+        g = export_torch(m, x, name="rm", opset=17)
+        got = st.CompiledModel(g)(x.numpy())[0]
+        np.testing.assert_allclose(got, m(x).detach().numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_dimmed_max_rejected(self):
+        import torch.nn as nn
+
+        from smelter_tpu.ir.errors import NotSupportedError
+
+        class M(nn.Module):
+            def forward(self, x):
+                return x.max(1)[0]
+
+        with pytest.raises(NotSupportedError, match="tuple"):
+            export_torch(M().eval(), torch.randn(2, 5), name="m", opset=17)
