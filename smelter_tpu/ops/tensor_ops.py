@@ -417,20 +417,25 @@ def scatter_elements(ctx: Ctx, node: Node):
     reduction = node.attr("reduction", "none")
     if isinstance(reduction, bytes):
         reduction = reduction.decode()
-    import jax
-
-    dnums = None
-    # use put_along_axis semantics
+    if axis < 0:
+        axis += x.ndim
+    idx = jnp.where(idx < 0, idx + x.shape[axis], idx)
     if reduction == "none":
         out = jnp.put_along_axis(x, idx, upd.astype(x.dtype), axis=axis,
                                  inplace=False)
-    elif reduction == "add":
-        out = x
-        # at[]-based scatter-add along axis via take_along trick
-        idx_full = [jnp.arange(s).reshape([-1 if i == d else 1 for i in range(x.ndim)])
-                    * jnp.ones_like(idx) for d, s in enumerate(x.shape)]
-        idx_full[axis] = idx
-        out = x.at[tuple(idx_full)].add(upd.astype(x.dtype))
+    elif reduction in ("add", "mul", "max", "min"):
+        # Coordinate grid over the UPDATES shape; the scatter axis takes the
+        # provided indices, every other dim scatters to its own position.
+        grid = [jnp.broadcast_to(
+                    jnp.arange(idx.shape[d]).reshape(
+                        [-1 if i == d else 1 for i in range(idx.ndim)]),
+                    idx.shape)
+                for d in range(idx.ndim)]
+        grid[axis] = idx
+        ref = x.at[tuple(grid)]
+        op = {"add": ref.add, "mul": ref.multiply,
+              "max": ref.max, "min": ref.min}[reduction]
+        out = op(upd.astype(x.dtype))
     else:
         raise NotSupportedError(f"ScatterElements reduction {reduction}")
     ctx.set(node.outputs[0], out)
@@ -444,6 +449,7 @@ def one_hot(ctx: Ctx, node: Node):
     depth = int(ctx.static(node.inputs[1]).reshape(-1)[0])
     values = ctx.static(node.inputs[2]).reshape(-1)  # [off, on]
     axis = node.attr("axis", -1)
+    indices = jnp.where(indices < 0, indices + depth, indices)  # spec: wrap
     oh = jax.nn.one_hot(indices, depth, axis=axis)
     off, on = float(values[0]), float(values[1])
     ctx.set(node.outputs[0], (oh * (on - off) + off).astype(np.asarray(values).dtype))

@@ -326,3 +326,65 @@ class TestSplitNumOutputs:
         x = rng.standard_normal((6, 4)).astype(np.float32)
         got = run_op("Split", [x], dict(axis=0), opset=13, n_outputs=3)
         np.testing.assert_allclose(got[1], x[2:4])
+
+
+class TestIndexingOps:
+    """Golden coverage for registered-but-previously-untested tensor ops."""
+
+    def test_einsum_matmul(self, rng):
+        a = rng.standard_normal((2, 3, 4)).astype(np.float32)
+        b_ = rng.standard_normal((2, 4, 5)).astype(np.float32)
+        got = run_op("Einsum", [a, b_], dict(equation="bij,bjk->bik"), opset=12)
+        np.testing.assert_allclose(got, np.einsum("bij,bjk->bik", a, b_),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_einsum_transpose_sum(self, rng):
+        a = rng.standard_normal((3, 5)).astype(np.float32)
+        got = run_op("Einsum", [a], dict(equation="ij->ji"), opset=12)
+        np.testing.assert_allclose(got, a.T, rtol=1e-6)
+
+    def test_scatter_nd(self, rng):
+        data = rng.standard_normal((4, 4)).astype(np.float32)
+        indices = np.array([[0], [2]], np.int64)
+        updates = rng.standard_normal((2, 4)).astype(np.float32)
+        got = run_op("ScatterND", [data, indices, updates], opset=13)
+        want = data.copy()
+        want[0] = updates[0]
+        want[2] = updates[1]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_gather_nd(self, rng):
+        data = rng.standard_normal((2, 3, 4)).astype(np.float32)
+        indices = np.array([[0, 1], [1, 2]], np.int64)
+        got = run_op("GatherND", [data, indices], opset=13)
+        np.testing.assert_allclose(got, np.stack([data[0, 1], data[1, 2]]),
+                                   rtol=1e-6)
+
+    def test_one_hot(self):
+        idx = np.array([0, 2, -1], np.int64)  # negative wraps per spec
+        got = run_op("OneHot", [idx], dict(axis=-1), opset=11,
+                     initializers=[np.array(4, np.int64),
+                                   np.array([0.0, 1.0], np.float32)])
+        want = np.zeros((3, 4), np.float32)
+        want[0, 0] = want[1, 2] = want[2, 3] = 1
+        np.testing.assert_allclose(got, want)
+
+    @pytest.mark.parametrize("upper,k", [(1, 0), (0, 0), (1, 1), (0, -1)])
+    def test_trilu(self, rng, upper, k):
+        x = rng.standard_normal((4, 5)).astype(np.float32)
+        got = run_op("Trilu", [x], dict(upper=upper), opset=14,
+                     initializers=[np.array(k, np.int64)])
+        want = np.triu(x, k) if upper else np.tril(x, k)
+        np.testing.assert_allclose(got, want)
+
+    def test_scatter_elements_add(self, rng):
+        data = np.zeros((3, 4), np.float32)
+        idx = np.array([[1, 0], [0, 2]], np.int64)
+        upd = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+        got = run_op("ScatterElements", [data, idx, upd],
+                     dict(axis=1, reduction="add"), opset=16)
+        want = data.copy()
+        for i in range(2):
+            for j in range(2):
+                want[i, idx[i, j]] += upd[i, j]
+        np.testing.assert_allclose(got, want)
