@@ -142,7 +142,17 @@ _binary("Add", jnp.add)
 _binary("Sub", jnp.subtract)
 _binary("Mul", jnp.multiply)
 _binary("Div", jnp.divide)
-_binary("Mod", jnp.mod)
+
+
+@register("Mod", since=10)
+def mod_op(ctx: Ctx, node: Node):
+    a = ctx.get(node.inputs[0])
+    b = ctx.get(node.inputs[1])
+    if node.attr("fmod", 0):  # C fmod: result takes the dividend's sign
+        ctx.set(node.outputs[0], jnp.fmod(a, b))
+    else:  # python %: result takes the divisor's sign
+        ctx.set(node.outputs[0], jnp.mod(a, b))
+
 _binary("Equal", jnp.equal, bool_out=True)
 _binary("Greater", jnp.greater, bool_out=True)
 _binary("GreaterOrEqual", jnp.greater_equal, since=12, bool_out=True)

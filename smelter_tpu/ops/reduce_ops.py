@@ -47,7 +47,14 @@ _reduce("ReduceProd", lambda x, a, k: jnp.prod(x, axis=a, keepdims=k))
 _reduce("ReduceL2", lambda x, a, k: jnp.sqrt(jnp.sum(jnp.square(x), axis=a, keepdims=k)))
 _reduce("ReduceL1", lambda x, a, k: jnp.sum(jnp.abs(x), axis=a, keepdims=k))
 _reduce("ReduceSumSquare", lambda x, a, k: jnp.sum(jnp.square(x), axis=a, keepdims=k))
-_reduce("ReduceLogSumExp", lambda x, a, k: jnp.log(jnp.sum(jnp.exp(x), axis=a, keepdims=k)))
+_reduce("ReduceLogSumExp", lambda x, a, k: _logsumexp(x, a, k))
+
+
+def _logsumexp(x, axes, keep):
+    m = jnp.max(x, axis=axes, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all -inf slice -> log(0)
+    y = jnp.log(jnp.sum(jnp.exp(x - m), axis=axes, keepdims=True)) + m
+    return y if keep else jnp.squeeze(y, axis=axes)
 
 
 @register("ArgMax")
@@ -69,7 +76,10 @@ def argmin(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = node.attr("axis", 0)
     keep = bool(node.attr("keepdims", 1))
-    y = jnp.argmin(x, axis=axis)
+    if node.attr("select_last_index", 0):
+        y = x.shape[axis] - 1 - jnp.argmin(jnp.flip(x, axis), axis=axis)
+    else:
+        y = jnp.argmin(x, axis=axis)
     if keep:
         y = jnp.expand_dims(y, axis)
     ctx.set(node.outputs[0], y.astype(jnp.int32))  # int64 unavailable without x64
@@ -79,15 +89,17 @@ def argmin(ctx: Ctx, node: Node):
 def cumsum(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = int(ctx.static(node.inputs[1]).reshape(-1)[0])
+    if node.attr("reverse", 0):
+        x = jnp.flip(x, axis)
     y = jnp.cumsum(x, axis=axis)
-    if node.attr("exclusive", 0):
+    if node.attr("exclusive", 0):  # shift right, zero-filled leading slot
         pad = [(0, 0)] * x.ndim
         pad[axis] = (1, 0)
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(0, x.shape[axis])
         y = jnp.pad(y, pad)[tuple(sl)]
     if node.attr("reverse", 0):
-        y = jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis=axis), axis)
+        y = jnp.flip(y, axis)
     ctx.set(node.outputs[0], y)
 
 

@@ -388,3 +388,41 @@ class TestIndexingOps:
             for j in range(2):
                 want[i, idx[i, j]] += upd[i, j]
         np.testing.assert_allclose(got, want)
+
+
+class TestAuditedOps:
+    """Regression tests from the registered-but-untested op audit (these
+    four were real bugs: CumSum exclusive+reverse, Mod fmod, logsumexp
+    overflow, ArgMin select_last_index)."""
+
+    @pytest.mark.parametrize("ex,rev", [(0, 0), (0, 1), (1, 0), (1, 1)])
+    def test_cumsum_modes(self, ex, rev):
+        x = np.arange(1, 7, dtype=np.float32)
+        ref = x[::-1] if rev else x
+        y = np.cumsum(ref)
+        if ex:
+            y = np.concatenate([[0], y[:-1]])
+        if rev:
+            y = y[::-1]
+        got = run_op("CumSum", [x], dict(exclusive=ex, reverse=rev), opset=14,
+                     initializers=[np.array(0, np.int64)])
+        np.testing.assert_allclose(got, y, rtol=1e-6)
+
+    def test_mod_integer_and_fmod(self):
+        got = run_op("Mod", [np.array([-7, 7], np.int32),
+                             np.array([3, -3], np.int32)], opset=13)
+        np.testing.assert_array_equal(got, [2, -2])  # divisor sign
+        got = run_op("Mod", [np.array([-7.5, 7.5], np.float32),
+                             np.array([3.0, -3.0], np.float32)],
+                     dict(fmod=1), opset=13)
+        np.testing.assert_allclose(got, [-1.5, 1.5])  # dividend sign
+
+    def test_reduce_logsumexp_stable(self):
+        got = run_op("ReduceLogSumExp",
+                     [np.array([1000.0, 1000.0], np.float32)], dict(axes=[0]))
+        np.testing.assert_allclose(got, [1000.0 + np.log(2.0)], rtol=1e-5)
+
+    def test_argmin_select_last(self):
+        got = run_op("ArgMin", [np.array([3.0, 1.0, 1.0], np.float32)],
+                     dict(axis=0, keepdims=0, select_last_index=1), opset=13)
+        assert got == 2
