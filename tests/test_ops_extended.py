@@ -426,3 +426,50 @@ class TestAuditedOps:
         got = run_op("ArgMin", [np.array([3.0, 1.0, 1.0], np.float32)],
                      dict(axis=0, keepdims=0, select_last_index=1), opset=13)
         assert got == 2
+
+
+class TestTrivialOpSpotChecks:
+    """Audit sweep leftovers: one-line ops checked against numpy/torch so
+    every registered op has at least one direct test."""
+
+    def test_elementwise_batch(self):
+        np.testing.assert_allclose(
+            run_op("Round", [np.array([0.5, 1.5, 2.5, -0.5], np.float32)],
+                   opset=11), [0.0, 2.0, 2.0, -0.0])  # half-to-even
+        np.testing.assert_allclose(
+            run_op("Sign", [np.array([-3.0, 0.0, 7.0], np.float32)], opset=9),
+            [-1, 0, 1])
+        np.testing.assert_allclose(
+            run_op("Reciprocal", [np.array([2.0, -4.0], np.float32)]),
+            [0.5, -0.25])
+        np.testing.assert_array_equal(
+            run_op("Not", [np.array([True, False])]), [False, True])
+        np.testing.assert_array_equal(
+            run_op("Equal", [np.array([1, 2], np.int32),
+                             np.array([1, 3], np.int32)], opset=11),
+            [True, False])
+
+    def test_variadic_and_norms(self):
+        np.testing.assert_allclose(
+            run_op("Sum", [np.ones(2, np.float32)] * 3), [3.0, 3.0])
+        np.testing.assert_allclose(
+            run_op("Min", [np.array([3.0, 1.0], np.float32),
+                           np.array([2.0, 5.0], np.float32)]), [2.0, 1.0])
+        np.testing.assert_allclose(
+            run_op("ReduceL2", [np.array([3.0, 4.0], np.float32)],
+                   dict(axes=[0])), [5.0])
+        np.testing.assert_allclose(
+            run_op("ReduceSumSquare", [np.array([2.0, 3.0], np.float32)],
+                   dict(axes=[0])), [13.0])
+        np.testing.assert_allclose(
+            run_op("ReduceL1", [np.array([-2.0, 3.0], np.float32)],
+                   dict(axes=[0])), [5.0])
+
+    def test_group_norm_vs_torch(self, rng):
+        x = rng.standard_normal((2, 4, 3, 3)).astype(np.float32)
+        got = run_op("GroupNormalization", [x],
+                     dict(num_groups=2, epsilon=1e-5),
+                     initializers=[np.ones(4, np.float32),
+                                   np.zeros(4, np.float32)], opset=18)
+        want = F.group_norm(torch.from_numpy(x), 2).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
