@@ -156,50 +156,137 @@ def _rnn_common(ctx: Ctx, node: Node):
     w = ctx.get(node.inputs[1])          # (D, gates*H, I)
     r = ctx.get(node.inputs[2])          # (D, gates*H, H)
     b = ctx.get(node.inputs[3]) if len(node.inputs) > 3 and node.inputs[3] else None
-    return x, w, r, b
+    seq_lens = (ctx.get(node.inputs[4])
+                if len(node.inputs) > 4 and node.inputs[4] else None)
+    return x, w, r, b, seq_lens
 
 
-def _scan_rnn(step, x, init_carry, reverse=False):
-    xs = jnp.flip(x, 0) if reverse else x
-    carry, ys = jax.lax.scan(step, init_carry, xs)
+_RNN_ACTS = {
+    "Sigmoid": jax.nn.sigmoid,
+    "Tanh": jnp.tanh,
+    "Relu": jax.nn.relu,
+    "Softsign": jax.nn.soft_sign,
+    "Softplus": jax.nn.softplus,
+}
+
+
+def _rnn_activations(node: Node, directions: int, defaults: list[str]):
+    """Resolve the per-direction activation function list, rejecting
+    activations outside the supported (unparameterized) set."""
+    acts = node.attr("activations") or []
+    acts = [a.decode() if isinstance(a, bytes) else a for a in acts]
+    if not acts:
+        acts = defaults * directions
+    if len(acts) == len(defaults) and directions == 2:
+        acts = acts * 2
+    if len(acts) != len(defaults) * directions:
+        raise NotSupportedError(
+            f"{node.op_type}: expected {len(defaults) * directions} activations, "
+            f"got {acts}")
+    fns = []
+    for a in acts:
+        if a not in _RNN_ACTS:
+            raise NotSupportedError(
+                f"{node.op_type} activation {a!r} not supported "
+                f"(supported: {sorted(_RNN_ACTS)})")
+        fns.append(_RNN_ACTS[a])
+    k = len(defaults)
+    return [fns[d * k:(d + 1) * k] for d in range(directions)]
+
+
+def _clip_fn(node: Node):
+    c = node.attr("clip")
+    if c is None:
+        return lambda v: v
+    c = float(c)
+    return lambda v: jnp.clip(v, -c, c)
+
+
+def _seq_reverse(x, seq_lens):
+    """Reverse each batch sequence within its own valid length, leaving
+    padding frames in place (an involution, so it also un-reverses)."""
+    T = x.shape[0]
+    t_idx = jnp.arange(T)[:, None]                     # (T, 1)
+    lens = seq_lens[None, :].astype(jnp.int32)         # (1, B)
+    idx = jnp.where(t_idx < lens, lens - 1 - t_idx, t_idx)  # (T, B)
+    return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)),
+                               axis=0)
+
+
+def _scan_rnn(step, x, init_carry, reverse=False, seq_lens=None):
+    """lax.scan over time. With seq_lens (B,), frames at/past each sequence's
+    end neither update the carry nor emit output (ONNX zero-pads Y there);
+    reverse order reverses each sequence within its own valid length."""
+    if seq_lens is None:
+        xs = jnp.flip(x, 0) if reverse else x
+        carry, ys = jax.lax.scan(step, init_carry, xs)
+        if reverse:
+            ys = jnp.flip(ys, 0)
+        return carry, ys
+    T = x.shape[0]
+    xs = _seq_reverse(x, seq_lens) if reverse else x
+    mask_t = jnp.arange(T)[:, None] < seq_lens[None, :]  # (T, B)
+
+    def masked_step(carry, xt_m):
+        xt, m = xt_m
+        new_carry, y = step(carry, xt)
+        mm = m[:, None]
+        new_carry = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(mm, n, o), new_carry, carry)
+        return new_carry, jnp.where(mm, y, jnp.zeros((), y.dtype))
+
+    carry, ys = jax.lax.scan(masked_step, init_carry, (xs, mask_t))
     if reverse:
-        ys = jnp.flip(ys, 0)
+        ys = _seq_reverse(ys, seq_lens)
     return carry, ys
 
 
 @register("LSTM", since=7)
 def lstm(ctx: Ctx, node: Node):
-    x, w, r, b = _rnn_common(ctx, node)
+    x, w, r, b, seq_lens = _rnn_common(ctx, node)
     hidden = int(node.attr("hidden_size"))
     T, B, _ = x.shape
     directions = w.shape[0]
     direction = _direction(node)
     h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
     c0_all = ctx.get(node.inputs[6]) if len(node.inputs) > 6 and node.inputs[6] else None
+    p_all = ctx.get(node.inputs[7]) if len(node.inputs) > 7 and node.inputs[7] else None
+    acts = _rnn_activations(node, directions, ["Sigmoid", "Tanh", "Tanh"])
+    clip = _clip_fn(node)
 
     def one_direction(d, reverse):
         wi = w[d]
         ri = r[d]
+        f_act, g_act, h_act = acts[d]
         if b is not None:
             bi = b[d][: 4 * hidden] + b[d][4 * hidden:]
         else:
             bi = jnp.zeros((4 * hidden,), x.dtype)
         h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
         c0 = c0_all[d] if c0_all is not None else jnp.zeros((B, hidden), x.dtype)
+        if p_all is not None:
+            pi, po, pf = jnp.split(p_all[d], 3)  # ONNX peephole order iof
+        else:
+            pi = po = pf = None
 
         def step(carry, xt):
             h, c = carry
             gates = xt @ wi.T + h @ ri.T + bi
             i_g, o_g, f_g, c_g = jnp.split(gates, 4, axis=-1)  # ONNX order iofc
-            i_g = jax.nn.sigmoid(i_g)
-            o_g = jax.nn.sigmoid(o_g)
-            f_g = jax.nn.sigmoid(f_g)
-            c_g = jnp.tanh(c_g)
+            if pi is not None:
+                i_g = i_g + pi * c
+                f_g = f_g + pf * c
+            i_g = f_act(clip(i_g))
+            f_g = f_act(clip(f_g))
+            c_g = g_act(clip(c_g))
             c_new = f_g * c + i_g * c_g
-            h_new = o_g * jnp.tanh(c_new)
+            if po is not None:
+                o_g = o_g + po * c_new
+            o_g = f_act(clip(o_g))
+            h_new = o_g * h_act(c_new)
             return (h_new, c_new), h_new
 
-        (h_f, c_f), ys = _scan_rnn(step, x, (h0, c0), reverse)
+        (h_f, c_f), ys = _scan_rnn(step, x, (h0, c0), reverse, seq_lens)
         return ys, h_f, c_f
 
     if direction == "bidirectional":
@@ -223,15 +310,19 @@ def lstm(ctx: Ctx, node: Node):
 
 @register("GRU", since=7)
 def gru(ctx: Ctx, node: Node):
-    x, w, r, b = _rnn_common(ctx, node)
+    x, w, r, b, seq_lens = _rnn_common(ctx, node)
     hidden = int(node.attr("hidden_size"))
     T, B, _ = x.shape
+    directions = w.shape[0]
     direction = _direction(node)
     linear_before_reset = int(node.attr("linear_before_reset", 0))
     h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
+    acts = _rnn_activations(node, directions, ["Sigmoid", "Tanh"])
+    clip = _clip_fn(node)
 
     def one_direction(d, reverse):
         wi, ri = w[d], r[d]
+        f_act, g_act = acts[d]
         wb = b[d][: 3 * hidden] if b is not None else jnp.zeros((3 * hidden,), x.dtype)
         rb = b[d][3 * hidden:] if b is not None else jnp.zeros((3 * hidden,), x.dtype)
         h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
@@ -239,17 +330,17 @@ def gru(ctx: Ctx, node: Node):
         def step(h, xt):
             gi = xt @ wi.T + wb   # (B, 3H) order zrh
             gh = h @ ri.T + rb
-            z = jax.nn.sigmoid(gi[:, :hidden] + gh[:, :hidden])
-            rt = jax.nn.sigmoid(gi[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden])
+            z = f_act(clip(gi[:, :hidden] + gh[:, :hidden]))
+            rt = f_act(clip(gi[:, hidden:2 * hidden] + gh[:, hidden:2 * hidden]))
             if linear_before_reset:
-                n = jnp.tanh(gi[:, 2 * hidden:] + rt * gh[:, 2 * hidden:])
+                n = g_act(clip(gi[:, 2 * hidden:] + rt * gh[:, 2 * hidden:]))
             else:
-                n = jnp.tanh(gi[:, 2 * hidden:] + (rt * h) @ ri[2 * hidden:].T
-                             + rb[2 * hidden:])
+                n = g_act(clip(gi[:, 2 * hidden:] + (rt * h) @ ri[2 * hidden:].T
+                               + rb[2 * hidden:]))
             h_new = (1 - z) * n + z * h
             return h_new, h_new
 
-        h_f, ys = _scan_rnn(step, x, h0, reverse)
+        h_f, ys = _scan_rnn(step, x, h0, reverse, seq_lens)
         return ys, h_f
 
     if direction == "bidirectional":
@@ -269,25 +360,26 @@ def gru(ctx: Ctx, node: Node):
 
 @register("RNN", since=7)
 def rnn(ctx: Ctx, node: Node):
-    x, w, r, b = _rnn_common(ctx, node)
+    x, w, r, b, seq_lens = _rnn_common(ctx, node)
     hidden = int(node.attr("hidden_size"))
     T, B, _ = x.shape
+    directions = w.shape[0]
     direction = _direction(node)
     h0_all = ctx.get(node.inputs[5]) if len(node.inputs) > 5 and node.inputs[5] else None
-    acts = node.attr("activations") or []
-    acts = [a.decode() if isinstance(a, bytes) else a for a in acts]
+    acts = _rnn_activations(node, directions, ["Tanh"])
+    clip = _clip_fn(node)
 
     def one_direction(d, reverse):
         wi, ri = w[d], r[d]
         bi = (b[d][:hidden] + b[d][hidden:]) if b is not None else jnp.zeros((hidden,), x.dtype)
         h0 = h0_all[d] if h0_all is not None else jnp.zeros((B, hidden), x.dtype)
-        act = jax.nn.relu if (len(acts) > d and acts[d] == "Relu") else jnp.tanh
+        act = acts[d][0]
 
         def step(h, xt):
-            h_new = act(xt @ wi.T + h @ ri.T + bi)
+            h_new = act(clip(xt @ wi.T + h @ ri.T + bi))
             return h_new, h_new
 
-        h_f, ys = _scan_rnn(step, x, h0, reverse)
+        h_f, ys = _scan_rnn(step, x, h0, reverse, seq_lens)
         return ys, h_f
 
     if direction == "bidirectional":

@@ -488,6 +488,25 @@ def grid_sample(ctx: Ctx, node: Node):
         ix = ((gx + 1) * w - 1) * 0.5
         iy = ((gy + 1) * h - 1) * 0.5
 
+    def reflect(coord, size):
+        # Fold the continuous coordinate back into range by reflecting at
+        # pixel centers (align_corners) or image edges (not): torch/ONNX
+        # reflect_coordinates semantics, then clamp like torch does.
+        if align:
+            mn, span = 0.0, float(size - 1)
+        else:
+            mn, span = -0.5, float(size)
+        if span <= 0:
+            return jnp.zeros_like(coord)
+        d = jnp.abs(coord - mn) % (2 * span)
+        return jnp.clip(jnp.where(d >= span, 2 * span - d, d) + mn, 0, size - 1)
+
+    if pad_mode == "reflection":
+        ix = reflect(ix, w)
+        iy = reflect(iy, h)
+    elif pad_mode not in ("zeros", "border"):
+        raise NotSupportedError(f"GridSample padding_mode {pad_mode!r}")
+
     def sample(iy_idx, ix_idx):
         iyc = jnp.clip(iy_idx, 0, h - 1)
         ixc = jnp.clip(ix_idx, 0, w - 1)

@@ -202,7 +202,9 @@ def qlinear_conv(ctx: Ctx, node: Node):
         b_f = bias * (x_s * (w_s.reshape(-1) if w_s.size > 1 else w_s))
         y_f = y_f + b_f.reshape(rank_shape)
     y = jnp.round(y_f / y_s) + y_z
-    out_dtype = ctx.get(node.inputs[2]).dtype  # same family as x zero point
+    # ONNX: output type follows the y zero-point (inputs[7]), which may
+    # differ from x's (e.g. uint8 activations requantized to int8).
+    out_dtype = ctx.get(node.inputs[7]).dtype
     info = jnp.iinfo(out_dtype)
     ctx.set(node.outputs[0], jnp.clip(y, info.min, info.max).astype(out_dtype))
 

@@ -248,7 +248,14 @@ def fuse_bn_conv(graph: Graph) -> int:
             b_new = add
         b_name = graph.fresh_name(w_name + "_bnb")
         graph.initializers[b_name] = b_new.astype(orig_dtype)
-        graph.initializers[w_name] = w_new.astype(orig_dtype)
+        if len(consumers.get(w_name, [])) > 1:
+            # weight shared with other nodes (weight tying / siamese
+            # branches): fold into a private copy, leave the original alone
+            new_w_name = graph.fresh_name(w_name + "_bnw")
+            graph.initializers[new_w_name] = w_new.astype(orig_dtype)
+            src.inputs[1] = new_w_name
+        else:
+            graph.initializers[w_name] = w_new.astype(orig_dtype)
         if len(src.inputs) > 2 and src.inputs[2]:
             src.inputs[2] = b_name
         else:

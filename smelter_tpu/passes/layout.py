@@ -73,6 +73,7 @@ class _Rewriter:
         self.alt: dict[tuple[str, str], str] = {}  # (edge, layout) -> edge name
         self.out_nodes: list[Node] = []
         self.vt = graph.value_types
+        self._hwio_cache: dict[str, str] = {}  # original weight edge -> HWIO edge
 
     def rank(self, name: str) -> int | None:
         t = self.vt.get(name)
@@ -100,10 +101,16 @@ class _Rewriter:
         return self.rank(name) == 4
 
     def _conv_weight_nhwc(self, node: Node) -> bool:
-        """Permute the conv weight to HWIO offline. Returns False if the
-        weight is neither an initializer nor a DequantizeLinear of one."""
+        """Rewrite the conv's weight input to an HWIO edge. Never mutates
+        the original initializer in place (it may be shared by other convs
+        — weight tying — or by non-conv consumers that need OIHW); instead
+        a fresh permuted initializer / dequant chain is created and
+        memoized, and dead originals are left for DCE."""
         g = self.graph
         w_name = node.inputs[1]
+        if w_name in self._hwio_cache:
+            node.inputs[1] = self._hwio_cache[w_name]
+            return True
         if w_name in g.initializers:
             from .. import native
 
@@ -111,21 +118,33 @@ class _Rewriter:
             if w.ndim != 4:
                 return False
             if w.dtype == np.float32:
-                g.initializers[w_name] = native.relayout_oihw_to_hwio(w)
+                pw = native.relayout_oihw_to_hwio(w)
             else:
-                g.initializers[w_name] = np.ascontiguousarray(
-                    np.transpose(w, (2, 3, 1, 0)))
+                pw = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+            pname = g.fresh_name(w_name + "__hwio")
+            g.initializers[pname] = pw
+            node.inputs[1] = pname
+            self._hwio_cache[w_name] = pname
             return True
-        # DequantizeLinear(int8_init, scales) feeding the conv
+        # DequantizeLinear(int8_init, scales) feeding the conv: duplicate the
+        # dequant onto a permuted copy of the int8 initializer so any other
+        # consumer of the original dequant output still sees OIHW.
         prod = self._producer_of(w_name)
         if (prod is not None and prod.op_type == "DequantizeLinear"
                 and prod.inputs[0] in g.initializers
                 and int(prod.attr("axis", 1)) == 0
                 and g.initializers[prod.inputs[0]].ndim == 4):
-            q = g.initializers[prod.inputs[0]]
-            g.initializers[prod.inputs[0]] = np.ascontiguousarray(
-                np.transpose(q, (2, 3, 1, 0)))
-            prod.attrs["axis"] = 3  # output channels now last
+            q_name = prod.inputs[0]
+            pq_name = g.fresh_name(q_name + "__hwio")
+            g.initializers[pq_name] = np.ascontiguousarray(
+                np.transpose(g.initializers[q_name], (2, 3, 1, 0)))
+            new_out = g.fresh_name(w_name + "__hwio")
+            dq = Node("DequantizeLinear", [pq_name] + list(prod.inputs[1:]),
+                      [new_out], attrs=dict(prod.attrs), name=f"lt_{new_out}")
+            dq.attrs["axis"] = 3  # output channels now last
+            self.out_nodes.append(dq)
+            node.inputs[1] = new_out
+            self._hwio_cache[w_name] = new_out
             return True
         return False
 

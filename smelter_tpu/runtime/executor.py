@@ -170,11 +170,18 @@ class Executor:
         # would corrupt dequantization).
         precision_critical: set[str] = set()
         _SCALE_POS = {
-            "DequantizeLinear": (1, 2), "QuantizeLinear": (1, 2),
-            "QLinearConv": (1, 2, 4, 5, 6, 7), "QLinearMatMul": (1, 2, 4, 5, 6, 7),
+            "DequantizeLinear": (1, 2),
             "FusedDequantMatMul": (2,),
         }
         for node in graph.nodes:
+            if node.op_type.startswith("Q"):
+                # Every Q-op input may be a scale/zero-point (QuantizeLinear,
+                # QLinearConv/MatMul, and the whole ORT QOperator family:
+                # QGemm, QLinearAdd/Mul/Sigmoid/LeakyRelu/pools/Concat).
+                # Quantized int8/uint8 data inputs are unaffected — the
+                # bf16 cast below only touches float32 params.
+                precision_critical.update(n for n in node.inputs if n)
+                continue
             for pos in _SCALE_POS.get(node.op_type, ()):
                 if pos < len(node.inputs):
                     precision_critical.add(node.inputs[pos])

@@ -145,6 +145,193 @@ class TestMHAFrontend:
                                    rtol=1e-4, atol=1e-5)
 
 
+def _onnx_rnn_weights_bidir(mod, kind):
+    """torch bidirectional RNN module -> ONNX W, R, B stacked (2, ...)."""
+    parts = []
+    for sfx in ("", "_reverse"):
+        w_ih = getattr(mod, f"weight_ih_l0{sfx}").detach().numpy()
+        w_hh = getattr(mod, f"weight_hh_l0{sfx}").detach().numpy()
+        b_ih = getattr(mod, f"bias_ih_l0{sfx}").detach().numpy()
+        b_hh = getattr(mod, f"bias_hh_l0{sfx}").detach().numpy()
+        if kind == "lstm":
+            def reorder(a):
+                i, f, gq, o = np.split(a, 4, axis=0)
+                return np.concatenate([i, o, f, gq], axis=0)
+            w_ih, w_hh = reorder(w_ih), reorder(w_hh)
+            b_ih, b_hh = reorder(b_ih), reorder(b_hh)
+        parts.append((w_ih, w_hh, np.concatenate([b_ih, b_hh])))
+    W = np.stack([p[0] for p in parts])
+    R = np.stack([p[1] for p in parts])
+    Bb = np.stack([p[2] for p in parts])
+    return W, R, Bb
+
+
+class TestSequenceLens:
+    """ONNX sequence_lens semantics: frames past each sequence's end are
+    zeroed in Y, the carried state freezes at the last valid frame, and
+    reverse directions reverse within the valid length. Reference: torch
+    pack_padded_sequence (zero-pads exactly like ONNX)."""
+
+    def _run(self, g, x, n_out=2):
+        return st.CompiledModel(g)(x)
+
+    def test_lstm_forward_seq_lens(self, rng):
+        T, B, I, H = 6, 3, 4, 8
+        lens = np.asarray([6, 3, 1], np.int32)
+        torch.manual_seed(1)
+        mod = nn.LSTM(I, H).eval()
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+        W, R, Bb = _onnx_rnn_weights(mod, "lstm")
+
+        b = GraphBuilder("lstm_sl", opset=13)
+        xi = b.input("x", (T, B, I))
+        outs = b.node("LSTM", [xi, b.init(W), b.init(R), b.init(Bb),
+                               b.init(lens)], outputs=3, hidden_size=H)
+        g = b.finish(list(outs))
+        y, h_n, c_n = st.CompiledModel(g)(x)
+
+        packed = nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        with torch.no_grad():
+            out_p, (h_t, c_t) = mod(packed)
+        want, _ = nn.utils.rnn.pad_packed_sequence(out_p, total_length=T)
+        np.testing.assert_allclose(y[:, 0], want.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(h_n[0], h_t[0].numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(c_n[0], c_t[0].numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_lstm_bidirectional_seq_lens(self, rng):
+        T, B, I, H = 5, 3, 4, 6
+        lens = np.asarray([5, 4, 2], np.int32)
+        torch.manual_seed(2)
+        mod = nn.LSTM(I, H, bidirectional=True).eval()
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+        W, R, Bb = _onnx_rnn_weights_bidir(mod, "lstm")
+
+        b = GraphBuilder("lstm_bi_sl", opset=13)
+        xi = b.input("x", (T, B, I))
+        outs = b.node("LSTM", [xi, b.init(W), b.init(R), b.init(Bb),
+                               b.init(lens)], outputs=3, hidden_size=H,
+                      direction="bidirectional")
+        g = b.finish([outs[0], outs[1]])
+        y, h_n = st.CompiledModel(g)(x)  # y (T, 2, B, H)
+
+        packed = nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        with torch.no_grad():
+            out_p, (h_t, _) = mod(packed)
+        want, _ = nn.utils.rnn.pad_packed_sequence(out_p, total_length=T)
+        want = want.numpy().reshape(T, B, 2, H).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(h_n, h_t.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_gru_reverse_seq_lens(self, rng):
+        """Reverse-direction GRU vs torch bidirectional's reverse half."""
+        T, B, I, H = 5, 2, 3, 4
+        lens = np.asarray([4, 2], np.int32)
+        torch.manual_seed(3)
+        mod = nn.GRU(I, H, bidirectional=True).eval()
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+        # extract only the reverse-direction weights as a single-dir ONNX GRU
+        def reorder(a):
+            r, z, n = np.split(a, 3, axis=0)
+            return np.concatenate([z, r, n], axis=0)
+        W = reorder(mod.weight_ih_l0_reverse.detach().numpy())[None]
+        R = reorder(mod.weight_hh_l0_reverse.detach().numpy())[None]
+        Bb = np.concatenate([
+            reorder(mod.bias_ih_l0_reverse.detach().numpy()),
+            reorder(mod.bias_hh_l0_reverse.detach().numpy())])[None]
+
+        b = GraphBuilder("gru_rev_sl", opset=13)
+        xi = b.input("x", (T, B, I))
+        outs = b.node("GRU", [xi, b.init(W), b.init(R), b.init(Bb),
+                              b.init(lens)], outputs=2, hidden_size=H,
+                      direction="reverse", linear_before_reset=1)
+        g = b.finish([outs[0]])
+        y = st.CompiledModel(g)(x)[0][:, 0]  # (T, B, H)
+
+        packed = nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        with torch.no_grad():
+            out_p, _ = mod(packed)
+        want, _ = nn.utils.rnn.pad_packed_sequence(out_p, total_length=T)
+        want = want.numpy().reshape(T, B, 2, H)[:, :, 1]  # reverse half
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+class TestLSTMExtras:
+    def test_peephole(self, rng):
+        """LSTM with peephole weights P vs a manual numpy reference
+        (ONNX spec: i/f gates see C_{t-1}, o gate sees C_t)."""
+        T, B, I, H = 4, 2, 3, 5
+        W = (rng.standard_normal((1, 4 * H, I)) * 0.4).astype(np.float32)
+        R = (rng.standard_normal((1, 4 * H, H)) * 0.4).astype(np.float32)
+        P = (rng.standard_normal((1, 3 * H)) * 0.4).astype(np.float32)
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+
+        def sigmoid(a):
+            return 1 / (1 + np.exp(-a))
+
+        wi, wo, wf, wc = np.split(W[0], 4)
+        ri, ro, rf, rc = np.split(R[0], 4)
+        pi, po, pf = np.split(P[0], 3)
+        h = np.zeros((B, H), np.float32)
+        c = np.zeros((B, H), np.float32)
+        outs = []
+        for t in range(T):
+            xt = x[t]
+            i = sigmoid(xt @ wi.T + h @ ri.T + pi * c)
+            f = sigmoid(xt @ wf.T + h @ rf.T + pf * c)
+            cc = np.tanh(xt @ wc.T + h @ rc.T)
+            c = f * c + i * cc
+            o = sigmoid(xt @ wo.T + h @ ro.T + po * c)
+            h = o * np.tanh(c)
+            outs.append(h.copy())
+        want = np.stack(outs)
+
+        b = GraphBuilder("lstm_p", opset=13)
+        xi = b.input("x", (T, B, I))
+        outs_n = b.node("LSTM", [xi, b.init(W), b.init(R), "", "", "", "",
+                                 b.init(P)], outputs=1, hidden_size=H)
+        g = b.finish([outs_n])
+        got = st.CompiledModel(g)(x)[0][:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_clip_and_relu_activations(self, rng):
+        """RNN with clip + Relu activation vs manual reference."""
+        T, B, I, H = 3, 2, 4, 5
+        W = (rng.standard_normal((1, H, I)) * 1.5).astype(np.float32)
+        R = (rng.standard_normal((1, H, H)) * 1.5).astype(np.float32)
+        x = rng.standard_normal((T, B, I)).astype(np.float32)
+        clip = 0.8
+
+        h = np.zeros((B, H), np.float32)
+        outs = []
+        for t in range(T):
+            h = np.maximum(np.clip(x[t] @ W[0].T + h @ R[0].T, -clip, clip), 0)
+            outs.append(h.copy())
+        want = np.stack(outs)
+
+        b = GraphBuilder("rnn_clip", opset=13)
+        xi = b.input("x", (T, B, I))
+        y = b.node("RNN", [xi, b.init(W), b.init(R)], outputs=1,
+                   hidden_size=H, clip=clip, activations=[b"Relu"])
+        g = b.finish([y])
+        got = st.CompiledModel(g)(x)[0][:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_unsupported_activation_raises(self, rng):
+        from smelter_tpu.ir.errors import NotSupportedError
+        b = GraphBuilder("rnn_bad", opset=13)
+        xi = b.input("x", (2, 1, 3))
+        W = np.zeros((1, 4, 3), np.float32)
+        R = np.zeros((1, 4, 4), np.float32)
+        y = b.node("RNN", [xi, b.init(W), b.init(R)], outputs=1,
+                   hidden_size=4, activations=[b"LeakyRelu"])
+        g = b.finish([y])
+        with pytest.raises(NotSupportedError, match="activation"):
+            st.CompiledModel(g)(np.zeros((2, 1, 3), np.float32))
+
+
 class TestGRUDefaultMode:
     def test_gru_linear_before_reset_0(self, rng):
         """ONNX default (linear_before_reset=0) against a manual numpy

@@ -523,6 +523,21 @@ class TestGridSample:
             mode="bilinear", align_corners=1, padding_mode="zeros"), opset=16)
         np.testing.assert_allclose(got, 0.0)
 
+    @pytest.mark.parametrize("pad,align", [("border", 0), ("border", 1),
+                                           ("reflection", 0),
+                                           ("reflection", 1)])
+    def test_padding_modes_out_of_range(self, rng, pad, align):
+        """Coordinates well outside [-1,1] exercise border clamping and
+        multi-fold reflection."""
+        x = rng.standard_normal((2, 3, 7, 5)).astype(np.float32)
+        grid = (rng.random((2, 4, 4, 2)).astype(np.float32) * 6 - 3)
+        got = run_op("GridSample", [x, grid], dict(
+            mode="bilinear", align_corners=align, padding_mode=pad), opset=16)
+        want = t2n(F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                                 mode="bilinear", align_corners=bool(align),
+                                 padding_mode=pad))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
 
 class TestNegativeIndices:
     def test_gather_negative(self, rng):

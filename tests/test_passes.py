@@ -14,8 +14,8 @@ from smelter_tpu.passes.pass_manager import run_passes
 from smelter_tpu.models import mobilenet_v2
 
 
-def outputs_of(g, x):
-    return st.CompiledModel(g)(x)[0]
+def outputs_of(g, *x):
+    return st.CompiledModel(g)(*x)[0]
 
 
 def clone(g):
@@ -94,6 +94,29 @@ class TestBNFusion:
         run_passes(g)
         assert sum(1 for _ in g.find_nodes("BatchNormalization")) == 1
         np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-5)
+
+    def test_bn_fold_with_shared_weight(self):
+        """Two convs share one weight; only one feeds a BN. Folding must
+        not corrupt the other conv's weight (weight tying)."""
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+        b = GraphBuilder("tied", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        wn = b.init(w)
+        c1 = b.node("Conv", [x, wn], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        c2 = b.node("Conv", [x, wn], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        bn = b.batch_norm(c1, np.full(4, 2.0, np.float32),
+                          np.zeros(4, np.float32),
+                          rng.standard_normal(4).astype(np.float32) * 0.3,
+                          rng.uniform(0.5, 2.0, 4).astype(np.float32))
+        out = b.node("Add", [bn, c2])
+        g = b.finish([out])
+        xin = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = outputs_of(g, xin)
+        run_passes(g)
+        assert sum(1 for _ in g.find_nodes("BatchNormalization")) == 0
+        np.testing.assert_allclose(outputs_of(g, xin), before,
+                                   rtol=1e-4, atol=1e-5)
 
     def test_mobilenet_fusion_end_to_end(self):
         g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
@@ -224,6 +247,46 @@ class TestLayoutNHWC:
         run_passes(g, ["layout_nhwc"])
         assert run_passes(g, ["layout_nhwc"]) is g  # second run no-ops
         assert g.metadata["layout"] == "nhwc"
+
+    def test_shared_conv_weight_not_double_permuted(self):
+        """Two convs sharing one weight initializer (siamese): the layout
+        pass must not transpose it twice."""
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
+        b = GraphBuilder("siamese", opset=13)
+        x1 = b.input("x1", (1, 3, 8, 8))
+        x2 = b.input("x2", (1, 3, 8, 8))
+        wn = b.init(w)
+        h1 = b.node("Conv", [x1, wn], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        h2 = b.node("Conv", [x2, wn], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        y = b.node("Add", [h1, h2])
+        g = b.finish([y])
+        a1 = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        a2 = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = outputs_of(g, a1, a2)
+        run_passes(g, ["layout_nhwc", "dce"])
+        np.testing.assert_allclose(outputs_of(g, a1, a2), before,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_shared_dequant_conv_weight_not_double_permuted(self):
+        """Two convs sharing one DequantizeLinear'd int8 weight."""
+        rng = np.random.default_rng(0)
+        q = rng.integers(-127, 128, (8, 3, 3, 3)).astype(np.int8)
+        scale = (rng.random(8).astype(np.float32) + 0.5) / 100
+        b = GraphBuilder("siamese_q", opset=13)
+        x1 = b.input("x1", (1, 3, 8, 8))
+        x2 = b.input("x2", (1, 3, 8, 8))
+        w = b.node("DequantizeLinear", [b.init(q), b.init(scale)], axis=0)
+        h1 = b.node("Conv", [x1, w], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        h2 = b.node("Conv", [x2, w], kernel_shape=[3, 3], pads=[1, 1, 1, 1])
+        y = b.node("Add", [h1, h2])
+        g = b.finish([y])
+        a1 = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        a2 = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = outputs_of(g, a1, a2)
+        run_passes(g, ["layout_nhwc", "dce"])
+        np.testing.assert_allclose(outputs_of(g, a1, a2), before,
+                                   rtol=1e-4, atol=1e-5)
 
 
 class TestLayoutDepthToSpace:

@@ -69,6 +69,28 @@ class TestQLinear:
         diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 1  # float rounding at the requant boundary
 
+    def test_qlinear_conv_mixed_output_dtype(self, rng):
+        """uint8 activations requantized to int8: output dtype/range must
+        follow the y zero-point (inputs[7]), not x's."""
+        xf = rng.random((1, 2, 6, 6)).astype(np.float32) * 4  # positive
+        wf = rng.standard_normal((3, 2, 3, 3)).astype(np.float32)
+        x_s = np.float32(xf.max() / 255)
+        x_z = np.uint8(0)
+        w_s = np.float32(np.abs(wf).max() / 127)
+        x_q = np.clip(np.round(xf / x_s), 0, 255).astype(np.uint8)
+        w_q = np.clip(np.round(wf / w_s), -127, 127).astype(np.int8)
+        import torch
+        import torch.nn.functional as F
+        ref_f = F.conv2d(torch.from_numpy(x_q.astype(np.float32) * x_s),
+                         torch.from_numpy(w_q.astype(np.float32) * w_s)).numpy()
+        y_s = np.float32(np.abs(ref_f).max() / 127)
+        got = run_op("QLinearConv", [x_q], dict(kernel_shape=[3, 3]), opset=13,
+                     initializers=[x_s, x_z, w_q, w_s, np.int8(0),
+                                   y_s, np.int8(0)])
+        assert got.dtype == np.int8
+        want = np.clip(np.round(ref_f / y_s), -128, 127).astype(np.int8)
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
     def test_dynamic_quantize(self, rng):
         x = rng.standard_normal((3, 7)).astype(np.float32) * 4
         q, s, zp = run_op("DynamicQuantizeLinear", [x], opset=13, n_outputs=3)
