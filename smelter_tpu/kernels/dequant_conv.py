@@ -84,9 +84,14 @@ def _dequant_conv_impl(
     th = min(tile_h, h_out)
     n_th = _cdiv(h_out, th)
     # Pad: conv padding + alignment so every row tile's halo read is in
-    # bounds (padded height = n_th*th + kh - 1).
+    # bounds (padded height = n_th*th + kh - 1), and W padded to a sublane
+    # multiple (8) — Mosaic rejects HBM->VMEM slices whose second-to-minor
+    # extent is unaligned (probe11: W=30 at 28x28 failed to compile).
     extra_h = n_th * th + kh - 1 - (h + ph0 + ph1)
-    xp = jnp.pad(x, ((0, 0), (ph0, ph1 + max(0, extra_h)), (pw0, pw1), (0, 0)))
+    w_pad_total = w + pw0 + pw1
+    extra_w = _cdiv(w_pad_total, 8) * 8 - w_pad_total
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1 + max(0, extra_h)),
+                     (pw0, pw1 + extra_w), (0, 0)))
 
     tc = min(block_cout, cout)
     n_tc = _cdiv(cout, tc)

@@ -1,0 +1,164 @@
+"""int8 x int8 -> int32 MXU matmul with fused dequant epilogue.
+
+Round-2 attack on the dequant+matmul speed-of-light gate (BASELINE.md:11):
+the round-1 kernel (kernels/dequant_matmul.py) upcasts int8 weights to the
+activation dtype and runs the bf16 MXU (197 TFLOP/s peak on v5e); it
+measured 63 TF vs XLA-fused 98 TF. The int8 MXU path doubles the envelope
+(394 TOP/s on v5e) and halves both operands' VMEM footprint, so tiles can
+be twice as large for the same budget.
+
+Formulation (SURVEY.md §7 "hard parts" (b); VERDICT r1 item 1):
+- activations are dynamically quantized per-row: one HBM-bound XLA pass
+  computes s_row = absmax/127 and x_q = round(x/s_row) (quantize_rows);
+- the kernel is then a *pure* int8 matmul: per (m,n,k) tile,
+  acc_i32 += dot(x_q, w_q) on the int8 MXU — zero VPU work in the K loop
+  (per-K-tile activation scales would cost an f32 epilogue per step,
+  ~30% VPU overhead at bk=512; per-row scales commute with the K sum);
+- epilogue after the K sweep: out = acc * s_row[:,None] * s_col[None,:]
+  (weight scales are per-output-channel, reference analog of the
+  per-channel fp16/int8 weight scales in quant/weight_quant.py).
+
+Numerics: activations carry one extra rounding step vs the weight-only
+kernel (bf16-exact activations); max elementwise activation error is
+0.5 * s_row. Accuracy gates live in tests/test_kernels.py (exact integer
+parity) and the model-level argmax checks in tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def quantize_rows(x: jax.Array):
+    """Per-row symmetric int8 quantization: returns (x_q int8, s_row f32).
+    One fused HBM pass under XLA (absmax reduce + scale + round)."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(ax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _kernel(x_ref, w_ref, sr_ref, sc_ref, o_ref, acc_ref, *, n_k: int,
+            out_dtype, k_total: int, bk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:]
+    if k_total % bk != 0:
+        # K remainder: zero the out-of-bounds lanes of BOTH operands
+        rem = k_total - k * bk
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        x = jnp.where(col < rem, x, jnp.zeros_like(x))
+        w = jnp.where(row < rem, w, jnp.zeros_like(w))
+
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sr_ref[:].astype(jnp.float32)
+                    * sc_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
+)
+def _int8_matmul_impl(
+    x_q: jax.Array,       # (M, K) int8
+    w_q: jax.Array,       # (K, N) int8
+    row_scales: jax.Array,  # (M, 1) f32
+    col_scales: jax.Array,  # (N,) f32
+    *,
+    block_m: int = 1024,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x_q.shape
+    K2, N = w_q.shape
+    assert K == K2 and col_scales.shape == (N,) and row_scales.shape == (M, 1)
+
+    # int8 min tile is (32, 128); clamp blocks to padded problem size.
+    bm = min(block_m, _round_up(M, 32))
+    bn = min(block_n, _round_up(N, 128))
+    bk = min(block_k, _round_up(K, 128))
+    grid = (_cdiv(M, bm), _cdiv(N, bn), _cdiv(K, bk))
+
+    kernel = functools.partial(
+        _kernel, n_k=grid[2], out_dtype=jnp.dtype(out_dtype), k_total=K, bk=bk
+    )
+    flops = 2 * M * N * K
+    bytes_accessed = (x_q.size + w_q.size + M * 4 + N * 4
+                      + M * N * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x_q, w_q, row_scales, col_scales.reshape(1, N))
+
+
+def int8_matmul(x_q, w_q, row_scales, col_scales, *, block_m: int = 1024,
+                block_n: int = 1024, block_k: int = 1024,
+                out_dtype=jnp.bfloat16, interpret: bool | None = None):
+    """Pure int8 MXU matmul: (M,K)i8 @ (K,N)i8 -> i32 acc, scaled epilogue.
+    Auto-selects interpret mode off-TPU (Mosaic compiles only for TPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _int8_matmul_impl(x_q, w_q, row_scales, col_scales,
+                             block_m=block_m, block_n=block_n, block_k=block_k,
+                             out_dtype=out_dtype, interpret=interpret)
+
+
+def dequant_matmul_int8(x, w_q, scales, *, block_m: int = 1024,
+                        block_n: int = 1024, block_k: int = 1024,
+                        out_dtype=None, interpret: bool | None = None):
+    """Drop-in alternative to kernels.dequant_matmul: float activations,
+    int8 weights with per-N scales. Quantizes activations per-row (XLA
+    pass), then runs the int8 MXU kernel."""
+    out_dtype = out_dtype or x.dtype
+    x_q, s_row = quantize_rows(x)
+    return int8_matmul(x_q, w_q, s_row, scales, block_m=block_m,
+                       block_n=block_n, block_k=block_k,
+                       out_dtype=out_dtype, interpret=interpret)
+
+
+def int8_matmul_reference(x_q, w_q, row_scales, col_scales,
+                          out_dtype=jnp.bfloat16):
+    """jnp reference (exact integer accumulation) for kernel tests."""
+    acc = jnp.matmul(x_q.astype(jnp.int32), w_q.astype(jnp.int32),
+                     preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * row_scales.astype(jnp.float32)
+            * col_scales[None, :].astype(jnp.float32)).astype(out_dtype)

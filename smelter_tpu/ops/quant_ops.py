@@ -44,16 +44,32 @@ def dequantize_linear(ctx: Ctx, node: Node):
 @register("QuantizeLinear", since=10)
 def quantize_linear(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
-    scale = ctx.get(node.inputs[1])
     axis = node.attr("axis", 1)
     if axis < 0:
         axis += x.ndim
-    s = _scale_shape(scale, x.ndim, axis).astype(jnp.float32)
-    y = jnp.round(x.astype(jnp.float32) / s)
+    # Static scale: fold the reciprocal at trace time (turns the VPU
+    # division into a constant multiply; see _STATIC_POSITIONS).
+    s_c = ctx.static(node.inputs[1], required=False)
+    if s_c is not None:
+        inv = jnp.asarray(
+            _scale_shape(np.reciprocal(np.asarray(s_c, np.float64)), x.ndim,
+                         axis).astype(np.float32))
+        y = jnp.round(x.astype(jnp.float32) * inv)
+    else:
+        s = _scale_shape(ctx.get(node.inputs[1]), x.ndim, axis).astype(jnp.float32)
+        y = jnp.round(x.astype(jnp.float32) / s)
     if len(node.inputs) > 2 and node.inputs[2]:
-        zp = ctx.get(node.inputs[2])
-        y = y + _scale_shape(zp, x.ndim, axis).astype(jnp.float32)
-        out_dtype = zp.dtype
+        zp_c = ctx.static(node.inputs[2], required=False)
+        if zp_c is not None:
+            zp_c = np.asarray(zp_c)
+            if np.any(zp_c):  # symmetric (zp=0) adds nothing
+                y = y + jnp.asarray(
+                    _scale_shape(zp_c, x.ndim, axis).astype(np.float32))
+            out_dtype = zp_c.dtype
+        else:
+            zp = ctx.get(node.inputs[2])
+            y = y + _scale_shape(zp, x.ndim, axis).astype(jnp.float32)
+            out_dtype = zp.dtype
     else:
         out_dtype = jnp.int8
     info = jnp.iinfo(out_dtype)
@@ -116,24 +132,45 @@ def _requant(y_f32, scale, zp, ctx, node):
 def qlinear_matmul(ctx: Ctx, node: Node):
     """Full quantized matmul: dequant A/B -> matmul -> requant to y dtype.
     Extension over the ONNX spec: per-output-column B scales are accepted
-    (static_quant.py emits them for accuracy)."""
+    (static_quant.py emits them for accuracy). Initializer scales fold the
+    requant epilogue to one constant multiply (VERDICT r1 item 3)."""
     a_raw = ctx.get(node.inputs[0])
-    a_s = ctx.get(node.inputs[1]).astype(jnp.float32)
-    a_z = ctx.get(node.inputs[2]).astype(jnp.int32)
     b_raw = ctx.get(node.inputs[3])
-    b_s = ctx.get(node.inputs[4]).astype(jnp.float32)
-    b_z = ctx.get(node.inputs[5]).astype(jnp.int32)
-    y_s = ctx.get(node.inputs[6])
-    y_z = ctx.get(node.inputs[7])
+    cs = [_in_val(ctx, node, i) for i in (1, 2, 4, 5, 6, 7)]
+    (a_s_c, _), (a_z_c, _), (b_s_c, _), (b_z_c, _), (y_s_c, _), (y_z_c, _) = cs
+    all_static = all(c is not None for c, _ in cs)
+
+    def _traced(i, c):
+        return jnp.asarray(c) if c is not None else ctx.get(node.inputs[i])
+
     symmetric = (_static_is_zero(ctx, node.inputs[2])
                  and _static_is_zero(ctx, node.inputs[5]))
     if symmetric and a_raw.dtype == jnp.int8 and b_raw.dtype == jnp.int8:
         # int8 MXU path (no upcast before the dot)
         acc = jnp.matmul(a_raw, b_raw, preferred_element_type=jnp.int32)
     else:
+        a_z = _traced(2, a_z_c).astype(jnp.int32)
+        b_z = _traced(5, b_z_c).astype(jnp.int32)
         acc = jnp.matmul(a_raw.astype(jnp.int32) - a_z.reshape(()),
                          b_raw.astype(jnp.int32) - b_z.reshape(()),
                          preferred_element_type=jnp.int32)
+    if all_static:
+        m = (np.asarray(a_s_c, np.float64).reshape(())
+             * np.asarray(b_s_c, np.float64).reshape(-1)
+             / np.asarray(y_s_c, np.float64).reshape(())).astype(np.float32)
+        mj = jnp.asarray(m.reshape((1,) * (acc.ndim - 1) + (-1,))
+                         if m.size > 1 else m.reshape(()))
+        y = jnp.round(acc.astype(jnp.float32) * mj)
+        if np.any(y_z_c):
+            y = y + jnp.float32(np.asarray(y_z_c, np.float32).reshape(()))
+        out_dtype = np.asarray(y_z_c).dtype
+        info = jnp.iinfo(out_dtype)
+        ctx.set(node.outputs[0], jnp.clip(y, info.min, info.max).astype(out_dtype))
+        return
+    a_s = _traced(1, a_s_c).astype(jnp.float32)
+    b_s = _traced(4, b_s_c).astype(jnp.float32)
+    y_s = _traced(6, y_s_c)
+    y_z = _traced(7, y_z_c)
     bs = b_s.reshape(()) if b_s.size == 1 else b_s.reshape((1,) * (acc.ndim - 1) + (-1,))
     y_f = acc.astype(jnp.float32) * (a_s.reshape(()) * bs)
     ctx.set(node.outputs[0], _requant(y_f, y_s.reshape(()), y_z.reshape(()), ctx, node))
@@ -144,6 +181,17 @@ def _static_is_zero(ctx: Ctx, name: str) -> bool:
     return v is not None and not np.any(np.asarray(v))
 
 
+def _in_val(ctx: Ctx, node: Node, i: int):
+    """(static numpy value | None, traced value | None) for input i."""
+    name = node.inputs[i] if i < len(node.inputs) else ""
+    if not name:
+        return None, None
+    c = ctx.static(name, required=False)
+    if c is not None:
+        return np.asarray(c), None
+    return None, ctx.get(name)
+
+
 @register("QLinearConv", since=10)
 def qlinear_conv(ctx: Ctx, node: Node):
     from .nn import _conv_attrs, _layout, _spatial_dim_numbers
@@ -151,13 +199,21 @@ def qlinear_conv(ctx: Ctx, node: Node):
     from jax import lax
 
     x_raw = ctx.get(node.inputs[0])
-    x_s = ctx.get(node.inputs[1]).astype(jnp.float32).reshape(())
-    x_z = ctx.get(node.inputs[2]).astype(jnp.int32).reshape(())
+    # Scales/zero-points are trace-time constants when they come from
+    # initializers (_STATIC_POSITIONS): the whole requant epilogue then
+    # folds to one constant multiply-add — acc*m + b — instead of the
+    # runtime mul/bias/divide chain (VERDICT r1 item 3: requant folding).
+    cs = [_in_val(ctx, node, i) for i in (1, 2, 4, 5, 6, 7, 8)]
+    (x_s_c, _), (x_z_c, _), (w_s_c, _), (w_z_c, _), (y_s_c, _), (y_z_c, _), \
+        (b_c, b_t) = cs
+    all_static = all(
+        c is not None for c, _ in cs[:6]
+    ) and (len(node.inputs) <= 8 or not node.inputs[8] or b_c is not None)
+
+    def _traced(i, c):
+        return jnp.asarray(c) if c is not None else ctx.get(node.inputs[i])
+
     w_raw = ctx.get(node.inputs[3])
-    w_s = ctx.get(node.inputs[4]).astype(jnp.float32)
-    w_z = ctx.get(node.inputs[5]).astype(jnp.int32)
-    y_s = ctx.get(node.inputs[6]).astype(jnp.float32).reshape(())
-    y_z = ctx.get(node.inputs[7]).astype(jnp.int32).reshape(())
 
     nhwc = _layout(node) == "NHWC"
     rank = x_raw.ndim - 2
@@ -184,8 +240,10 @@ def qlinear_conv(ctx: Ctx, node: Node):
     else:
         x = x_raw.astype(jnp.int32)
         w = w_raw.astype(jnp.int32)
-        wz = (w_z.reshape((-1,) + (1,) * (w.ndim - 1))
-              if w_z.size > 1 else w_z.reshape(()))
+        x_z = _traced(2, x_z_c).astype(jnp.int32).reshape(())
+        w_z_t = _traced(5, w_z_c).astype(jnp.int32)
+        wz = (w_z_t.reshape((-1,) + (1,) * (w.ndim - 1))
+              if w_z_t.size > 1 else w_z_t.reshape(()))
         acc = lax.conv_general_dilated(
             x - x_z, w - wz, window_strides=strides, padding=pads,
             rhs_dilation=dilations, dimension_numbers=dn,
@@ -195,16 +253,39 @@ def qlinear_conv(ctx: Ctx, node: Node):
         rank_shape = (1,) * (rank + 1) + (-1,)
     else:
         rank_shape = (1, -1) + (1,) * rank
-    ws = w_s.reshape(rank_shape) if w_s.size > 1 else w_s.reshape(())
-    y_f = acc.astype(jnp.float32) * (x_s * ws)
-    if len(node.inputs) > 8 and node.inputs[8]:
-        bias = ctx.get(node.inputs[8]).astype(jnp.float32)  # int32, scale x_s*w_s
-        b_f = bias * (x_s * (w_s.reshape(-1) if w_s.size > 1 else w_s))
-        y_f = y_f + b_f.reshape(rank_shape)
-    y = jnp.round(y_f / y_s) + y_z
-    # ONNX: output type follows the y zero-point (inputs[7]), which may
-    # differ from x's (e.g. uint8 activations requantized to int8).
-    out_dtype = ctx.get(node.inputs[7]).dtype
+    has_bias = len(node.inputs) > 8 and node.inputs[8]
+
+    if all_static:
+        # Folded epilogue: y = round(acc*m + b) + y_z, one constant
+        # multiplier m = x_s*w_s/y_s (f64 combine for precision).
+        x_s64 = np.asarray(x_s_c, np.float64).reshape(())
+        w_s64 = np.asarray(w_s_c, np.float64).reshape(-1)
+        y_s64 = np.asarray(y_s_c, np.float64).reshape(())
+        m = (x_s64 * w_s64 / y_s64).astype(np.float32)
+        mj = jnp.asarray(m.reshape(rank_shape) if m.size > 1 else m.reshape(()))
+        y = acc.astype(jnp.float32) * mj
+        if has_bias:
+            b64 = np.asarray(b_c, np.float64) * (x_s64 * w_s64 / y_s64)
+            y = y + jnp.asarray(b64.astype(np.float32).reshape(rank_shape))
+        y = jnp.round(y)
+        if np.any(y_z_c):
+            y = y + jnp.float32(np.asarray(y_z_c, np.float32).reshape(()))
+        out_dtype = np.asarray(y_z_c).dtype
+    else:
+        x_s = _traced(1, x_s_c).astype(jnp.float32).reshape(())
+        w_s = _traced(4, w_s_c).astype(jnp.float32)
+        y_s = _traced(6, y_s_c).astype(jnp.float32).reshape(())
+        y_z_t = _traced(7, y_z_c)
+        ws = w_s.reshape(rank_shape) if w_s.size > 1 else w_s.reshape(())
+        y_f = acc.astype(jnp.float32) * (x_s * ws)
+        if has_bias:
+            bias = (b_t if b_t is not None else jnp.asarray(b_c)).astype(jnp.float32)
+            b_f = bias * (x_s * (w_s.reshape(-1) if w_s.size > 1 else w_s))
+            y_f = y_f + b_f.reshape(rank_shape)
+        y = jnp.round(y_f / y_s) + y_z_t.astype(jnp.int32).reshape(())
+        # ONNX: output type follows the y zero-point (inputs[7]), which may
+        # differ from x's (e.g. uint8 activations requantized to int8).
+        out_dtype = y_z_t.dtype
     info = jnp.iinfo(out_dtype)
     ctx.set(node.outputs[0], jnp.clip(y, info.min, info.max).astype(out_dtype))
 

@@ -57,6 +57,12 @@ _STATIC_POSITIONS: dict[str, set[int]] = {
     "ReduceL2": {1},
     "ReduceSumSquare": {1},
     "ReduceLogSumExp": {1},
+    # Quant scales/zero-points/bias: folded into the requant epilogue as
+    # trace-time constants (one combined multiplier m = x_s*w_s/y_s
+    # instead of a runtime mul/bias/divide chain; ops/quant_ops.py).
+    "QuantizeLinear": {1, 2},
+    "QLinearConv": {1, 2, 4, 5, 6, 7, 8},
+    "QLinearMatMul": {1, 2, 4, 5, 6, 7},
 }
 
 

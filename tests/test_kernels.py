@@ -62,6 +62,57 @@ class TestDequantMatmul:
         assert rel < 0.02, rel
 
 
+class TestInt8Matmul:
+    @pytest.mark.parametrize("m,k,n", [
+        (32, 128, 128),         # single tile
+        (256, 512, 384),        # multi-tile all dims
+        (100, 200, 300),        # unaligned sizes (masking/padding path)
+        (1, 128, 256),          # single row (batch-1 gemm)
+    ])
+    def test_exact_integer_parity(self, rng, m, k, n):
+        """The int8 MXU kernel's i32 accumulation must match the jnp
+        integer reference exactly (no float reassociation involved)."""
+        from smelter_tpu.kernels.int8_matmul import (
+            int8_matmul, int8_matmul_reference)
+
+        x_q = rng.integers(-127, 128, (m, k)).astype(np.int8)
+        w_q = rng.integers(-127, 128, (k, n)).astype(np.int8)
+        sr = (rng.random((m, 1)).astype(np.float32) + 0.5) / 100
+        sc = (rng.random(n).astype(np.float32) + 0.5) / 100
+        got = int8_matmul(jnp.asarray(x_q), jnp.asarray(w_q), jnp.asarray(sr),
+                          jnp.asarray(sc), block_m=128, block_n=128,
+                          block_k=128, out_dtype=jnp.float32, interpret=True)
+        want = int8_matmul_reference(jnp.asarray(x_q), jnp.asarray(w_q),
+                                     jnp.asarray(sr), jnp.asarray(sc),
+                                     out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_dequant_matmul_int8_accuracy(self, rng):
+        """Full dynamic path (quantize_rows + kernel) vs exact fp32 matmul:
+        error bounded by the combined activation+weight quant noise."""
+        from smelter_tpu.kernels.int8_matmul import dequant_matmul_int8
+
+        x = rng.standard_normal((64, 512)).astype(np.float32)
+        w = rng.standard_normal((512, 128)).astype(np.float32)
+        q, s = quantize_array(w, axis=1)
+        got = np.asarray(dequant_matmul_int8(
+            jnp.asarray(x), jnp.asarray(q), jnp.asarray(s.reshape(-1)),
+            out_dtype=jnp.float32, interpret=True))
+        exact = x @ w
+        rel = np.abs(got - exact).max() / np.abs(exact).max()
+        assert rel < 0.03, rel
+
+    def test_quantize_rows(self, rng):
+        from smelter_tpu.kernels.int8_matmul import quantize_rows
+
+        x = rng.standard_normal((16, 256)).astype(np.float32) * 3
+        q, s = quantize_rows(jnp.asarray(x))
+        assert q.dtype == jnp.int8 and s.shape == (16, 1)
+        back = np.asarray(q, np.float32) * np.asarray(s)
+        assert np.abs(back - x).max() <= np.asarray(s).max() * 0.51
+
+
 class TestDequantConv:
     @pytest.mark.parametrize("h,w,cin,cout,k,pad", [
         (8, 8, 128, 128, 3, 1),      # single row-tile, SAME
@@ -69,6 +120,7 @@ class TestDequantConv:
         (10, 10, 128, 128, 1, 0),    # 1x1
         (12, 12, 128, 128, 5, 2),    # 5x5
         (11, 9, 128, 128, 3, 0),     # odd sizes, VALID
+        (28, 28, 128, 128, 3, 1),    # W+halo=30: unaligned-W pad path
     ])
     def test_matches_reference(self, rng, h, w, cin, cout, k, pad):
         from smelter_tpu.kernels.dequant_conv import (
