@@ -155,6 +155,18 @@ def dequant_matmul_int8(x, w_q, scales, *, block_m: int = 1024,
                        out_dtype=out_dtype, interpret=interpret)
 
 
+def dequant_matmul_int8_xla(x, w_q, scales, out_dtype=None):
+    """Pure-XLA int8 formulation (no Pallas): quantize_rows + int8 MXU dot
+    + scaled epilogue. On v5e XLA compiles this to 213 TOP/s at the serving
+    gemm shape (tpu_probe12) — marginally above the Pallas kernel (207);
+    the engine defaults to this lowering under Config.int8_activations."""
+    out_dtype = out_dtype or x.dtype
+    x_q, s_row = quantize_rows(x)
+    acc = jnp.matmul(x_q, w_q, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * s_row
+            * scales[None, :].astype(jnp.float32)).astype(out_dtype)
+
+
 def int8_matmul_reference(x_q, w_q, row_scales, col_scales,
                           out_dtype=jnp.bfloat16):
     """jnp reference (exact integer accumulation) for kernel tests."""

@@ -64,17 +64,25 @@ def fused_attention(ctx: Ctx, node: Node):
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference
+    from ..kernels.int8_matmul import dequant_matmul_int8, dequant_matmul_int8_xla
 
     x = ctx.get(node.inputs[0])
     q = ctx.get(node.inputs[1])
     s = ctx.get(node.inputs[2])
-    use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
+    cfg = ctx.config
+    use_pallas = bool(cfg is not None and getattr(cfg, "use_pallas", False))
+    int8_acts = bool(cfg is not None and getattr(cfg, "int8_activations", False))
     lead = x.shape[:-1]
     m = 1
     for d in lead:
         m *= d
     x2 = x.reshape((m, x.shape[-1]))
-    if use_pallas:
+    if int8_acts:
+        # int8 MXU formulation (dynamic per-row activation quant): 1.48x
+        # the bf16 fused path at serving shapes (tpu_probe12).
+        fn = dequant_matmul_int8 if use_pallas else dequant_matmul_int8_xla
+        y = fn(x2, q, s.reshape(-1))
+    elif use_pallas:
         y = dequant_matmul(x2, q, s.reshape(-1))
     else:
         y = dequant_matmul_reference(x2, q, s.reshape(-1))

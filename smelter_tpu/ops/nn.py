@@ -96,9 +96,27 @@ def conv_transpose(ctx: Ctx, node: Node):
     strides, dilations, group = _conv_attrs(node, rank)
     kernel = tuple(w.shape[2:])
     out_pad = tuple(node.attr("output_padding", [0] * rank))
-    if node.attr("output_shape") is not None:
-        raise NotSupportedError("ConvTranspose explicit output_shape")
-    pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides, dilations)
+    out_shape_attr = node.attr("output_shape")
+    if out_shape_attr is not None:
+        # ONNX: pads are derived from the requested output size —
+        # total[i] = stride*(in-1) + output_padding + eff_kernel - out_size,
+        # split per auto_pad (SAME_UPPER puts the extra at the start).
+        osz = [int(v) for v in out_shape_attr][-rank:]
+        auto_pad = node.attr("auto_pad", "NOTSET")
+        auto_pad = auto_pad.decode() if isinstance(auto_pad, bytes) else auto_pad
+        pads = []
+        for i in range(rank):
+            eff = P.effective_kernel(kernel[i], dilations[i])
+            total = (strides[i] * (x.shape[2 + i] - 1) + out_pad[i]
+                     + eff - osz[i])
+            half = total // 2 if total >= 0 else -((-total) // 2)
+            if auto_pad == "SAME_UPPER":
+                pads.append((half, total - half))
+            else:
+                pads.append((total - half, half))
+    else:
+        pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides,
+                              dilations)
 
     cin = w.shape[0]
     cout_per_g = w.shape[1]
@@ -195,13 +213,76 @@ def _pool_dims(rank, kernel, strides, dilations, pads, layout):
 def max_pool(ctx: Ctx, node: Node):
     x, rank, kernel, strides, dilations, pads, layout = _pool_prep(ctx, node)
     if len(node.outputs) > 1 and node.outputs[1]:
-        raise NotSupportedError("MaxPool indices output")
+        return _max_pool_with_indices(ctx, node, x, rank, kernel, strides,
+                                      dilations, pads, layout)
     neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     neg = jnp.asarray(neg, x.dtype)  # keep init dtype == operand dtype (int8 pools)
     wd, ws, wdl, wp = _pool_dims(rank, kernel, strides, dilations, pads, layout)
     y = lax.reduce_window(x, neg, lax.max, window_dimensions=wd,
                           window_strides=ws, window_dilation=wdl, padding=wp)
     ctx.set(node.outputs[0], y)
+
+
+def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
+                           dilations, pads, layout):
+    """MaxPool's second output: int64 indices flattened into the input
+    tensor (NCHW order, storage_order=0; ONNX MaxPool-12). Materializes
+    the kernel-tap stack (prod(kernel) shifted strided slices) and argmaxes
+    over taps — first-max tie-breaking in row-major tap order (matches
+    torch's return_indices)."""
+    import itertools
+
+    if layout == "NHWC":
+        raise NotSupportedError("MaxPool indices output under NHWC layout")
+    if int(node.attr("storage_order", 0)):
+        raise NotSupportedError("MaxPool indices with storage_order=1")
+    neg = jnp.asarray(jnp.finfo(x.dtype).min
+                      if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).min, x.dtype)
+    in_spatial = x.shape[2:]
+    out_spatial = tuple(
+        P.conv_out_size(in_spatial[i], kernel[i], strides[i], dilations[i],
+                        pads[i][0], pads[i][1])
+        for i in range(rank))
+    xp = jnp.pad(x, [(0, 0), (0, 0)] + list(pads), constant_values=neg)
+
+    vals, idxs = [], []
+    for taps in itertools.product(*(range(k) for k in kernel)):
+        # strided slice of the padded input for this kernel tap
+        sl = [slice(None), slice(None)]
+        glob = []  # per-dim global (unpadded) input coordinate of the tap
+        for i in range(rank):
+            start = taps[i] * dilations[i]
+            stop = start + (out_spatial[i] - 1) * strides[i] + 1
+            sl.append(slice(start, stop, strides[i]))
+            coord = (jnp.arange(out_spatial[i]) * strides[i]
+                     + start - pads[i][0])
+            glob.append(coord)
+        vals.append(xp[tuple(sl)])
+        # flat spatial index (row-major over the input spatial dims)
+        flat = glob[0]
+        for i in range(1, rank):
+            flat = flat[..., None] * in_spatial[i] + glob[i]
+        idxs.append(flat)
+    stack = jnp.stack(vals)                        # (T, N, C, *out)
+    tap_flat = jnp.stack(idxs)                     # (T, *out) spatial index
+    best = jnp.argmax(stack, axis=0)               # (N, C, *out) first max
+    y = jnp.max(stack, axis=0)
+    spatial_idx = jnp.take_along_axis(
+        tap_flat.reshape((tap_flat.shape[0],) + (1, 1) + tuple(out_spatial)),
+        best[None], axis=0)[0]
+    # ONNX: index into the flattened [N, C, *spatial] tensor
+    hw = 1
+    for s in in_spatial:
+        hw *= s
+    n_idx = jnp.arange(x.shape[0]).reshape((-1, 1) + (1,) * rank)
+    c_idx = jnp.arange(x.shape[1]).reshape((1, -1) + (1,) * rank)
+    # int64 per ONNX; canonicalized to int32 when x64 is disabled
+    idt = jax.dtypes.canonicalize_dtype(jnp.int64)
+    full = ((n_idx * x.shape[1] + c_idx) * hw
+            + spatial_idx.astype(idt)).astype(idt)
+    ctx.set(node.outputs[0], y)
+    ctx.set(node.outputs[1], full)
 
 
 def _window_counts(in_sizes, kernel, strides, dilations, pads) -> np.ndarray:
@@ -443,11 +524,20 @@ def resize(ctx: Ctx, node: Node):
     mode = _as_str(node.attr("mode", "nearest"))
     coord = _as_str(node.attr("coordinate_transformation_mode", "half_pixel"))
     nearest_mode = _as_str(node.attr("nearest_mode", "round_prefer_floor"))
-    if coord == "tf_crop_and_resize":
-        raise NotSupportedError("Resize tf_crop_and_resize")
 
     nhwc = _layout(node) == "NHWC"
     sp0 = 1 if nhwc else 2
+    roi = None
+    if coord == "tf_crop_and_resize":
+        # roi input: [start_0..start_{r-1}, end_0..end_{r-1}] over ALL axes
+        # (NCHW order); only the spatial entries matter here.
+        if len(node.inputs) < 2 or not node.inputs[1]:
+            raise NotSupportedError("Resize tf_crop_and_resize without roi")
+        r = ctx.static(node.inputs[1]).astype(np.float64).reshape(-1)
+        nfull = x.ndim
+        n_spatial = nfull - 2
+        roi = [(float(r[2 + i]), float(r[nfull + 2 + i]))
+               for i in range(n_spatial)]
     out_sizes = None
     if len(node.inputs) > 3 and node.inputs[3]:
         sizes = ctx.static(node.inputs[3]).astype(np.int64)
@@ -458,9 +548,18 @@ def resize(ctx: Ctx, node: Node):
         if ctx.opset == 10:
             scales = ctx.static(node.inputs[1]).astype(np.float64)
         sc = scales[2:]  # NCHW-ordered vector
-        out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
+        if roi is not None:
+            # ONNX: with tf_crop_and_resize, scales apply to the roi extent
+            out_sizes = tuple(
+                int(np.floor(s * (e - b) * d))
+                for s, (b, e), d in zip(sc, roi, x.shape[sp0:sp0 + len(sc)]))
+        else:
+            out_sizes = tuple(int(np.floor(s * d))
+                              for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
     y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord,
-                       nearest_mode=nearest_mode, spatial_start=sp0)
+                       nearest_mode=nearest_mode, spatial_start=sp0, roi=roi,
+                       extrapolation_value=float(
+                           node.attr("extrapolation_value", 0.0)))
     ctx.set(node.outputs[0], y)
 
 

@@ -17,7 +17,8 @@ import numpy as np
 from ..ir.errors import NotSupportedError
 
 
-def _src_coords(out_size: int, in_size: int, scale: float, mode: str) -> np.ndarray:
+def _src_coords(out_size: int, in_size: int, scale: float, mode: str,
+                roi: tuple[float, float] | None = None) -> np.ndarray:
     """Map output pixel index -> (fractional) source coordinate."""
     x = np.arange(out_size, dtype=np.float64)
     if mode == "half_pixel":
@@ -32,6 +33,12 @@ def _src_coords(out_size: int, in_size: int, scale: float, mode: str) -> np.ndar
         return x * (in_size - 1) / (out_size - 1)
     if mode == "asymmetric":
         return x / scale
+    if mode == "tf_crop_and_resize":
+        start, end = roi if roi is not None else (0.0, 1.0)
+        if out_size > 1:
+            return (start * (in_size - 1)
+                    + x * (end - start) * (in_size - 1) / (out_size - 1))
+        return np.full(out_size, 0.5 * (start + end) * (in_size - 1))
     raise NotSupportedError(f"coordinate_transformation_mode {mode!r}")
 
 
@@ -70,21 +77,33 @@ def resize_spatial(
     nearest_mode: str = "round_prefer_floor",
     spatial_start: int = 2,
     cubic_a: float = -0.75,
+    roi: list[tuple[float, float]] | None = None,
+    extrapolation_value: float = 0.0,
 ):
     """Resize spatial dims of `x` (axes [spatial_start, spatial_start+len(
     out_sizes))) to `out_sizes`. mode: nearest | linear | cubic (Keys kernel,
-    ONNX cubic_coeff_a default -0.75, edge-clamped taps)."""
+    ONNX cubic_coeff_a default -0.75, edge-clamped taps). roi (normalized
+    per-dim (start, end)) drives tf_crop_and_resize; coordinates mapping
+    outside the input produce `extrapolation_value`."""
     # spatial dims are axes [spatial_start, spatial_start + len(out_sizes))
     # (NHWC keeps channels after the spatial block)
     in_sizes = x.shape[spatial_start:spatial_start + len(out_sizes)]
     assert len(in_sizes) == len(out_sizes)
     out = x
+    crop = coord_mode == "tf_crop_and_resize"
+    oob_masks: list[tuple[int, np.ndarray]] = []
     for d, (in_s, out_s) in enumerate(zip(in_sizes, out_sizes)):
         axis = spatial_start + d
-        if in_s == out_s:
+        roi_d = roi[d] if roi is not None else None
+        if in_s == out_s and not (crop and roi_d not in (None, (0.0, 1.0))):
             continue
         scale = out_s / in_s
-        coords = _src_coords(out_s, in_s, scale, coord_mode)
+        coords = _src_coords(out_s, in_s, scale, coord_mode, roi_d)
+        if crop:
+            oob = (coords < 0) | (coords > in_s - 1)
+            if oob.any():
+                oob_masks.append((axis, oob))
+            coords = np.clip(coords, 0, in_s - 1)
         if mode == "nearest":
             idx = _nearest_idx(coords, in_s, nearest_mode)
             out = jnp.take(out, jnp.asarray(idx), axis=axis)
@@ -113,4 +132,9 @@ def resize_spatial(
             out = acc
         else:
             raise NotSupportedError(f"resize mode {mode!r}")
+    for axis, oob in oob_masks:
+        shape = [1] * out.ndim
+        shape[axis] = len(oob)
+        out = jnp.where(jnp.asarray(oob.reshape(shape)),
+                        jnp.asarray(extrapolation_value, out.dtype), out)
     return out

@@ -227,6 +227,8 @@ class _Rewriter:
         op = node.op_type
         in0 = node.inputs[0] if node.inputs else ""
         if op in _CONVERT:
+            if op == "MaxPool" and len(node.outputs) > 1 and node.outputs[1]:
+                return "barrier"  # indices are flat NCHW offsets
             if self._is4d(in0):
                 return "convert"
             return "barrier"

@@ -43,6 +43,12 @@ class Config:
 
     # -- TPU execution ---------------------------------------------------
     use_pallas: bool = False  # hand-written hot kernels vs plain XLA lowering
+    # Execute fused dequant+matmul on the int8 MXU by dynamically
+    # quantizing activations per-row (kernels/int8_matmul.py). Measured
+    # 1.48x the bf16 fused path at serving-gemm shapes on v5e (213 vs 144
+    # TOP/s, experiments/tpu_probe12.py); adds one activation rounding step
+    # (<=0.4%/element). Off by default: weight-only numerics unchanged.
+    int8_activations: bool = False
     donate_inputs: bool = False
     # Sharding: name of a parallel.MeshPlan or None for single device.
     mesh: Any = None

@@ -539,6 +539,102 @@ class TestGridSample:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+class TestConvTransposeOutputShape:
+    def test_even_split_matches_torch(self, rng):
+        """output_shape that implies symmetric pads == torch padding=1."""
+        x = rng.standard_normal((2, 4, 5, 5)).astype(np.float32)
+        w = rng.standard_normal((4, 6, 3, 3)).astype(np.float32)
+        got = run_op("ConvTranspose", [x], dict(
+            strides=[2, 2], kernel_shape=[3, 3], output_shape=[9, 9]),
+            initializers=[w])
+        want = t2n(F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                                      stride=2, padding=1))
+        assert got.shape[2:] == (9, 9)
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    @pytest.mark.parametrize("auto_pad,pads", [
+        ("NOTSET", [1, 1, 0, 0]),        # odd total: extra pad at start
+        ("SAME_UPPER", [0, 0, 1, 1]),    # extra pad at end
+    ])
+    def test_odd_split_direction(self, rng, auto_pad, pads):
+        """Odd total padding: output_shape semantics must match the
+        equivalent explicit-pads ConvTranspose (ONNX split rule)."""
+        x = rng.standard_normal((1, 3, 5, 5)).astype(np.float32)
+        w = rng.standard_normal((3, 4, 3, 3)).astype(np.float32)
+        attrs = dict(strides=[2, 2], kernel_shape=[3, 3], output_shape=[10, 10])
+        if auto_pad != "NOTSET":
+            attrs["auto_pad"] = auto_pad
+        got = run_op("ConvTranspose", [x], attrs, initializers=[w])
+        assert got.shape[2:] == (10, 10)
+        want = run_op("ConvTranspose", [x], dict(
+            strides=[2, 2], kernel_shape=[3, 3], pads=pads), initializers=[w])
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestMaxPoolIndices:
+    @pytest.mark.parametrize("k,s,pad", [(2, 2, 0), (3, 2, 1), (3, 1, 0)])
+    def test_vs_torch(self, rng, k, s, pad):
+        x = rng.standard_normal((2, 3, 9, 11)).astype(np.float32)
+        y, idx = run_op("MaxPool", [x], dict(
+            kernel_shape=[k, k], strides=[s, s], pads=[pad] * 4),
+            n_outputs=2)
+        want, widx = F.max_pool2d(torch.from_numpy(x), k, stride=s,
+                                  padding=pad, return_indices=True)
+        np.testing.assert_allclose(y, t2n(want), rtol=RTOL, atol=ATOL)
+        # torch indices are per-(N,C)-plane; ONNX flattens the whole tensor
+        N, C, H, W = x.shape
+        off = (np.arange(N)[:, None, None, None] * C
+               + np.arange(C)[None, :, None, None]) * (H * W)
+        np.testing.assert_array_equal(np.asarray(idx), t2n(widx) + off)
+
+    def test_layout_pass_keeps_nchw(self, rng):
+        """The NHWC layout pass must not convert an indices-producing
+        MaxPool (flat indices are NCHW offsets)."""
+        from smelter_tpu.passes.pass_manager import run_passes
+
+        b = GraphBuilder("mpidx", opset=13)
+        x = b.input("x", (1, 3, 8, 8))
+        h = b.conv(x, np.random.default_rng(0).standard_normal(
+            (8, 3, 3, 3)).astype(np.float32), pads=(1, 1, 1, 1))
+        outs = b.node("MaxPool", [h], outputs=2, kernel_shape=[2, 2],
+                      strides=[2, 2])
+        g = b.finish(list(outs))
+        xin = np.random.default_rng(1).standard_normal((1, 3, 8, 8)).astype(np.float32)
+        before = st.CompiledModel(g)(xin)
+        run_passes(g, ["layout_nhwc", "dce"])
+        after = st.CompiledModel(g)(xin)
+        np.testing.assert_allclose(after[0], before[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(after[1], before[1])
+
+
+class TestResizeCropAndResize:
+    def test_exact_integer_crop(self, rng):
+        """roi (0.25,0.75) on a 9-wide axis lands on integer coordinates:
+        result equals the plain slice."""
+        x = rng.standard_normal((1, 2, 9, 9)).astype(np.float32)
+        roi = np.array([0, 0, 0.25, 0.25, 1, 1, 0.75, 0.75], np.float32)
+        sizes = np.array([1, 2, 5, 5], np.int64)
+        got = run_op("Resize", [x], dict(
+            mode="linear", coordinate_transformation_mode="tf_crop_and_resize"),
+            opset=13,
+            initializers=[roi, np.array([], np.float32), sizes])
+        np.testing.assert_allclose(got, x[:, :, 2:7, 2:7], rtol=1e-5, atol=1e-6)
+
+    def test_extrapolation_value(self, rng):
+        """roi extending past the image fills with extrapolation_value."""
+        x = rng.standard_normal((1, 1, 5, 5)).astype(np.float32)
+        roi = np.array([0, 0, 0.5, 0.0, 1, 1, 1.5, 1.0], np.float32)
+        sizes = np.array([1, 1, 5, 5], np.int64)
+        got = run_op("Resize", [x], dict(
+            mode="nearest", coordinate_transformation_mode="tf_crop_and_resize",
+            extrapolation_value=-7.0),
+            opset=13,
+            initializers=[roi, np.array([], np.float32), sizes])
+        # rows whose source coordinate exceeds H-1 must be the fill value
+        assert (np.asarray(got)[0, 0, -2:] == -7.0).all()
+        assert not (np.asarray(got)[0, 0, 0] == -7.0).any()
+
+
 class TestNegativeIndices:
     def test_gather_negative(self, rng):
         x = rng.standard_normal((5, 4)).astype(np.float32)

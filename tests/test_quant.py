@@ -136,6 +136,36 @@ class TestFusedDequant:
             dm.dequant_matmul = orig
         np.testing.assert_allclose(after2, after, rtol=1e-3, atol=1e-3)
 
+    def test_vit_int8_activations_path(self):
+        """Config.int8_activations: dynamic per-row activation quant onto
+        the int8 MXU. Numerics stay close (one extra rounding step) and
+        argmax is preserved on the ViT zoo model."""
+        from smelter_tpu.models import vit
+
+        g, tm, shape = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4,
+                                 num_classes=10)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        run_passes(g)
+        quantize_weights(g, "int8")
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        got = st.CompiledModel(g, st.Config(int8_activations=True))(x)[0]
+        assert (got.argmax(1) == before.argmax(1)).all()
+        rel = np.abs(got - before).max() / np.abs(before).max()
+        assert rel < 0.05, rel
+        # Pallas int8 kernel variant (interpret mode on CPU)
+        import functools
+        import smelter_tpu.kernels.int8_matmul as im
+
+        orig = im.dequant_matmul_int8
+        im.dequant_matmul_int8 = functools.partial(orig, interpret=True)
+        try:
+            got2 = st.CompiledModel(
+                g, st.Config(int8_activations=True, use_pallas=True))(x)[0]
+        finally:
+            im.dequant_matmul_int8 = orig
+        np.testing.assert_allclose(got2, got, rtol=2e-2, atol=2e-2)
+
     def test_resnet_conv1x1_fused(self):
         """NHWC 1x1 convs route through FusedDequantMatMul (st.compile)."""
         from smelter_tpu.models import resnet50
