@@ -31,6 +31,11 @@ def main(argv=None) -> int:
                    help="skip BN-into-Conv fusion and folding passes")
     p.add_argument("--dim", action="append", default=[], metavar="NAME=VAL",
                    help="pin a symbolic input dim, e.g. --dim batch=8")
+    p.add_argument("--verify", type=int, default=0, metavar="N",
+                   help="after quantizing, gate the artifact: top-1 delta "
+                        "vs the fp32 graph over N synthetic samples must be "
+                        "<= --verify-gate percent (tools/accuracy.py)")
+    p.add_argument("--verify-gate", type=float, default=0.1, metavar="PCT")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -85,6 +90,44 @@ def main(argv=None) -> int:
         from ..quant import quantize_weights
 
         quantize_weights(g, mode=args.quant)
+
+    if args.verify and args.quant != "none":
+        import numpy as np
+
+        from .accuracy import compare_top1
+
+        t = g.inputs[0].type
+        shape = tuple(int(d) for d in t.shape)
+        batch = min(shape[0], 32)
+        n = max(args.verify // batch, 1) * batch
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((n,) + shape[1:]).astype(np.float32)
+        # synthetic labels: the fp32 graph's own argmax (quant flip rate)
+        import smelter_tpu as st
+
+        ref_g = load_model(args.input)
+        if not args.no_fuse:
+            run_passes(ref_g)
+        ref = st.compile(st.import_model(st.export_model(ref_g)),
+                         st.Config(batch_size=batch))
+        ys = []
+        for i in range(0, n, batch):
+            logits = np.asarray(ref(x[i:i + batch])[0])
+            ys.append(logits.reshape(logits.shape[0], -1).argmax(-1))
+        y = np.concatenate(ys)
+        r = compare_top1(ref_g, x, y, quant=args.quant,
+                         gate_pct=args.verify_gate, batch=batch,
+                         config=st.Config(batch_size=batch),
+                         calibration_data=([(x[:batch],)]
+                                           if args.quant == "int8-static"
+                                           else None))
+        print(f"verify: top1 delta {r['delta_pct']:.3f}% "
+              f"(gate {args.verify_gate}%) -> "
+              f"{'PASS' if r['passed'] else 'FAIL'}")
+        if not r["passed"]:
+            print("onnx2tpu: accuracy gate failed; artifact not written",
+                  file=sys.stderr)
+            return 1
 
     g.metadata["optimized"] = "1" if not args.no_fuse else "0"
     save_model(g, args.output, producer=PREPROCESSED_PRODUCER)
