@@ -50,7 +50,6 @@ def split_graph(graph: Graph, num_stages: int) -> list[Graph]:
     cuts.append(len(graph.nodes))
 
     stages: list[Graph] = []
-    produced_before: set[str] = set(graph.initializers) | set(graph.input_names)
     start = 0
     for si, end in enumerate(cuts):
         nodes = graph.nodes[start:end]
@@ -75,7 +74,6 @@ def split_graph(graph: Graph, num_stages: int) -> list[Graph]:
             g.outputs.append(ValueInfo(name, graph.value_types.get(name)))
         g.value_types = {k: v for k, v in graph.value_types.items()}
         stages.append(g)
-        produced_before |= produced_here
         start = end
     return stages
 
@@ -123,9 +121,24 @@ class PipelinedModel:
     def __call__(self, *inputs) -> list[np.ndarray]:
         return [np.asarray(o) for o in self._run_stages(inputs)]
 
-    def stream(self, microbatches):
+    def stream(self, microbatches, max_in_flight: int | None = None):
         """Feed a sequence of input tuples; async dispatch overlaps stages
-        across consecutive microbatches. Returns results in order."""
-        pending = [self._run_stages(mb if isinstance(mb, tuple) else (mb,))
-                   for mb in microbatches]
-        return [[np.asarray(o) for o in outs] for outs in pending]
+        across consecutive microbatches. Returns results in order.
+
+        In-flight work is bounded: at most `max_in_flight` microbatches
+        (default 2x the stage count — enough to keep every stage busy plus
+        one transferring) are dispatched before the oldest is resolved, so
+        host memory does not scale with the stream length."""
+        from collections import deque
+
+        if max_in_flight is None:
+            max_in_flight = 2 * len(self.stages)
+        results: list[list[np.ndarray]] = []
+        window: deque = deque()
+        for mb in microbatches:
+            window.append(self._run_stages(mb if isinstance(mb, tuple) else (mb,)))
+            if len(window) >= max_in_flight:
+                results.append([np.asarray(o) for o in window.popleft()])
+        while window:
+            results.append([np.asarray(o) for o in window.popleft()])
+        return results

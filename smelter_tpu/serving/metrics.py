@@ -20,7 +20,17 @@ class Metrics:
         self.padded_slots = 0
         self.occupied_slots = 0
         self.errors = 0
+        self.deadline_misses = 0
+        self.reinits = 0
         self._t0 = time.monotonic()
+
+    def record_deadline_miss(self, n: int = 1) -> None:
+        with self._lock:
+            self.deadline_misses += n
+
+    def record_reinit(self) -> None:
+        with self._lock:
+            self.reinits += 1
 
     def record_batch(self, n_real: int, n_padded: int, latencies_ms: list[float]) -> None:
         with self._lock:
@@ -51,6 +61,8 @@ class Metrics:
                 "requests": self.requests,
                 "batches": self.batches,
                 "errors": self.errors,
+                "deadline_misses": self.deadline_misses,
+                "reinits": self.reinits,
                 "throughput_rps": self.requests / elapsed,
                 "occupancy": (self.occupied_slots / total_slots) if total_slots else 0.0,
                 "latency_ms_p50": self._pct(lat, 50),

@@ -52,8 +52,12 @@ class InferenceServer:
         max_batch: int = 8,
         max_wait_ms: float = 2.0,
         buckets: tuple[int, ...] | None = None,
-        eager_compile: bool = False,
+        eager_compile: bool = True,
         max_queue: int = 4096,
+        health=None,
+        host_id: str | None = None,
+        heartbeat_interval_s: float = 2.0,
+        on_membership_change=None,
     ):
         config = config or Config()
         self.max_batch = max_batch
@@ -73,9 +77,6 @@ class InferenceServer:
         self._graph = graph
         self._config = config
         self._exec_lock = threading.Lock()
-        if eager_compile:
-            for b in self.buckets:
-                self._get_executor(b)
 
         # Bounded queue: overload sheds with a fast error instead of
         # unbounded latency growth (backpressure).
@@ -83,6 +84,67 @@ class InferenceServer:
         self._running = True
         self._thread = threading.Thread(target=self._batch_loop, daemon=True)
         self._thread.start()
+        # Warm every bucket OFF the request path (default): on a real TPU a
+        # first-use compile inside the batch loop is a multi-minute
+        # head-of-line stall. A request arriving before its bucket is warm
+        # still compiles inline under the executor lock (correct, just
+        # slow), so the warmer is pure benefit.
+        self._warmer: threading.Thread | None = None
+        if eager_compile:
+            self._warmer = threading.Thread(target=self._warm_buckets,
+                                            daemon=True)
+            self._warmer.start()
+
+        # Failure detection (SURVEY.md §5.3): the server emits its own
+        # heartbeat into a shared HostHealth registry and sweeps it; when
+        # membership shrinks it runs one deterministic re-init cycle
+        # (callback to rebuild the mesh plan, then recompile executables).
+        import os as _os
+
+        self._health = health
+        self._host_id = host_id or f"host-{_os.getpid()}"
+        self._hb_interval = heartbeat_interval_s
+        self._on_membership_change = on_membership_change
+        self._health_thread: threading.Thread | None = None
+        if health is not None:
+            health.heartbeat(self._host_id)
+            self._health_thread = threading.Thread(target=self._health_loop,
+                                                   daemon=True)
+            self._health_thread.start()
+
+    def _warm_buckets(self) -> None:
+        for b in self.buckets:
+            if not self._running:
+                return
+            try:
+                self._get_executor(b)
+            except Exception:  # noqa: BLE001 — surface on first real use
+                return
+
+    # -- failure detection ----------------------------------------------
+
+    def _health_loop(self) -> None:
+        while self._running:
+            self._health.heartbeat(self._host_id)
+            lost = self._health.sweep()
+            if lost and self._health.should_reinit(self._host_id):
+                self._reinit_membership(lost)
+            time.sleep(self._hb_interval)
+
+    def _reinit_membership(self, lost: list[str]) -> None:
+        """One recovery cycle: let the caller rebuild the mesh/config for
+        the surviving set, then drop and re-warm every compiled bucket so
+        new executables are laid out for the new topology."""
+        self.metrics.record_reinit()
+        if self._on_membership_change is not None:
+            try:
+                self._on_membership_change(lost, self._health.healthy_hosts())
+            except Exception:  # noqa: BLE001 — recovery must not kill serving
+                self.metrics.record_error()
+        with self._exec_lock:
+            self._executors.clear()
+            self._shared_params = None
+        self._warm_buckets()
 
     # -- compile ---------------------------------------------------------
 
@@ -125,8 +187,10 @@ class InferenceServer:
 
     def submit(self, *inputs: np.ndarray, timeout_ms: float | None = None) -> Future:
         """Enqueue one request (unbatched inputs, no leading batch dim).
-        timeout_ms: drop the request (future gets TimeoutError) if it has
-        not STARTED executing by the deadline."""
+        timeout_ms: end-to-end deadline — the future gets TimeoutError if
+        the request is still queued at the deadline OR if its batch
+        resolves after it (post-dispatch misses are counted in
+        stats()['deadline_misses'])."""
         if not self._running:
             raise RuntimeError("server is shut down")
         req = _Request(inputs, timeout_ms)
@@ -138,8 +202,8 @@ class InferenceServer:
                 f"server overloaded: queue depth {self._queue.maxsize} reached")
         return req.future
 
-    def infer(self, *inputs: np.ndarray):
-        return self.submit(*inputs).result()
+    def infer(self, *inputs: np.ndarray, timeout_ms: float | None = None):
+        return self.submit(*inputs, timeout_ms=timeout_ms).result()
 
     def stats(self) -> dict:
         return self.metrics.snapshot()
@@ -247,4 +311,12 @@ class InferenceServer:
         lat = [(t_done - r.t_enqueue) * 1e3 for r in reqs]
         self.metrics.record_batch(len(reqs), bucket, lat)
         for i, r in enumerate(reqs):
-            r.future.set_result([o[i] for o in host_outs])
+            if r.expired(t_done):
+                # post-dispatch miss: the batch itself ran past the
+                # deadline (e.g. a cold-bucket compile) — honor the SLA
+                # and account for it rather than delivering late.
+                self.metrics.record_deadline_miss()
+                r.future.set_exception(
+                    TimeoutError("request deadline exceeded during batch"))
+            else:
+                r.future.set_result([o[i] for o in host_outs])

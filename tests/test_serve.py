@@ -95,6 +95,15 @@ class TestSharedParams:
         g, tm, shape = small_model
         srv = InferenceServer(g, max_batch=4, buckets=(1, 2, 4), eager_compile=True)
         try:
+            # eager compile runs in a background warmer thread now
+            import time as _time
+
+            deadline = _time.monotonic() + 60
+            while _time.monotonic() < deadline:
+                with srv._exec_lock:
+                    if len(srv._executors) == 3:
+                        break
+                _time.sleep(0.05)
             param_sets = [p for (_, _, p) in srv._executors.values()]
             assert len(param_sets) == 3
             first = param_sets[0]
@@ -186,3 +195,70 @@ class TestPipelinedDrain:
         f = srv.submit(x)
         srv.shutdown()
         assert f.result(timeout=30)[0].shape == (10,)
+
+
+class TestServingHardening:
+    def test_eager_compile_background_default(self, small_model):
+        import time as _time
+
+        g, _, shape = small_model
+        srv = InferenceServer(g, max_batch=4, buckets=(1, 2, 4))
+        try:
+            deadline = _time.monotonic() + 60
+            while _time.monotonic() < deadline:
+                with srv._exec_lock:
+                    if set(srv._executors) == {1, 2, 4}:
+                        break
+                _time.sleep(0.05)
+            assert set(srv._executors) == {1, 2, 4}, "warmer did not compile"
+            x = np.zeros(shape[1:], np.float32)
+            assert srv.infer(x)[0].shape == (10,)
+        finally:
+            srv.shutdown()
+
+    def test_post_dispatch_deadline_accounted(self, small_model):
+        import time as _time
+
+        g, _, shape = small_model
+        srv = InferenceServer(g, max_batch=2, max_wait_ms=1,
+                              eager_compile=False)
+        try:
+            x = np.zeros(shape[1:], np.float32)
+            srv.infer(x)  # warm
+            from smelter_tpu.serving.server import _Request
+
+            req = _Request((x,), timeout_ms=0.5)
+            _time.sleep(0.01)  # deadline passes "during the batch"
+            outs = [np.zeros((1, 10), np.float32)]
+            srv._resolve([req], 1, outs)
+            with pytest.raises(TimeoutError):
+                req.future.result(timeout=1)
+            assert srv.stats()["deadline_misses"] == 1
+        finally:
+            srv.shutdown()
+
+    def test_hosthealth_reinit_cycle(self, small_model):
+        import time as _time
+
+        from smelter_tpu.parallel.multihost import HostHealth
+
+        g, _, shape = small_model
+        h = HostHealth(timeout_s=0.05)
+        calls = []
+        srv = InferenceServer(
+            g, max_batch=2, buckets=(1,), heartbeat_interval_s=0.02,
+            health=h, host_id="me",
+            on_membership_change=lambda lost, alive: calls.append((lost, alive)))
+        try:
+            h.heartbeat("remote-1")  # a peer that then goes silent
+            deadline = _time.monotonic() + 30
+            while not calls and _time.monotonic() < deadline:
+                _time.sleep(0.02)
+            assert calls and calls[0][0] == ["remote-1"]
+            assert "me" in calls[0][1] and "remote-1" not in calls[0][1]
+            assert srv.stats()["reinits"] >= 1
+            # serving still works after the re-init cycle
+            x = np.zeros(shape[1:], np.float32)
+            assert srv.infer(x)[0].shape == (10,)
+        finally:
+            srv.shutdown()
