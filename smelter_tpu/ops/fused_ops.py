@@ -41,6 +41,15 @@ def fused_attention(ctx: Ctx, node: Node):
 
         ctx.set(node.outputs[0], flash_attention(q, k, v, scale=scale).astype(q.dtype))
         return
+    if (use_pallas and q.ndim == 4 and bias is None and q.shape[2] < 512
+            and q.shape == k.shape == v.shape):
+        # short-N fused kernel: whole score matrix in VMEM (probe14 — XLA
+        # dpa spills (B,H,N,N) to HBM at these shapes)
+        from ..kernels.attention_short import short_attention
+
+        ctx.set(node.outputs[0],
+                short_attention(q, k, v, scale=scale).astype(q.dtype))
+        return
     # dot_product_attention wants (B, N, H, hd); our pattern is (B, H, N, hd).
     rank = q.ndim
     if rank == 4:

@@ -417,6 +417,18 @@ def layer_norm(ctx: Ctx, node: Node):
     eps = node.attr("epsilon", 1e-5)
     if axis < 0:
         axis += x.ndim
+    use_pallas = bool(ctx.config is not None
+                      and getattr(ctx.config, "use_pallas", False))
+    if (use_pallas and axis == x.ndim - 1
+            and not any(node.outputs[1:])):
+        from ..kernels.layer_norm import fused_layer_norm
+
+        bias = (ctx.get(node.inputs[2])
+                if len(node.inputs) > 2 and node.inputs[2]
+                else jnp.zeros_like(scale))
+        ctx.set(node.outputs[0],
+                fused_layer_norm(x, scale, bias, eps=float(eps)))
+        return
     axes = tuple(range(axis, x.ndim))
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes, keepdims=True)

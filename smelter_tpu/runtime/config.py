@@ -40,6 +40,10 @@ class Config:
     # Upsample linear mode alignCorners (reference default true,
     # ONNXGraph.swift:20).
     upsample_align_corners: bool = True
+    # Gelu form: "auto" uses the tanh approximation under reduced compute
+    # dtypes (error below bf16 resolution; erf costs ~40% more MLP time on
+    # the VPU — probe14), "exact"/"tanh" force a form.
+    gelu: str = "auto"
 
     # -- TPU execution ---------------------------------------------------
     use_pallas: bool = False  # hand-written hot kernels vs plain XLA lowering

@@ -160,3 +160,90 @@ class TestDequantConv:
             pads=((1, 1), (1, 1))))
         rel = np.abs(np.asarray(got, np.float32) - exact).max() / np.abs(exact).max()
         assert rel < 0.05, rel
+
+
+class TestFusedLayerNorm:
+    @pytest.mark.parametrize("m,d", [(64, 128), (100, 256), (8, 768)])
+    def test_matches_reference(self, rng, m, d):
+        from smelter_tpu.kernels.layer_norm import (
+            fused_layer_norm, layer_norm_reference)
+
+        x = rng.standard_normal((m, d)).astype(np.float32) * 3 + 1
+        g = rng.standard_normal(d).astype(np.float32)
+        b = rng.standard_normal(d).astype(np.float32)
+        got = fused_layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b),
+                               interpret=True)
+        want = layer_norm_reference(jnp.asarray(x), jnp.asarray(g),
+                                    jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unaligned_d_falls_back(self, rng):
+        from smelter_tpu.kernels.layer_norm import fused_layer_norm
+
+        x = rng.standard_normal((4, 100)).astype(np.float32)
+        g = np.ones(100, np.float32)
+        b = np.zeros(100, np.float32)
+        got = np.asarray(fused_layer_norm(jnp.asarray(x), jnp.asarray(g),
+                                          jnp.asarray(b), interpret=True))
+        assert abs(got.mean()) < 1e-5 and abs(got.std() - 1) < 1e-2
+
+    def test_3d_and_bf16(self, rng):
+        from smelter_tpu.kernels.layer_norm import (
+            fused_layer_norm, layer_norm_reference)
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 256)).astype(np.float32),
+                        jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+        b = jnp.zeros(256, jnp.float32)
+        got = fused_layer_norm(x, g, b, interpret=True)
+        assert got.dtype == jnp.bfloat16 and got.shape == x.shape
+        want = layer_norm_reference(x, g, b)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+class TestShortAttention:
+    @pytest.mark.parametrize("b,h,n,hd", [
+        (2, 4, 64, 64),      # aligned N
+        (2, 3, 197, 64),     # ViT shape: padded N, odd head count
+        (1, 2, 30, 32),      # small everything
+    ])
+    def test_matches_reference(self, rng, b, h, n, hd):
+        from smelter_tpu.kernels.attention_short import (
+            short_attention, short_attention_reference)
+
+        q = rng.standard_normal((b, h, n, hd)).astype(np.float32)
+        k = rng.standard_normal((b, h, n, hd)).astype(np.float32)
+        v = rng.standard_normal((b, h, n, hd)).astype(np.float32)
+        scale = hd ** -0.5
+        got = short_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              scale=scale, interpret=True)
+        want = short_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_vit_engine_path(self, rng):
+        """use_pallas routes FusedAttention through the short-N kernel
+        (interpret mode) with parity against the XLA path."""
+        import functools
+        import smelter_tpu as st
+        import smelter_tpu.kernels.attention_short as sa
+        from smelter_tpu.models import vit
+        from smelter_tpu.passes.pass_manager import run_passes
+
+        g, _tm, shape = vit.build(1, 32, patch=8, dim=64, depth=2, heads=4,
+                                  num_classes=10)
+        x = rng.standard_normal(shape).astype(np.float32)
+        run_passes(g)
+        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 2
+        want = st.CompiledModel(g)(x)[0]
+        orig = sa.short_attention
+        sa.short_attention = functools.partial(orig, interpret=True)
+        try:
+            got = st.CompiledModel(g, st.Config(use_pallas=True))(x)[0]
+        finally:
+            sa.short_attention = orig
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
