@@ -70,6 +70,27 @@ def fused_attention(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out.astype(q.dtype))
 
 
+@register("FusedQKVAttention")
+def fused_qkv_attention(ctx: Ctx, node: Node):
+    """Attention over a packed (B, N, 3D) QKV tensor in native (B, N, H, hd)
+    layout — zero transposes: the strided slot reads fuse into the
+    attention's input loads (passes/fuse_attention.py::fuse_qkv_attention)."""
+    import jax
+
+    x = ctx.get(node.inputs[0])
+    h = int(node.attr("num_heads"))
+    scale = node.attr("scale", 1.0)
+    b, n, three_d = x.shape
+    d = three_d // 3
+    hd = d // h
+    qkv = x.reshape(b, n, 3, h, hd)
+    q = qkv[:, :, 0]
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]
+    out = jax.nn.dot_product_attention(q, k, v, scale=scale)
+    ctx.set(node.outputs[0], out.reshape(b, n, d).astype(x.dtype))
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

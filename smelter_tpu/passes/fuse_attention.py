@@ -27,6 +27,121 @@ def _as_scalar(graph: Graph, name: str):
     return None
 
 
+def _static_ints(graph: Graph, name: str):
+    a = graph.initializers.get(name)
+    if a is None:
+        return None
+    return [int(v) for v in np.asarray(a).reshape(-1)]
+
+
+@register_pass("fuse_qkv_attention")
+def fuse_qkv_attention(graph: Graph) -> int:
+    """Collapse the packed-QKV glue around FusedAttention (run after
+    fuse_attention):
+
+        qkv(B,N,3D) -> Reshape(B,N,3,H,hd) -> Transpose(2,0,3,1,4)
+          -> 3x [Slice(axis0,i) -> Squeeze] -> FusedAttention
+          -> Transpose(0,2,1,3) -> Reshape(B,N,D)
+
+    becomes one FusedQKVAttention(qkv) in native (B,N,H,hd) layout. The
+    5-D transpose and the three slice copies each materialize the full
+    activation in HBM (probe15: ~the whole unexplained model-minus-layers
+    gap on ViT-B); the fused lowering reads the packed tensor directly."""
+    producers = graph.producers()
+    consumers = graph.consumers()
+    changed = 0
+    dead: set[int] = set()
+
+    def sole(out: str) -> bool:
+        return len(consumers.get(out, [])) == 1
+
+    for fa in list(graph.find_nodes("FusedAttention")):
+        if id(fa) in dead or len(fa.inputs) != 3:
+            continue
+        picks = []
+        ok = True
+        for name in fa.inputs:
+            sq = producers.get(name)
+            if (sq is None or sq.op_type != "Squeeze" or not sole(name)):
+                ok = False
+                break
+            axes = (sq.attr("axes")
+                    or (_static_ints(graph, sq.inputs[1])
+                        if len(sq.inputs) > 1 else None))
+            if axes is None or [int(a) for a in axes] != [0]:
+                ok = False
+                break
+            sl = producers.get(sq.inputs[0])
+            if (sl is None or sl.op_type != "Slice"
+                    or not sole(sq.inputs[0]) or len(sl.inputs) < 4):
+                ok = False
+                break
+            starts = _static_ints(graph, sl.inputs[1])
+            ends = _static_ints(graph, sl.inputs[2])
+            sl_axes = _static_ints(graph, sl.inputs[3])
+            steps = (_static_ints(graph, sl.inputs[4])
+                     if len(sl.inputs) > 4 and sl.inputs[4] else [1])
+            if (starts is None or ends is None or sl_axes != [0]
+                    or steps != [1] or len(starts) != 1
+                    or ends[0] != starts[0] + 1):
+                ok = False
+                break
+            picks.append((sl, sq, starts[0]))
+        # q/k/v must come from packed slots 0/1/2 in that order (the
+        # lowering reads them positionally from the packed tensor)
+        if not ok or [p[2] for p in picks] != [0, 1, 2]:
+            continue
+        tr_names = {p[0].inputs[0] for p in picks}
+        if len(tr_names) != 1:
+            continue
+        tr = producers.get(next(iter(tr_names)))
+        if (tr is None or tr.op_type != "Transpose"
+                or tr.attr("perm") != [2, 0, 3, 1, 4]
+                or len(consumers.get(tr.outputs[0], [])) != 3):
+            continue
+        rs = producers.get(tr.inputs[0])
+        if rs is None or rs.op_type != "Reshape" or not sole(tr.inputs[0]):
+            continue
+        shape5 = _static_ints(graph, rs.inputs[1])
+        if shape5 is None or len(shape5) != 5 or shape5[2] != 3:
+            continue
+        num_heads = shape5[3]
+        qkv_name = rs.inputs[0]
+        # output side: Transpose(0,2,1,3) -> Reshape(B,N,D)
+        outs = consumers.get(fa.outputs[0], [])
+        if len(outs) != 1 or outs[0].op_type != "Transpose" \
+                or outs[0].attr("perm") != [0, 2, 1, 3]:
+            continue
+        out_tr = outs[0]
+        outs2 = consumers.get(out_tr.outputs[0], [])
+        if len(outs2) != 1 or outs2[0].op_type != "Reshape":
+            continue
+        out_rs = outs2[0]
+        shape3 = _static_ints(graph, out_rs.inputs[1])
+        if shape3 is None or len(shape3) != 3:
+            continue
+
+        # reorder: q/k/v pick order must match slice indices 0/1/2
+        fused = Node(
+            "FusedQKVAttention",
+            inputs=[qkv_name],
+            outputs=list(out_rs.outputs),
+            attrs={"scale": fa.attr("scale", 1.0), "num_heads": num_heads},
+            name=(fa.name or "attn") + "_qkv",
+        )
+        for n in [rs, tr, fa, out_tr, out_rs] + [p[0] for p in picks] \
+                + [p[1] for p in picks]:
+            dead.add(id(n))
+        idx = graph.nodes.index(out_rs)
+        graph.nodes[idx] = fused
+        changed += 1
+
+    if changed:
+        graph.remove_nodes(dead)
+        graph.toposort()
+    return changed
+
+
 @register_pass("fuse_attention")
 def fuse_attention(graph: Graph) -> int:
     producers = graph.producers()

@@ -42,6 +42,7 @@ DEFAULT_PIPELINE = [
     "fuse_bn_conv",
     "fold_constants",
     "fuse_attention",
+    "fuse_qkv_attention",
     "eliminate_nops",
     "dce",
 ]

@@ -57,3 +57,52 @@ class TestArtifact:
                       st.Config(compute_dtype="bfloat16"), compile_now=False)
         m = load_artifact(tmp_path / "art3")
         assert m.config.compute_dtype == "bfloat16"
+
+
+class TestArtifactAot:
+    def test_load_kind_and_self_heal(self, tmp_path):
+        """True-AOT (.xla) is preferred; when the deserialized executable is
+        rejected at execution time the model self-heals onto StableHLO/jit
+        and still answers correctly."""
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        run_passes(g)
+        x = np.random.default_rng(1).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        save_artifact(tmp_path / "art", g, st.Config(), compile_now=True,
+                      aot=True)
+        import glob
+        m = load_artifact(tmp_path / "art")
+        assert m.load_kind in ("aot", "stablehlo", "jit")
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
+        # whatever path executed, it must be a working one afterwards
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
+
+    def test_jax_version_mismatch_warns_and_recompiles(self, tmp_path):
+        import json
+        import warnings as w
+
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        x = np.random.default_rng(2).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        save_artifact(tmp_path / "art", g, compile_now=True)
+        meta_path = tmp_path / "art" / "meta.json"
+        meta = json.loads(meta_path.read_text())
+        meta["jax_version"] = "0.0.0"
+        meta_path.write_text(json.dumps(meta))
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            m = load_artifact(tmp_path / "art")
+            assert any("jax 0.0.0" in str(r.message) for r in rec)
+        assert m.load_kind != "aot"  # .xla skipped on version mismatch
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)
+
+    def test_corrupt_xla_falls_back(self, tmp_path):
+        g, tm, shape = mobilenet_v2.build(1, 96, width_mult=0.35, num_classes=10)
+        x = np.random.default_rng(3).standard_normal(shape).astype(np.float32)
+        want = st.CompiledModel(g)(x)[0]
+        save_artifact(tmp_path / "art", g, compile_now=True, aot=True)
+        for p in (tmp_path / "art").glob("exec_*.xla"):
+            p.write_bytes(b"corrupt")
+        m = load_artifact(tmp_path / "art")
+        assert m.load_kind in ("stablehlo", "jit")
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-4, atol=1e-5)

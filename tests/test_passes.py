@@ -187,8 +187,12 @@ class TestAttentionFusion:
         x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
         before = outputs_of(g, x)
         run_passes(g)
-        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 2
+        # the packed-QKV glue collapses too (fuse_qkv_attention)
+        assert sum(1 for _ in g.find_nodes("FusedQKVAttention")) == 2
+        assert sum(1 for _ in g.find_nodes("FusedAttention")) == 0
         assert sum(1 for _ in g.find_nodes("Softmax")) == 0
+        # only the cls-token slice survives
+        assert sum(1 for _ in g.find_nodes("Slice")) == 1
         np.testing.assert_allclose(outputs_of(g, x), before, rtol=1e-3, atol=1e-4)
 
     def test_non_attention_softmax_untouched(self):
