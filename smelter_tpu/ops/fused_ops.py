@@ -83,10 +83,13 @@ def fused_qkv_attention(ctx: Ctx, node: Node):
     b, n, three_d = x.shape
     d = three_d // 3
     hd = d // h
-    qkv = x.reshape(b, n, 3, h, hd)
-    q = qkv[:, :, 0]
-    k = qkv[:, :, 1]
-    v = qkv[:, :, 2]
+    # The packed layout is (..., 3, H, hd) flattened, so the three slots
+    # are contiguous last-axis slices — cheap for XLA to fuse into the
+    # attention input loads (slot-indexing a reshaped 5-D view instead
+    # measured 28% SLOWER end-to-end: strided operand reads, probe16).
+    q = x[..., :d].reshape(b, n, h, hd)
+    k = x[..., d:2 * d].reshape(b, n, h, hd)
+    v = x[..., 2 * d:].reshape(b, n, h, hd)
     out = jax.nn.dot_product_attention(q, k, v, scale=scale)
     ctx.set(node.outputs[0], out.reshape(b, n, d).astype(x.dtype))
 

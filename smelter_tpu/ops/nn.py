@@ -417,10 +417,13 @@ def layer_norm(ctx: Ctx, node: Node):
     eps = node.attr("epsilon", 1e-5)
     if axis < 0:
         axis += x.ndim
+    fln = getattr(ctx.config, "fused_layernorm", "auto") if ctx.config else "auto"
     use_pallas = bool(ctx.config is not None
                       and getattr(ctx.config, "use_pallas", False))
-    if (use_pallas and axis == x.ndim - 1
-            and not any(node.outputs[1:])):
+    engage = (fln is True or use_pallas
+              or (fln == "auto" and jax.default_backend() == "tpu"))
+    if engage and fln is not False and axis == x.ndim - 1 \
+            and not any(node.outputs[1:]):
         from ..kernels.layer_norm import fused_layer_norm
 
         bias = (ctx.get(node.inputs[2])

@@ -47,6 +47,12 @@ class Config:
 
     # -- TPU execution ---------------------------------------------------
     use_pallas: bool = False  # hand-written hot kernels vs plain XLA lowering
+    # Fused single-pass LayerNorm kernel (kernels/layer_norm.py). Wins its
+    # microbench (0.375 vs 0.488 ms at ViT shapes, probe16) but LOSES
+    # end-to-end (probe17: 57.0 vs 49.2 ms ViT-B b128) — the pallas_call
+    # is a fusion barrier for the surrounding residual adds. Opt-in until
+    # a fused residual+LN formulation lands; "auto" currently == False.
+    fused_layernorm: bool | str = False
     # Execute fused dequant+matmul on the int8 MXU by dynamically
     # quantizing activations per-row (kernels/int8_matmul.py). Measured
     # 1.48x the bf16 fused path at serving-gemm shapes on v5e (213 vs 144
