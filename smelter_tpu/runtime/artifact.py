@@ -67,6 +67,10 @@ def save_artifact(path: str | os.PathLike, graph: Graph,
         "jax_version": jax.__version__,
         "config": {k: v for k, v in dataclasses.asdict(config).items()
                    if isinstance(v, (int, float, str, bool, type(None)))},
+        # dims is a dict (dropped by the scalar filter above) but shape
+        # overrides decide which executable key matches on load — persist
+        # it with string keys (JSON) and restore int axes in __init__.
+        "dims": {str(k): v for k, v in (config.dims or {}).items()},
         "executables": {},
     }
     if compile_now:
@@ -127,6 +131,9 @@ class ArtifactModel:
                 f"{__version__}: graph semantics are stored (safe), but "
                 f"consider re-exporting", stacklevel=2)
         cfg_dict = dict(meta.get("config", {}))
+        if meta.get("dims"):
+            cfg_dict["dims"] = {int(k) if k.lstrip("-").isdigit() else k: v
+                                for k, v in meta["dims"].items()}
         if config is None:
             known = {f.name for f in dataclasses.fields(Config)}
             config = Config(**{k: v for k, v in cfg_dict.items() if k in known})

@@ -36,6 +36,13 @@ def main(argv=None) -> int:
                         "vs the fp32 graph over N synthetic samples must be "
                         "<= --verify-gate percent (tools/accuracy.py)")
     p.add_argument("--verify-gate", type=float, default=0.1, metavar="PCT")
+    p.add_argument("--artifact", action="store_true",
+                   help="treat OUTPUT as an artifact DIRECTORY (graph + "
+                        "meta + AOT-compiled executable, runtime/artifact.py) "
+                        "instead of a single re-emitted .onnx")
+    p.add_argument("--batch", type=int, default=None,
+                   help="with --artifact: pin the batch size the executable "
+                        "is compiled for")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -130,6 +137,19 @@ def main(argv=None) -> int:
             return 1
 
     g.metadata["optimized"] = "1" if not args.no_fuse else "0"
+    if args.artifact:
+        from ..runtime.artifact import save_artifact
+        from ..runtime.config import Config
+
+        # dims={0: N} overrides axis 0 whether the graph's batch dim is
+        # symbolic or fixed (Config.resolve_dim); batch_size alone only
+        # pins symbolic dims.
+        cfg = (Config(batch_size=args.batch, dims={0: args.batch})
+               if args.batch else Config())
+        save_artifact(args.output, g, cfg, compile_now=True)
+        if args.verbose:
+            print("wrote artifact dir:", args.output)
+        return 0
     save_model(g, args.output, producer=PREPROCESSED_PRODUCER)
     if args.verbose:
         print("wrote:", args.output)

@@ -25,6 +25,26 @@ class TestCli:
         out = st.CompiledModel(g2)(np.ones((3, 4), np.float32))[0]
         assert out.shape == (3, 4)
 
+    def test_artifact_output(self, tmp_path, rng):
+        from smelter_tpu.runtime.artifact import load_artifact
+
+        b = st.GraphBuilder("art", opset=13)
+        b.graph.inputs.append(ValueInfo("x", TensorType(dt.FLOAT, ("batch", 4))))
+        w = b.init(rng.standard_normal((4, 4)).astype(np.float32), "w")
+        y = b.node("MatMul", ["x", w])
+        g = b.finish([y])
+        p_in = tmp_path / "art.onnx"
+        st.save_model(g, p_in)
+        out_dir = tmp_path / "artifact"
+        rc = cli_main([str(p_in), "-o", str(out_dir), "--artifact",
+                       "--batch", "2"])
+        assert rc == 0
+        assert (out_dir / "model.onnx").exists()
+        assert (out_dir / "meta.json").exists()
+        m = load_artifact(out_dir)
+        out = m(np.ones((2, 4), np.float32))[0]
+        assert out.shape == (2, 4)
+
     def test_missing_file(self, tmp_path, capsys):
         rc = cli_main([str(tmp_path / "nope.onnx"), "-o", str(tmp_path / "o")])
         assert rc == 2
