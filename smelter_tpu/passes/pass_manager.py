@@ -40,6 +40,8 @@ DEFAULT_PIPELINE = [
     "fold_constants",
     "fuse_pad_conv",
     "fuse_bn_conv",
+    "split_concat_conv",
+    "subpixel_upsample_conv",
     "fold_constants",
     "fuse_attention",
     "fuse_qkv_attention",
@@ -50,7 +52,8 @@ DEFAULT_PIPELINE = [
 
 def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = False) -> Graph:
     """Run the pipeline in place (returns the same graph for chaining)."""
-    from . import all_passes, fuse_attention, fuse_dequant, layout  # noqa: F401  (registration side effects)
+    from . import (  # noqa: F401  (registration side effects)
+        all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)
