@@ -54,6 +54,38 @@ def _nearest_idx(coords: np.ndarray, in_size: int, nearest_mode: str) -> np.ndar
     return np.clip(idx, 0, in_size - 1).astype(np.int32)
 
 
+# Per-axis resize is a linear map out = M @ x with M (out_s, in_s) holding
+# <=4 nonzeros per row. Below this input size we materialize M densely and
+# contract on the MXU instead of gathering: TPU probes measured the gather
+# forms at 93-270 GB/s of the 819 GB/s roofline, while the matmul form is
+# a few-GFLOP dot (e.g. 2x-upsampling 16x64^2x128 costs ~2 GFLOP ~ 40 us).
+# The FLOP cost grows with in_s; past ~1k rows the gather wins again.
+_MATMUL_MAX_IN = 512
+
+
+def _interp_matrix(coords: np.ndarray, in_s: int, out_s: int, mode: str,
+                   nearest_mode: str, cubic_a: float) -> np.ndarray:
+    """Dense (out_s, in_s) interpolation matrix for one spatial axis."""
+    m = np.zeros((out_s, in_s), np.float32)
+    r = np.arange(out_s)
+    if mode == "nearest":
+        m[r, _nearest_idx(coords, in_s, nearest_mode)] = 1.0
+    elif mode == "linear":
+        lo = np.clip(np.floor(coords), 0, in_s - 1).astype(np.int64)
+        hi = np.clip(lo + 1, 0, in_s - 1)
+        w = np.clip(coords - lo, 0.0, 1.0).astype(np.float32)
+        np.add.at(m, (r, lo), 1.0 - w)
+        np.add.at(m, (r, hi), w)
+    else:  # cubic
+        base = np.floor(coords).astype(np.int64)
+        t = (coords - base).astype(np.float64)
+        weights = _cubic_weights(t, cubic_a).astype(np.float32)
+        for tap in range(4):
+            idx = np.clip(base + tap - 1, 0, in_s - 1)
+            np.add.at(m, (r, idx), weights[:, tap])
+    return m
+
+
 def _cubic_weights(t: np.ndarray, a: float) -> np.ndarray:
     """Keys cubic kernel weights for the 4 taps at offsets {-1,0,1,2} given
     fractional positions t in [0,1). Returns (len(t), 4)."""
@@ -104,8 +136,33 @@ def resize_spatial(
             if oob.any():
                 oob_masks.append((axis, oob))
             coords = np.clip(coords, 0, in_s - 1)
+        # Formulation choice, measured on v5e (experiments/tpu_probe20.py):
+        # - linear/cubic: contract a dense (out,in) interp matrix on the
+        #   MXU — 1.2-2.6x over the gather-lerp forms at decoder shapes.
+        #   (Not for nearest: a one-hot matmul blocks XLA from fusing the
+        #   upsample into its consumer and measured 0.73-0.86x there.)
+        # - nearest with an exact integer repeat pattern: broadcast+reshape,
+        #   which XLA fuses straight into consumers (probe18/20).
+        if (not crop and in_s <= _MATMUL_MAX_IN
+                and mode in ("linear", "cubic")
+                and jnp.issubdtype(out.dtype, jnp.floating)):
+            m = _interp_matrix(coords, in_s, out_s, mode, nearest_mode,
+                               cubic_a)
+            mj = jnp.asarray(m, out.dtype)
+            out = jnp.moveaxis(jnp.tensordot(mj, out, axes=(1, axis)),
+                               0, axis)
+            continue
         if mode == "nearest":
             idx = _nearest_idx(coords, in_s, nearest_mode)
+            k, rem = divmod(out_s, in_s)
+            if rem == 0 and k > 1 and np.array_equal(
+                    idx, np.repeat(np.arange(in_s), k)):
+                shape = list(out.shape)
+                expanded = jnp.expand_dims(out, axis + 1)
+                shape_b = shape[:axis + 1] + [k] + shape[axis + 1:]
+                shape[axis] = out_s
+                out = jnp.broadcast_to(expanded, shape_b).reshape(shape)
+                continue
             out = jnp.take(out, jnp.asarray(idx), axis=axis)
         elif mode == "linear":
             lo = np.clip(np.floor(coords), 0, in_s - 1).astype(np.int32)

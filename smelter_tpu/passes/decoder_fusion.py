@@ -30,6 +30,9 @@ from ..ir.graph import Graph, Node
 from .pass_manager import register_pass
 
 _MAX_FANIN = 8
+# subpixel decomposition only pays above this input-channel count
+# (tpu_probe19/20: 1.17x at 256ch, 0.71x at 64ch)
+_SUBPIXEL_MIN_CIN = 128
 
 # (coordinate_transformation_mode, nearest_mode) pairs for which a
 # scale-2 nearest resize is exactly out[2i+d] = x[i] for every size.
@@ -254,6 +257,12 @@ def subpixel_upsample_conv(graph: Graph) -> int:
 
         w = _plain_conv(graph, conv, (3, 3))
         if w is None:
+            continue
+        if w.shape[1] < _SUBPIXEL_MIN_CIN:
+            # measured on v5e (tpu_probe19/20): the full-resolution
+            # interleave transpose eats the 2.25x FLOP saving below
+            # ~128 input channels (0.71x at 128^2x64); XLA's fused
+            # broadcast-upsample + conv wins there
             continue
         auto = _as_str(conv.attr("auto_pad", "NOTSET"))
         pads_ok = (auto in ("NOTSET", "")
