@@ -40,8 +40,13 @@ DEFAULT_PIPELINE = [
     "fold_constants",
     "fuse_pad_conv",
     "fuse_bn_conv",
-    "split_concat_conv",
+    # split_concat_conv is registered but OFF by default: the micro win
+    # (tpu_probe19 [A]: 2.52x on 5x64->64) inverts in real decoder graphs
+    # (tpu_probe22: ESRGAN 173 vs 213 img/s, tpu_probe23: U-Net 1000 vs
+    # 1024) — the split parts' small C_in pads worse on the 128-lane MXU
+    # than the one concatenated GEMM.
     "subpixel_upsample_conv",
+    "pack_conv_output",
     "fold_constants",
     "fuse_attention",
     "fuse_qkv_attention",
@@ -53,7 +58,8 @@ DEFAULT_PIPELINE = [
 def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = False) -> Graph:
     """Run the pipeline in place (returns the same graph for chaining)."""
     from . import (  # noqa: F401  (registration side effects)
-        all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout)
+        all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout,
+        mxu_packing)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

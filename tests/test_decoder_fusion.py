@@ -208,7 +208,15 @@ class TestSubpixelUpsampleConv:
 
 
 class TestEndToEnd:
-    def test_esrgan_full_pipeline(self, monkeypatch):
+    # split_concat_conv is opt-in (tpu_probe22/23: the split parts'
+    # small C_in pads worse on the MXU than the fused concat GEMM), so
+    # the split assertions run it via an explicit pipeline.
+    _SPLIT_PIPELINE = ["eliminate_nops", "fold_constants", "fuse_pad_conv",
+                       "fuse_bn_conv", "split_concat_conv",
+                       "subpixel_upsample_conv", "fold_constants",
+                       "eliminate_nops", "dce"]
+
+    def test_esrgan_split_pipeline(self, monkeypatch):
         from smelter_tpu.models import esrgan
 
         # lift the C_in perf gate so the subpixel tail fires on this
@@ -219,7 +227,7 @@ class TestEndToEnd:
         rng = np.random.default_rng(0)
         x = rng.standard_normal(shape).astype(np.float32)
         before = outputs_of(clone(g), x)
-        g2 = run_passes(clone(g))
+        g2 = run_passes(clone(g), self._SPLIT_PIPELINE)
         # every dense-block concat is split away; the nearest-2x tail convs
         # are subpixel-decomposed (leaving only the two interleave concats
         # that feed DepthToSpace)
@@ -231,14 +239,28 @@ class TestEndToEnd:
         after = outputs_of(g2, x)
         np.testing.assert_allclose(after, before, rtol=1e-3, atol=1e-4)
 
-    def test_unet_full_pipeline(self):
+    def test_esrgan_default_pipeline_keeps_concats(self):
+        from smelter_tpu.models import esrgan
+
+        g, tm, shape = esrgan.build(batch=1, image_size=16, nf=16, nb=1)
+        n_cat = sum(1 for _ in g.find_nodes("Concat"))
+        g2 = run_passes(clone(g))
+        # default pipeline must NOT split dense-block concats (probe22:
+        # the split costs ESRGAN ~19% on v5e)
+        assert sum(1 for _ in g2.find_nodes("Concat")) == n_cat
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(shape).astype(np.float32)
+        np.testing.assert_allclose(outputs_of(g2, x), outputs_of(clone(g), x),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_unet_split_pipeline(self):
         from smelter_tpu.models import unet
 
         g, tm, shape = unet.build(batch=1, image_size=32)
         rng = np.random.default_rng(0)
         x = rng.standard_normal(shape).astype(np.float32)
         before = outputs_of(clone(g), x)
-        g2 = run_passes(clone(g))
+        g2 = run_passes(clone(g), self._SPLIT_PIPELINE)
         # decoder concats split; bilinear upsamples must survive
         assert sum(1 for _ in g2.find_nodes("Concat")) == 0
         assert sum(1 for _ in g2.find_nodes("Resize")) == 4
