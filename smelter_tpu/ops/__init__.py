@@ -1,6 +1,7 @@
 """Op-lowering registry and all op implementations."""
 
 from . import (  # noqa: F401  (registration side effects)
+    contrib_ops,
     control_flow,
     detection,
     fused_ops,

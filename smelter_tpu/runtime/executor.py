@@ -63,6 +63,9 @@ _STATIC_POSITIONS: dict[str, set[int]] = {
     "QuantizeLinear": {1, 2},
     "QLinearConv": {1, 2, 4, 5, 6, 7, 8},
     "QLinearMatMul": {1, 2, 4, 5, 6, 7},
+    # Block-quantized weights: unpacked host-side at trace time
+    # (ops/contrib_ops.py::matmul_nbits) — never uploaded as-is.
+    "MatMulNBits": {1, 2, 3, 4},
 }
 
 
