@@ -173,6 +173,10 @@ _binary("LessOrEqual", jnp.less_equal, since=12, bool_out=True)
 _binary("And", jnp.logical_and, bool_out=True)
 _binary("Or", jnp.logical_or, bool_out=True)
 _binary("Xor", jnp.logical_xor, bool_out=True)
+_binary("BitwiseAnd", jnp.bitwise_and, since=18)
+_binary("BitwiseOr", jnp.bitwise_or, since=18)
+_binary("BitwiseXor", jnp.bitwise_xor, since=18)
+_unary("BitwiseNot", jnp.bitwise_not, since=18)
 
 
 @register("Min")

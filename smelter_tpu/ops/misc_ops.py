@@ -213,3 +213,103 @@ def multinomial(ctx: Ctx, node: Node):
         key, x.astype(jnp.float32), axis=-1,
         shape=(sample_size, x.shape[0])).T  # (batch, sample_size)
     ctx.set(node.outputs[0], samples.astype(dt.onnx_to_numpy_dtype(code)))
+
+
+def _seed_key(node: Node):
+    seed = node.attr("seed")
+    return jax.random.PRNGKey(
+        np.float32(seed).view(np.int32) if seed is not None else 0)
+
+
+@register("RandomNormal")
+def random_normal(ctx: Ctx, node: Node):
+    shape = tuple(int(s) for s in node.attr("shape"))
+    dtype = dt.onnx_to_numpy_dtype(int(node.attr("dtype", dt.FLOAT)))
+    mean = float(node.attr("mean", 0.0))
+    scale = float(node.attr("scale", 1.0))
+    y = jax.random.normal(_seed_key(node), shape) * scale + mean
+    ctx.set(node.outputs[0], y.astype(dtype))
+
+
+@register("RandomUniform")
+def random_uniform(ctx: Ctx, node: Node):
+    shape = tuple(int(s) for s in node.attr("shape"))
+    dtype = dt.onnx_to_numpy_dtype(int(node.attr("dtype", dt.FLOAT)))
+    low = float(node.attr("low", 0.0))
+    high = float(node.attr("high", 1.0))
+    y = jax.random.uniform(_seed_key(node), shape, minval=low, maxval=high)
+    ctx.set(node.outputs[0], y.astype(dtype))
+
+
+@register("RandomNormalLike")
+def random_normal_like(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    code = node.attr("dtype")
+    dtype = dt.onnx_to_numpy_dtype(int(code)) if code is not None else x.dtype
+    mean = float(node.attr("mean", 0.0))
+    scale = float(node.attr("scale", 1.0))
+    y = jax.random.normal(_seed_key(node), x.shape) * scale + mean
+    ctx.set(node.outputs[0], y.astype(dtype))
+
+
+@register("RandomUniformLike")
+def random_uniform_like(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    code = node.attr("dtype")
+    dtype = dt.onnx_to_numpy_dtype(int(code)) if code is not None else x.dtype
+    low = float(node.attr("low", 0.0))
+    high = float(node.attr("high", 1.0))
+    y = jax.random.uniform(_seed_key(node), x.shape, minval=low, maxval=high)
+    ctx.set(node.outputs[0], y.astype(dtype))
+
+
+# -- loss ops (opset 12+; inference graphs exported with eval metrics) -----
+
+
+def _nll_core(ctx: Ctx, node: Node, log_prob, target, weight):
+    """Shared NLLLoss math: log_prob (N,C,d...), target (N,d...) int."""
+    ignore = node.attr("ignore_index")
+    reduction = node.attr("reduction", "mean")
+    if isinstance(reduction, bytes):
+        reduction = reduction.decode()
+    c = log_prob.shape[1]
+    tgt = target.astype(jnp.int32)
+    valid = jnp.ones(tgt.shape, bool) if ignore is None \
+        else tgt != np.int32(ignore)
+    tgt_safe = jnp.where(valid, tgt, 0)
+    gathered = jnp.take_along_axis(
+        log_prob, tgt_safe[:, None].astype(jnp.int32), axis=1)[:, 0]
+    w = (weight.astype(jnp.float32)[tgt_safe]
+         if weight is not None else jnp.ones_like(gathered, jnp.float32))
+    w = jnp.where(valid, w, 0.0)
+    loss = -gathered.astype(jnp.float32) * w
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(w), 1e-12)  # mean
+
+
+@register("NegativeLogLikelihoodLoss", since=12)
+def nll_loss(ctx: Ctx, node: Node):
+    """input holds log-probabilities (torch NLLLoss contract); weighted
+    mean divides by the sum of selected weights, matching torch."""
+    log_prob = ctx.get(node.inputs[0])
+    target = ctx.get(node.inputs[1])
+    weight = (ctx.get(node.inputs[2])
+              if len(node.inputs) > 2 and node.inputs[2] else None)
+    ctx.set(node.outputs[0],
+            _nll_core(ctx, node, log_prob, target, weight).astype(log_prob.dtype))
+
+
+@register("SoftmaxCrossEntropyLoss", since=12)
+def softmax_cross_entropy_loss(ctx: Ctx, node: Node):
+    scores = ctx.get(node.inputs[0])
+    target = ctx.get(node.inputs[1])
+    weight = (ctx.get(node.inputs[2])
+              if len(node.inputs) > 2 and node.inputs[2] else None)
+    log_prob = jax.nn.log_softmax(scores.astype(jnp.float32), axis=1)
+    ctx.set(node.outputs[0],
+            _nll_core(ctx, node, log_prob, target, weight).astype(scores.dtype))
+    if len(node.outputs) > 1 and node.outputs[1]:
+        ctx.set(node.outputs[1], log_prob.astype(scores.dtype))

@@ -317,6 +317,29 @@ def average_pool(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
+@register("LpPool")
+def lp_pool(ctx: Ctx, node: Node):
+    """y = (sum |x|^p over window)^(1/p) — reduce_window over |x|^p."""
+    x, rank, kernel, strides, dilations, pads, layout = _pool_prep(ctx, node)
+    p = int(node.attr("p", 2))
+    wd, ws, wdl, wp = _pool_dims(rank, kernel, strides, dilations, pads, layout)
+    xp = jnp.power(jnp.abs(x.astype(jnp.float32)), p)
+    summed = lax.reduce_window(xp, jnp.zeros((), xp.dtype), lax.add,
+                               window_dimensions=wd, window_strides=ws,
+                               window_dilation=wdl, padding=wp)
+    ctx.set(node.outputs[0], jnp.power(summed, 1.0 / p).astype(x.dtype))
+
+
+@register("GlobalLpPool", since=2)
+def global_lp_pool(ctx: Ctx, node: Node):
+    x = ctx.get(node.inputs[0])
+    p = int(node.attr("p", 2))
+    axes = tuple(range(1, x.ndim - 1)) if _layout(node) == "NHWC" else tuple(range(2, x.ndim))
+    s = jnp.sum(jnp.power(jnp.abs(x.astype(jnp.float32)), p),
+                axis=axes, keepdims=True)
+    ctx.set(node.outputs[0], jnp.power(s, 1.0 / p).astype(x.dtype))
+
+
 @register("GlobalAveragePool")
 def global_average_pool(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
@@ -576,6 +599,110 @@ def resize(ctx: Ctx, node: Node):
                        extrapolation_value=float(
                            node.attr("extrapolation_value", 0.0)))
     ctx.set(node.outputs[0], y)
+
+
+@register("DeformConv", since=19)
+def deform_conv(ctx: Ctx, node: Node):
+    """Deformable convolution v2 (ONNX opset 19 / torchvision layout):
+    per-output-position learned offsets shift each kernel tap, values are
+    bilinearly sampled (zeros outside), optional modulation mask.
+
+    Lowered as: build the deformed im2col stack with 4-corner gathers
+    (static shapes, dynamic indices), then contract with the weights in a
+    single grouped einsum — the heavy math lands on the MXU, the gathers
+    are the unavoidable bandwidth cost of the op.
+    """
+    x = ctx.get(node.inputs[0])            # (N, C, H, W)
+    w = ctx.get(node.inputs[1])            # (O, C/g, kH, kW)
+    offset = ctx.get(node.inputs[2])       # (N, og*2*kH*kW, oH, oW)
+    bias = (ctx.get(node.inputs[3])
+            if len(node.inputs) > 3 and node.inputs[3] else None)
+    mask = (ctx.get(node.inputs[4])
+            if len(node.inputs) > 4 and node.inputs[4] else None)
+    if _layout(node) == "NHWC":
+        raise NotSupportedError("DeformConv under NHWC layout")
+    n, c, h, wid = x.shape
+    o, cg, kh, kw = w.shape
+    strides, dilations, group = _conv_attrs(node, 2)
+    og = int(node.attr("offset_group", 1))
+    pads = P.resolve_pads(node, (h, wid), (kh, kw), strides, dilations)
+    oh = P.conv_out_size(h, kh, strides[0], dilations[0], *pads[0])
+    ow = P.conv_out_size(wid, kw, strides[1], dilations[1], *pads[1])
+    t = kh * kw
+
+    # base tap positions (kh, kw, oh, ow)
+    iy = jnp.arange(oh) * strides[0] - pads[0][0]
+    ix = jnp.arange(ow) * strides[1] - pads[1][0]
+    ay = jnp.arange(kh) * dilations[0]
+    ax = jnp.arange(kw) * dilations[1]
+    base_y = (iy[None, :] + ay[:, None]).astype(jnp.float32)  # (kh, oh)
+    base_x = (ix[None, :] + ax[:, None]).astype(jnp.float32)  # (kw, ow)
+    off = offset.astype(jnp.float32).reshape(n, og, kh, kw, 2, oh, ow)
+    py = base_y[None, None, :, None, :, None] + off[:, :, :, :, 0]
+    px = base_x[None, None, None, :, None, :] + off[:, :, :, :, 1]
+    py = py.reshape(n, og, t, oh * ow)
+    px = px.reshape(n, og, t, oh * ow)
+
+    xg = x.reshape(n, og, c // og, h * wid)
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    dy = py - y0
+    dx = px - x0
+    s = jnp.zeros((n, og, c // og, t, oh * ow), jnp.float32)
+    for cy, cx, cw in ((y0, x0, (1 - dy) * (1 - dx)),
+                       (y0, x0 + 1, (1 - dy) * dx),
+                       (y0 + 1, x0, dy * (1 - dx)),
+                       (y0 + 1, x0 + 1, dy * dx)):
+        inb = (cy >= 0) & (cy < h) & (cx >= 0) & (cx < wid)
+        yi = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(cx, 0, wid - 1).astype(jnp.int32)
+        flat = (yi * wid + xi).reshape(n, og, 1, -1)
+        vals = jnp.take_along_axis(
+            xg, jnp.broadcast_to(flat, (n, og, c // og, t * oh * ow)),
+            axis=3).reshape(n, og, c // og, t, oh * ow)
+        s = s + vals.astype(jnp.float32) * (cw * inb)[:, :, None]
+    if mask is not None:
+        m = mask.astype(jnp.float32).reshape(n, og, 1, t, oh * ow)
+        s = s * m
+    sg = s.reshape(n, group, c // group, t, oh * ow)
+    wg = w.astype(jnp.float32).reshape(group, o // group, cg, t)
+    y = jnp.einsum("ngcts,goct->ngos", sg, wg,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(n, o, oh, ow)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32).reshape(1, -1, 1, 1)
+    ctx.set(node.outputs[0], y.astype(x.dtype))
+
+
+@register("AffineGrid", since=20)
+def affine_grid(ctx: Ctx, node: Node):
+    """Sampling grid from affine matrices (pairs with GridSample): theta
+    (N,2,3) + size (N,C,H,W) -> (N,H,W,2), or the 3-D (N,3,4) form. The
+    base grid is a host-side constant (size is static); only the tiny
+    theta matmul is traced."""
+    theta = ctx.get(node.inputs[0])
+    size = [int(s) for s in np.asarray(ctx.static(node.inputs[1])).reshape(-1)]
+    align = bool(node.attr("align_corners", 0))
+    spatial = size[2:]
+    rank = len(spatial)
+    if theta.shape[-2:] != (rank, rank + 1):
+        raise NotSupportedError(
+            f"AffineGrid theta {theta.shape} vs size rank {rank}")
+
+    def axis_coords(n):
+        if align:
+            return np.linspace(-1.0, 1.0, n) if n > 1 else np.zeros(n)
+        return (2.0 * np.arange(n) + 1.0) / n - 1.0
+
+    # base grid (spatial..., rank+1) with coords ordered (x, y[, z], 1) —
+    # x varies along the LAST spatial dim (W), matching torch.affine_grid
+    axes = [axis_coords(n) for n in spatial]
+    mesh = np.meshgrid(*axes, indexing="ij")  # each (spatial...)
+    base = np.stack(list(reversed(mesh)) + [np.ones(spatial)], axis=-1)
+    base = jnp.asarray(base.astype(np.float32))
+    # grid[n, ..., r] = sum_c base[..., c] * theta[n, r, c]
+    grid = jnp.einsum("...c,nrc->n...r", base, theta.astype(jnp.float32))
+    ctx.set(node.outputs[0], grid.astype(theta.dtype))
 
 
 @register("GridSample", since=16)
