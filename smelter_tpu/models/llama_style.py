@@ -1,0 +1,182 @@
+"""LLaMA-family decoder (RMSNorm + rotary + grouped-query attention +
+SwiGLU), built as ONNX graphs in the onnxruntime-genai export vocabulary.
+
+Two forms sharing one weight dict:
+
+- ``build_full``: full-sequence causal forward written with the contrib ops
+  a real ORT-genai LLaMA export uses — SimplifiedLayerNormalization /
+  SkipSimplifiedLayerNormalization, RotaryEmbedding, GroupQueryAttention
+  (ops/contrib_ops.py). This is the compatibility proof that such exports
+  run on this engine end-to-end.
+- ``build_decode_step``: batch-1 static-KV-cache step graph in primitive
+  ops (ScatterND cache writes at a traced position, broadcast GQA head
+  sharing), FusedGenerator-compatible (runtime/generate.py) so the whole
+  greedy decode loop runs in one TPU dispatch.
+
+The reference has no text models at all (SURVEY.md §5.7 long-context gap);
+this extends the framework to the modern LLM serving stack the build
+mandate names. No pretrained weights exist in this environment — weights
+are seeded-random, and tests assert decode-vs-full token parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.build import GraphBuilder
+from ..utils import dtypes as dt
+
+
+def _w(rng, *shape, scale=None):
+    scale = scale if scale is not None else 1.0 / np.sqrt(shape[0])
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def _rope_caches(max_len: int, hd: int, base: float = 10000.0):
+    inv = 1.0 / base ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
+    ang = np.arange(max_len, dtype=np.float64)[:, None] * inv[None]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def make_weights(vocab: int = 96, dim: int = 64, heads: int = 4,
+                 kv_heads: int = 2, ffn: int = 128, layers: int = 2,
+                 max_len: int = 32, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    hd = dim // heads
+    kvd = kv_heads * hd
+    w = {"wte": _w(rng, vocab, dim, scale=0.05),
+         "w_head": _w(rng, dim, vocab),
+         "norm_f": np.ones(dim, np.float32)}
+    w["cos"], w["sin"] = _rope_caches(max_len, hd)
+    for li in range(layers):
+        w[f"norm1_{li}"] = np.ones(dim, np.float32)
+        w[f"norm2_{li}"] = np.ones(dim, np.float32)
+        w[f"wq_{li}"] = _w(rng, dim, dim)
+        w[f"wk_{li}"] = _w(rng, dim, kvd)
+        w[f"wv_{li}"] = _w(rng, dim, kvd)
+        w[f"wo_{li}"] = _w(rng, dim, dim)
+        w[f"wgate_{li}"] = _w(rng, dim, ffn)
+        w[f"wup_{li}"] = _w(rng, dim, ffn)
+        w[f"wdown_{li}"] = _w(rng, ffn, dim)
+    return w
+
+
+def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
+               heads: int = 4, kv_heads: int = 2, ffn: int = 128,
+               layers: int = 2):
+    """tokens (T,) -> logits (T, vocab), causal, contrib-op vocabulary."""
+    hd = dim // heads
+    b = GraphBuilder("llama_full", opset=17)
+    tokens = b.input("tokens", (seq_len,), dt.INT64)
+    cos, sin = b.init(weights["cos"]), b.init(weights["sin"])
+    pos = b.init(np.arange(seq_len, dtype=np.int64)[None], "pos_ids")  # (1,T)
+    x = b.node("Gather", [b.init(weights["wte"], "wte"), tokens], axis=0)
+    x = b.node("Reshape", [x, b.init(np.array([1, seq_len, dim], np.int64))])
+    residual = x
+    for li in range(layers):
+        h = b.node("SimplifiedLayerNormalization",
+                   [residual, b.init(weights[f"norm1_{li}"])],
+                   axis=-1, epsilon=1e-6)
+        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"])])    # (1,T,dim)
+        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"])])    # (1,T,kvd)
+        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"])])
+        q = b.node("RotaryEmbedding", [q, pos, cos, sin], num_heads=heads)
+        k = b.node("RotaryEmbedding", [k, pos, cos, sin], num_heads=kv_heads)
+        att = b.node("GroupQueryAttention", [q, k, v],
+                     num_heads=heads, kv_num_heads=kv_heads)
+        proj = b.node("MatMul", [att, b.init(weights[f"wo_{li}"])])
+        # SkipSimplifiedLayerNormalization: output 0 feeds the MLP, output 3
+        # (input+skip sum) is the next residual — the ORT-genai pattern.
+        outs = b.node("SkipSimplifiedLayerNormalization",
+                      [proj, residual, b.init(weights[f"norm2_{li}"])],
+                      outputs=[f"mlp_in_{li}", "", "", f"res2_{li}"],
+                      epsilon=1e-6)
+        h2, res2 = outs[0], outs[3]
+        gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
+        sg = b.node("Sigmoid", [gate])
+        silu = b.node("Mul", [gate, sg])
+        up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
+        prod = b.node("Mul", [silu, up])
+        down = b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
+        residual = b.node("Add", [down, res2])
+    xf = b.node("SimplifiedLayerNormalization",
+                [residual, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
+    logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
+    logits = b.node("Reshape",
+                    [logits, b.init(np.array([seq_len, vocab], np.int64))])
+    return b.finish([logits])
+
+
+def build_decode_step(weights: dict | None = None, vocab: int = 96,
+                      dim: int = 64, heads: int = 4, kv_heads: int = 2,
+                      ffn: int = 128, layers: int = 2, max_len: int = 32,
+                      seed: int = 0):
+    """(token (1,), pos (1,), k_cache_i/v_cache_i (max_len, kvd)) ->
+    (logits (1,vocab), updated caches). FusedGenerator-compatible."""
+    if weights is None:
+        weights = make_weights(vocab, dim, heads, kv_heads, ffn, layers,
+                               max_len, seed)
+    hd = dim // heads
+    kvd = kv_heads * hd
+    g = heads // kv_heads
+    b = GraphBuilder("llama_step", opset=17)
+    token = b.input("token", (1,), dt.INT64)
+    pos = b.input("pos", (1,), dt.INT64)
+    cos, sin = b.init(weights["cos"]), b.init(weights["sin"])
+    pos2 = b.node("Reshape", [pos, b.init(np.array([1, 1], np.int64))])
+    x = b.node("Gather", [b.init(weights["wte"], "wte"), token], axis=0)  # (1,dim)
+    cache_outs = []
+    for li in range(layers):
+        k_cache = b.input(f"k_cache_{li}", (max_len, kvd))
+        v_cache = b.input(f"v_cache_{li}", (max_len, kvd))
+        h = b.node("SimplifiedLayerNormalization",
+                   [x, b.init(weights[f"norm1_{li}"])], axis=-1, epsilon=1e-6)
+        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"])])   # (1,dim)
+        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"])])   # (1,kvd)
+        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"])])
+        q3 = b.node("Reshape", [q, b.init(np.array([1, 1, dim], np.int64))])
+        k3 = b.node("Reshape", [k, b.init(np.array([1, 1, kvd], np.int64))])
+        q3 = b.node("RotaryEmbedding", [q3, pos2, cos, sin], num_heads=heads)
+        k3 = b.node("RotaryEmbedding", [k3, pos2, cos, sin], num_heads=kv_heads)
+        q = b.node("Reshape", [q3, b.init(np.array([1, dim], np.int64))])
+        k = b.node("Reshape", [k3, b.init(np.array([1, kvd], np.int64))])
+        idx = b.node("Reshape", [pos, b.init(np.array([1, 1], np.int64))])
+        k_upd = b.node("ScatterND", [k_cache, idx, k])
+        v_upd = b.node("ScatterND", [v_cache, idx, v])
+        cache_outs += [(f"k_out_{li}", k_upd), (f"v_out_{li}", v_upd)]
+        # GQA: (kvh, g, 1, hd) @ (kvh, 1, hd, max_len) broadcast batch matmul
+        qh = b.node("Reshape", [q, b.init(np.array([kv_heads, g, 1, hd], np.int64))])
+        kh = b.node("Reshape", [k_upd, b.init(np.array([max_len, kv_heads, 1, hd], np.int64))])
+        kh = b.node("Transpose", [kh], perm=[1, 2, 3, 0])   # (kvh,1,hd,max)
+        vh = b.node("Reshape", [v_upd, b.init(np.array([max_len, kv_heads, 1, hd], np.int64))])
+        vh = b.node("Transpose", [vh], perm=[1, 2, 0, 3])   # (kvh,1,max,hd)
+        scores = b.node("MatMul", [qh, kh])                 # (kvh,g,1,max)
+        scores = b.node("Mul", [scores, b.init(np.float32(hd ** -0.5))])
+        arange = b.init(np.arange(max_len, dtype=np.int64), f"ar_{li}")
+        valid = b.node("LessOrEqual", [arange, pos])
+        mask = b.node("Where", [valid, b.init(np.float32(0.0)),
+                                b.init(np.float32(-1e9))])
+        scores = b.node("Add", [scores, mask])
+        attn = b.node("Softmax", [scores], axis=-1)
+        ctxv = b.node("MatMul", [attn, vh])                 # (kvh,g,1,hd)
+        ctxv = b.node("Reshape", [ctxv, b.init(np.array([1, dim], np.int64))])
+        proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"])])
+        x = b.node("Add", [x, proj])
+        h2 = b.node("SimplifiedLayerNormalization",
+                    [x, b.init(weights[f"norm2_{li}"])], axis=-1, epsilon=1e-6)
+        gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
+        sg = b.node("Sigmoid", [gate])
+        silu = b.node("Mul", [gate, sg])
+        up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
+        prod = b.node("Mul", [silu, up])
+        down = b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
+        x = b.node("Add", [x, down])
+    xf = b.node("SimplifiedLayerNormalization",
+                [x, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
+    logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
+    gr = b.graph
+    for (want_name, have_edge) in cache_outs:
+        for n in gr.nodes:
+            n.outputs = [want_name if o == have_edge else o for o in n.outputs]
+            n.inputs = [want_name if i == have_edge else i for i in n.inputs]
+    return b.finish([logits] + [n for n, _ in cache_outs]), weights

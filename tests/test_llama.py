@@ -1,0 +1,56 @@
+"""LLaMA-style family (models/llama_style.py): contrib-op full graph vs
+primitive-op KV-cache decode step parity, and FusedGenerator decode."""
+
+import numpy as np
+
+import smelter_tpu as st
+from smelter_tpu.models import llama_style
+
+CFG = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+
+
+def test_full_forward_runs_through_compile():
+    w = llama_style.make_weights(max_len=16, **CFG)
+    g = llama_style.build_full(w, seq_len=8, **CFG)
+    g = st.import_model(st.export_model(g))  # serialization roundtrip
+    m = st.compile(g)
+    toks = np.arange(8, dtype=np.int64) % CFG["vocab"]
+    logits = m(toks)[0]
+    assert logits.shape == (8, CFG["vocab"])
+    assert np.isfinite(logits).all()
+
+
+def test_decode_step_matches_full():
+    max_len = 12
+    w = llama_style.make_weights(max_len=max_len, **CFG)
+    step_g, _ = llama_style.build_decode_step(w, max_len=max_len, **CFG)
+    full_g = llama_style.build_full(w, seq_len=6, **CFG)
+    step = st.CompiledModel(step_g)
+    full = st.CompiledModel(full_g)
+    toks = np.array([3, 17, 41, 8, 55, 2], np.int64)
+    want = full(toks)[0]  # (6, vocab)
+    kvd = CFG["kv_heads"] * CFG["dim"] // CFG["heads"]
+    caches = [np.zeros((max_len, kvd), np.float32) for _ in range(2 * CFG["layers"])]
+    for p in range(6):
+        outs = step(np.array([toks[p]]), np.array([p], np.int64), *caches)
+        logits, caches = outs[0], list(outs[1:])
+        np.testing.assert_allclose(
+            logits[0], want[p], rtol=2e-4, atol=2e-4,
+            err_msg=f"position {p}")
+
+
+def test_fused_generator_greedy():
+    from smelter_tpu.runtime.generate import FusedGenerator
+
+    max_len = 16
+    step_g, w = llama_style.build_decode_step(max_len=max_len, **CFG)
+    gen = FusedGenerator(step_g)
+    out = gen.generate([5, 9, 2], 8)
+    assert len(out) == 11
+    # greedy rollout must agree with the full graph's argmax chain
+    full_g = llama_style.build_full(w, seq_len=11, **CFG)
+    full = st.CompiledModel(full_g)
+    toks = list(out)
+    logits = full(np.asarray(toks, np.int64))[0]
+    for p in range(2, 10):
+        assert int(np.argmax(logits[p])) == toks[p + 1], f"position {p}"
