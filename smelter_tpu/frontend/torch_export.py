@@ -392,6 +392,16 @@ class _Exporter:
             return b.node("Sigmoid", [self.val(a[0])])
         if f in (torch.tanh, F.tanh):
             return b.node("Tanh", [self.val(a[0])])
+        if f is torch.sin:
+            return b.node("Sin", [self.val(a[0])])
+        if f is torch.cos:
+            return b.node("Cos", [self.val(a[0])])
+        if f is torch.exp:
+            return b.node("Exp", [self.val(a[0])])
+        if f is torch.log:
+            return b.node("Log", [self.val(a[0])])
+        if f is torch.sqrt:
+            return b.node("Sqrt", [self.val(a[0])])
         if f is F.gelu:
             approx = kw.get("approximate", "none")
             return b.node("Gelu", [self.val(a[0])], approximate=approx)
@@ -471,7 +481,7 @@ class _Exporter:
                           num_groups=num_groups, epsilon=kw.get("eps", 1e-5))
         if f is F.leaky_relu:
             return b.node("LeakyRelu", [self.val(a[0])], alpha=a[1] if len(a) > 1 else kw.get("negative_slope", 0.01))
-        if f is F.softmax:
+        if f in (F.softmax, torch.softmax):
             return b.node("Softmax", [self.val(a[0])], axis=kw.get("dim", a[1] if len(a) > 1 else -1))
         if f is F.interpolate:
             return self._interpolate(

@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import audio_kws, esrgan, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
+from . import audio_kws, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
@@ -20,4 +20,7 @@ ZOO = {
         batch=batch, frames=1000, **kw),
     "audio_kws": lambda batch=1, image_size=224, **kw: audio_kws.build(
         batch=batch, samples=16000, **kw),
+    # image_size is the PIXEL size; the latent UNet runs at /8 (SD-style)
+    "sd_unet": lambda batch=1, image_size=256, **kw: sd_unet.build(
+        batch=batch, image_size=max(8, image_size // 8), **kw),
 }
