@@ -662,11 +662,13 @@ def matmul_nbits(ctx: Ctx, node: Node):
     onnxruntime-genai exports.
 
     The packed weight/scale/zero-point initializers are unpacked host-side
-    at trace time into an int8 (nb, bs, N) tensor plus (nb, N) scales; the
-    matmul runs as a lax.scan over K-blocks so the weights stay integer in
-    HBM and each step is a dense (M,bs)@(bs,N) MXU matmul with the per-block
-    scale applied to the f32 accumulator (same design as ops/quant_ops.py's
-    folded requant epilogues).
+    at trace time into an int8 (K, N) tensor plus (nb, N) scales that live
+    int8 in HBM; the lowering multiplies the per-block scales back in-graph
+    and lets XLA fuse the dequant into the matmul. Measured on-chip
+    (experiments/tpu_probe27.py, M8192/K4096/N4096/bs32): this form hits
+    138 TF/s — parity with bf16 weights — while a lax.scan over K-blocks
+    runs 5 TF/s (small-K matmuls starve the MXU) and a blockwise einsum
+    18 TF/s (materializes (M,nb,N) partials).
     """
     a = ctx.get(node.inputs[0])
     K = int(node.attr("K"))
@@ -707,35 +709,23 @@ def matmul_nbits(ctx: Ctx, node: Node):
             zp = zrows[:, :nb].astype(np.int32)
     if zp is not None:
         w_int = (w - zp[:, :, None]).astype(np.int8)     # |w|<=2^bits-1
-        corr = None
+        zp_dev = None
     else:
         w_int = w.astype(np.int8)
-        corr = zp_f * scales                             # subtract after scale
-    w_dev = jnp.asarray(np.transpose(w_int, (1, 2, 0)))  # (nb, bs, N)
-    s_dev = jnp.asarray(np.transpose(scales, (1, 0)))    # (nb, N)
+        zp_dev = jnp.asarray(np.transpose(zp_f, (1, 0)))[:, None, :]  # (nb,1,N)
+    # int8 (K,N) in HBM; the per-block rescale below fuses into the matmul
+    w_dev = jnp.asarray(np.transpose(w_int, (1, 2, 0)).reshape(nb * bs, N))
+    s_dev = jnp.asarray(np.transpose(scales, (1, 0)))[:, None, :]     # (nb,1,N)
     lead = a.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
     a2 = a.reshape(m, a.shape[-1])
     if a2.shape[-1] < nb * bs:  # K padded up to whole blocks
         a2 = jnp.pad(a2, ((0, 0), (0, nb * bs - a2.shape[-1])))
-    a3 = jnp.swapaxes(a2.reshape(m, nb, bs), 0, 1)       # (nb, M, bs)
-
-    def step(acc, xs):
-        if corr is not None:
-            wg, sg, ag, cg = xs
-        else:
-            wg, sg, ag = xs
-            cg = None
-        p = jnp.matmul(ag, wg.astype(ag.dtype),
-                       preferred_element_type=jnp.float32)
-        p = p * sg
-        if cg is not None:
-            p = p - jnp.sum(ag.astype(jnp.float32), axis=-1, keepdims=True) * cg
-        return acc + p, None
-
-    xs = (w_dev, s_dev, a3) if corr is None else \
-        (w_dev, s_dev, a3, jnp.asarray(np.transpose(corr, (1, 0)))[:, None, :])
-    y, _ = lax.scan(step, jnp.zeros((m, N), jnp.float32), xs)
+    wf = w_dev.astype(a.dtype).reshape(nb, bs, N)
+    if zp_dev is not None:
+        wf = wf - zp_dev.astype(a.dtype)
+    wd = (wf * s_dev.astype(a.dtype)).reshape(nb * bs, N)
+    y = jnp.matmul(a2, wd, preferred_element_type=jnp.float32)
     if len(node.inputs) > 5 and node.inputs[5]:
         y = y + ctx.get(node.inputs[5]).astype(jnp.float32)
     ctx.set(node.outputs[0], y.astype(a.dtype).reshape(lead + (N,)))

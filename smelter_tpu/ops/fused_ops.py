@@ -28,6 +28,22 @@ def fused_attention(ctx: Ctx, node: Node):
     bias = None
     if len(node.inputs) > 3 and node.inputs[3]:
         bias = ctx.get(node.inputs[3])
+    # Native-layout operands ((B,N,H,hd), marked by the fusion pass when it
+    # folded the surrounding transposes): feed dot_product_attention
+    # directly — zero layout copies (probe16).
+    if node.attr("q_native", 0) or node.attr("k_native", 0) \
+            or node.attr("v_native", 0):
+        qt = q if node.attr("q_native", 0) else jnp.swapaxes(q, 1, 2)
+        kt = k if node.attr("k_native", 0) else jnp.swapaxes(k, 1, 2)
+        vt = v if node.attr("v_native", 0) else jnp.swapaxes(v, 1, 2)
+        out = jax.nn.dot_product_attention(qt, kt, vt, bias=bias, scale=scale)
+        out_shape = node.attr("out_shape")
+        if out_shape is not None:
+            out = out.reshape([int(s) for s in out_shape])
+        else:
+            out = jnp.swapaxes(out, 1, 2)  # back to (B,H,N,hd)
+        ctx.set(node.outputs[0], out.astype(q.dtype))
+        return
     use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
     # Flash kernel pays off only for long sequences; at ViT-sized N (~200)
     # its small tiles lose to XLA's fused attention (1154 vs 1569 img/s,

@@ -195,26 +195,94 @@ def fuse_attention(graph: Graph) -> int:
             mm1 = scale_node
         if mm1 is None or mm1.op_type != "MatMul" or not sole(mm1.outputs[0]):
             continue
-        # mm1 = MatMul(Q, K^T): K^T usually via Transpose(-2,-1)
+        # mm1 = MatMul(Q, K^T): K^T via Transpose(-2,-1), or — the torch
+        # "native layout" export — a single Transpose([0,2,3,1]) straight
+        # from the (B,N,H,hd) projection.
         q_name = mm1.inputs[0]
+        k_native = False
         kt = producers.get(mm1.inputs[1])
+        k_init = graph.initializers.get(mm1.inputs[1])
         if kt is not None and kt.op_type == "Transpose" and sole(kt.outputs[0]):
             perm = kt.attr("perm")
             rank = len(perm) if perm else None
             if perm and perm == list(range(rank - 2)) + [rank - 1, rank - 2]:
                 k_name = kt.inputs[0]
                 dead.add(id(kt))
+            elif perm == [0, 2, 3, 1]:
+                # K read directly from (B,N,H,hd) — mark native so the
+                # lowering feeds dot_product_attention with NO transpose
+                k_name = kt.inputs[0]
+                k_native = True
+                dead.add(id(kt))
             else:
                 continue
+        elif k_init is not None and k_init.ndim == 4:
+            # K^T is a folded constant ((B,H,hd,T), e.g. projections of a
+            # baked text context) — relayout host-side to native (B,T,H,hd)
+            k_name = mm1.inputs[1] + "__native"
+            graph.initializers[k_name] = np.ascontiguousarray(
+                np.transpose(k_init, (0, 3, 1, 2)))
+            k_native = True
         else:
             continue
         v_name = mm2.inputs[1]
 
+        # Fold the matching q/v layout transposes ((B,N,H,hd)->(B,H,N,hd))
+        # so the whole attention runs in native layout, zero copies
+        # (probe16: the 4/5-D transpose glue was the ViT gap; same shape
+        # here for torch-exported cross-attention, e.g. models/sd_unet.py).
+        q_native = v_native = False
+        qp = producers.get(q_name)
+        if (k_native and qp is not None and qp.op_type == "Transpose"
+                and sole(qp.outputs[0]) and qp.attr("perm") == [0, 2, 1, 3]):
+            q_name = qp.inputs[0]
+            q_native = True
+            dead.add(id(qp))
+        vp = producers.get(v_name)
+        v_init = graph.initializers.get(v_name)
+        if (k_native and vp is not None and vp.op_type == "Transpose"
+                and sole(vp.outputs[0]) and vp.attr("perm") == [0, 2, 1, 3]):
+            v_name = vp.inputs[0]
+            v_native = True
+            dead.add(id(vp))
+        elif k_native and vp is None and v_init is not None \
+                and v_init.ndim == 4:
+            v_name = v_name + "__native"
+            graph.initializers[v_name] = np.ascontiguousarray(
+                np.transpose(v_init, (0, 2, 1, 3)))
+            v_native = True
+
+        # Output side: absorb Transpose([0,2,1,3]) -> Reshape(B,N,D) so the
+        # fused op emits (B,N,D) directly.
+        out_shape3 = None
+        out_node = mm2
+        outs1 = consumers.get(mm2.outputs[0], [])
+        if (q_native and v_native and len(outs1) == 1
+                and outs1[0].op_type == "Transpose"
+                and outs1[0].attr("perm") == [0, 2, 1, 3]):
+            outs2 = consumers.get(outs1[0].outputs[0], [])
+            if len(outs2) == 1 and outs2[0].op_type == "Reshape":
+                shape3 = _static_ints(graph, outs2[0].inputs[1])
+                if shape3 is not None and len(shape3) == 3:
+                    out_shape3 = shape3
+                    out_node = outs2[0]
+                    dead.add(id(outs1[0]))
+                    dead.add(id(outs2[0]))
+
+        attrs = {"scale": scale}
+        if q_native:
+            attrs["q_native"] = 1
+        if k_native:
+            attrs["k_native"] = 1
+        if v_native:
+            attrs["v_native"] = 1
+        if out_shape3 is not None:
+            attrs["out_shape"] = out_shape3
         fused = Node(
             "FusedAttention",
             inputs=[q_name, k_name, v_name] + ([mask_name] if mask_name else []),
-            outputs=list(mm2.outputs),
-            attrs={"scale": scale},
+            outputs=list(out_node.outputs),
+            attrs=attrs,
             name=(mm2.name or "attn") + "_fused",
         )
         # Mark the chain dead and splice in the fused node.
@@ -225,7 +293,7 @@ def fuse_attention(graph: Graph) -> int:
         maybe_add = producers.get(sm.inputs[0])
         if maybe_add is not None and maybe_add.op_type == "Add" and mask_name:
             dead.add(id(maybe_add))
-        idx = graph.nodes.index(mm2)
+        idx = graph.nodes.index(out_node)
         graph.nodes[idx] = fused
         changed += 1
 
