@@ -466,9 +466,14 @@ def multi_head_attention(ctx: Ctx, node: Node):
         if bias is not None:
             q = q + bias[:d]
         q = q.reshape(b, sq, h, hd)
-        if key is None or value is None:
-            raise NotSupportedError("MultiHeadAttention packed KV form")
-        if key.ndim == 4:  # BNSH (already transposed, no bias per ORT)
+        if key is not None and key.ndim == 5:  # packed KV (B,Skv,H,2,hd)
+            if bias is not None:
+                raise NotSupportedError("MultiHeadAttention bias with packed KV")
+            k = key[:, :, :, 0, :]
+            v = key[:, :, :, 1, :]
+        elif key is None or value is None:
+            raise NotSupportedError("MultiHeadAttention key/value missing")
+        elif key.ndim == 4:  # BNSH (already transposed, no bias per ORT)
             k = jnp.swapaxes(key, 1, 2)
             v = jnp.swapaxes(value, 1, 2)
         else:
@@ -504,8 +509,7 @@ def group_query_attention(ctx: Ctx, node: Node):
     """
     h = int(node.attr("num_heads"))
     h_kv = int(node.attr("kv_num_heads"))
-    if int(node.attr("local_window_size", -1)) != -1:
-        raise NotSupportedError("GroupQueryAttention local_window_size")
+    window = int(node.attr("local_window_size", -1))
     query = ctx.get(node.inputs[0])
     key = (ctx.get(node.inputs[1])
            if len(node.inputs) > 1 and node.inputs[1] else None)
@@ -545,6 +549,11 @@ def group_query_attention(ctx: Ctx, node: Node):
     vq = jnp.repeat(v, rep, axis=2)
     t = k.shape[1]
     bias = _causal_bias(s, t, -10000.0)
+    if window > 0:
+        # sliding-window (Mistral-style): key j visible to query i only
+        # when i - window < j <= i
+        band = jnp.tril(jnp.ones((s, t), bool), k=t - s - window)
+        bias = bias + jnp.where(band, -10000.0, 0.0)[None, None]
     if seqlens_k is not None:
         # per ORT: seqlens_k = total key length - 1
         bias = bias + _mask_index_bias(

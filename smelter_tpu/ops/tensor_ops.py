@@ -387,13 +387,25 @@ def einsum(ctx: Ctx, node: Node):
 def gather_nd(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     idx = ctx.get(node.inputs[1])
-    batch_dims = int(node.attr("batch_dims", 0))
-    if batch_dims:
-        raise NotSupportedError("GatherND batch_dims > 0")
+    b = int(node.attr("batch_dims", 0))
     k = idx.shape[-1]
-    flat_idx = idx.reshape(-1, k)
-    out = x[tuple(flat_idx[:, i] for i in range(k))]
-    ctx.set(node.outputs[0], out.reshape(idx.shape[:-1] + x.shape[k:]))
+    if b == 0:
+        flat_idx = idx.reshape(-1, k)
+        out = x[tuple(flat_idx[:, i] for i in range(k))]
+        ctx.set(node.outputs[0], out.reshape(idx.shape[:-1] + x.shape[k:]))
+        return
+    # batch_dims > 0: leading b dims are shared; gather within each batch
+    bshape = x.shape[:b]
+    nb = 1
+    for d in bshape:
+        nb *= d
+    x2 = x.reshape((nb,) + x.shape[b:])
+    i2 = idx.reshape((nb, -1, k))
+    bidx = jnp.arange(nb)[:, None]
+    out = x2[(jnp.broadcast_to(bidx, i2.shape[:2]),)
+             + tuple(i2[..., i] for i in range(k))]
+    ctx.set(node.outputs[0],
+            out.reshape(idx.shape[:-1] + x.shape[b + k:]))
 
 
 @register("ScatterND", since=11)

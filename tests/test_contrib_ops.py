@@ -568,3 +568,54 @@ class TestMatMulNBits:
         wd = (wf.astype(np.float32) - zps[:, :, None]) * scales[:, :, None]
         want = a @ wd.reshape(N, K).T + bias
         np.testing.assert_allclose(got, want, rtol=RTOL, atol=1e-2)
+
+
+class TestMHAPackedKV:
+    def test_packed_kv(self, rng):
+        B, SQ, SK, H, HD = 2, 4, 6, 2, 8
+        D = H * HD
+        q = rng.standard_normal((B, SQ, D)).astype(np.float32)
+        kv = rng.standard_normal((B, SK, H, 2, HD)).astype(np.float32)
+        got = run_op("MultiHeadAttention", [q, kv], dict(num_heads=H))
+        want = sdpa(q.reshape(B, SQ, H, HD), kv[:, :, :, 0], kv[:, :, :, 1])
+        np.testing.assert_allclose(got, want.reshape(B, SQ, D),
+                                   rtol=RTOL, atol=1e-3)
+
+
+class TestGQAWindow:
+    def test_sliding_window(self, rng):
+        B, S, H, HKV, HD = 1, 8, 2, 1, 8
+        W = 3
+        q = rng.standard_normal((B, S, H * HD)).astype(np.float32)
+        k = rng.standard_normal((B, S, HKV * HD)).astype(np.float32)
+        v = rng.standard_normal((B, S, HKV * HD)).astype(np.float32)
+        got = run_op("GroupQueryAttention", [q, k, v],
+                     dict(num_heads=H, kv_num_heads=HKV,
+                          local_window_size=W), n_outputs=1)
+        kr = np.repeat(k.reshape(B, S, HKV, HD), H // HKV, axis=2)
+        vr = np.repeat(v.reshape(B, S, HKV, HD), H // HKV, axis=2)
+        ii, jj = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+        keep = (jj <= ii) & (jj > ii - W)  # window keys incl. current
+        mask = np.where(keep, 0.0, -1e9).astype(np.float32)[None, None]
+        want = sdpa(q.reshape(B, S, H, HD), kr, vr, mask=mask)
+        np.testing.assert_allclose(got, want.reshape(B, S, H * HD),
+                                   rtol=RTOL, atol=1e-2)
+
+
+class TestGatherNDBatchDims:
+    def test_batch_dims_1(self, rng):
+        x = rng.standard_normal((3, 5, 7)).astype(np.float32)
+        idx = rng.integers(0, 5, (3, 4, 1)).astype(np.int64)
+        got = run_op("GatherND", [x, idx], dict(batch_dims=1), opset=13)
+        want = np.stack([x[i][idx[i, :, 0]] for i in range(3)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_batch_dims_2(self, rng):
+        x = rng.standard_normal((2, 3, 6, 4)).astype(np.float32)
+        idx = rng.integers(0, 6, (2, 3, 2, 1)).astype(np.int64)
+        got = run_op("GatherND", [x, idx], dict(batch_dims=2), opset=13)
+        want = np.empty((2, 3, 2, 4), np.float32)
+        for i in range(2):
+            for j in range(3):
+                want[i, j] = x[i, j][idx[i, j, :, 0]]
+        np.testing.assert_array_equal(got, want)
