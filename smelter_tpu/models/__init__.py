@@ -20,7 +20,10 @@ ZOO = {
         batch=batch, frames=1000, **kw),
     "audio_kws": lambda batch=1, image_size=224, **kw: audio_kws.build(
         batch=batch, samples=16000, **kw),
-    # image_size is the PIXEL size; the latent UNet runs at /8 (SD-style)
+    # image_size is the PIXEL size; the latent UNet runs at /8 (SD-style).
+    # Width scaled to an MXU-meaningful 128 (SD-1.5 uses 320); tests build
+    # smaller explicit configs.
     "sd_unet": lambda batch=1, image_size=256, **kw: sd_unet.build(
-        batch=batch, image_size=max(8, image_size // 8), **kw),
+        batch=batch, image_size=max(8, image_size // 8),
+        **{"base": 128, "ctx_dim": 256, "ctx_len": 16, "heads": 8, **kw}),
 }
