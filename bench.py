@@ -207,7 +207,7 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="int8-static",
-                   choices=["none", "fp16", "int8", "int8-static"],
+                   choices=["none", "fp16", "int8", "int8-conv", "int8-static"],
                    help="int8-static (default; folded requant epilogues beat "
                         "weight-only: 11592 vs 10500 img/s ResNet b128, "
                         "probe13) calibrates via a CPU subprocess and falls "

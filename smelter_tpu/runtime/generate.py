@@ -124,8 +124,18 @@ class FusedGenerator:
         ex = Executor(step_graph, config or Config())
         self._params = ex.init_params()
         self._step = ex.build_fn()
-        self.cache_shapes = [tuple(v.type.shape) for v in step_graph.inputs
-                             if v.name.startswith(("k_cache_", "v_cache_"))]
+        self.input_names = [v.name for v in step_graph.inputs]
+        self.cache_names = [n for n in self.input_names
+                            if n.startswith(("k_cache_", "v_cache_"))]
+        # Any other non-token/pos input is a per-call context (e.g. the
+        # encoder memory of a cross-attention decoder). It is loop-invariant
+        # inside the scan, so XLA hoists its projections (cross-attention
+        # K/V) out of the decode loop — computed once per utterance.
+        self.context_names = [n for n in self.input_names
+                              if n not in ("token", "pos")
+                              and n not in set(self.cache_names)]
+        shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
+        self.cache_shapes = [shapes[n] for n in self.cache_names]
         self.max_len = self.cache_shapes[0][0]
         self._decode = jax.jit(self._make_decode(),
                                static_argnames=("plen", "n_new"))
@@ -135,12 +145,21 @@ class FusedGenerator:
         from jax import lax
 
         step = self._step
+        input_names = list(self.input_names)
+        cache_names = list(self.cache_names)
+        context_names = list(self.context_names)
 
-        def decode(params, prompt, plen, n_new, caches):
+        def decode(params, prompt, plen, n_new, caches, ctxs=()):
+            def ordered(tok, pos, caches):
+                by_name = {"token": tok, "pos": pos}
+                by_name.update(zip(cache_names, caches))
+                by_name.update(zip(context_names, ctxs))
+                return [by_name[n] for n in input_names]
+
             # Step at position p consumes token[p], emits logits for p+1.
             def body(carry, pos):
                 caches, tok = carry
-                outs = step(params, tok, pos[None], *caches)
+                outs = step(params, *ordered(tok, pos[None], caches))
                 logits = outs[0]
                 nxt = jnp.argmax(logits[0]).astype(tok.dtype)
                 # while still inside the prompt, feed the given token
@@ -155,13 +174,17 @@ class FusedGenerator:
 
         return decode
 
-    def generate(self, prompt: list[int], n_new: int) -> list[int]:
+    def generate(self, prompt: list[int], n_new: int,
+                 context: dict | None = None) -> list[int]:
         import jax.numpy as jnp
 
+        ctxs = tuple(jnp.asarray((context or {})[n])
+                     for n in self.context_names)
         n_new = min(n_new, self.max_len - len(prompt))
         caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
         toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
-                            plen=len(prompt), n_new=n_new, caches=caches)
+                            plen=len(prompt), n_new=n_new, caches=caches,
+                            ctxs=ctxs)
         return list(prompt) + [int(t) for t in np.asarray(toks)]
 
 
@@ -177,11 +200,12 @@ class FusedBatchedGenerator:
         self._single = FusedGenerator(step_graph, config)
         decode = self._single._make_decode()
         self._decode = jax.jit(
-            jax.vmap(decode, in_axes=(None, 0, None, None, 0)),
+            jax.vmap(decode, in_axes=(None, 0, None, None, 0, 0)),
             static_argnums=(2, 3))
         self.max_len = self._single.max_len
 
-    def generate(self, prompts: list[list[int]], n_new: int) -> list[list[int]]:
+    def generate(self, prompts: list[list[int]], n_new: int,
+                 context: dict | None = None) -> list[list[int]]:
         import jax.numpy as jnp
 
         assert len(prompts) == self.batch
@@ -190,8 +214,11 @@ class FusedBatchedGenerator:
         n_new = min(n_new, self.max_len - plen)
         caches = [jnp.zeros((self.batch,) + s, jnp.float32)
                   for s in self._single.cache_shapes]
+        ctxs = tuple(jnp.asarray((context or {})[n])  # leading batch axis
+                     for n in self._single.context_names)
         toks = self._decode(self._single._params,
-                            jnp.asarray(prompts, jnp.int32), plen, n_new, caches)
+                            jnp.asarray(prompts, jnp.int32), plen, n_new,
+                            caches, ctxs)
         toks = np.asarray(toks)
         return [list(p) + [int(t) for t in toks[i]]
                 for i, p in enumerate(prompts)]
