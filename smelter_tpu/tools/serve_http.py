@@ -128,7 +128,20 @@ def make_handler(server_state):
                 n_new = int(payload.get("n_new", 16))
                 if not prompt:
                     raise ValueError("prompt must be non-empty")
-                toks = gen.generate(prompt, n_new)
+                # cross-attention decoders (e.g. models/speech_decoder.py)
+                # take context arrays, e.g. {"context": {"memory": [[...]]}}
+                ctx = None
+                if gen.context_names:
+                    import numpy as _np
+
+                    raw = payload.get("context") or {}
+                    missing = [n for n in gen.context_names if n not in raw]
+                    if missing:
+                        raise ValueError(
+                            f"decode model needs context arrays {missing}")
+                    ctx = {n: _np.asarray(raw[n], _np.float32)
+                           for n in gen.context_names}
+                toks = gen.generate(prompt, n_new, context=ctx)
             except Exception as e:  # noqa: BLE001
                 self._send(400, json.dumps({"error": str(e)[:500]}).encode())
                 return

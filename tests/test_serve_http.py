@@ -198,3 +198,44 @@ class TestGenerateEndpoint:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 404
+
+
+class TestGenerateWithContext:
+    """POST /v1/generate with context arrays (cross-attention decoder)."""
+
+    @pytest.fixture(scope="class")
+    def ctx_server(self):
+        from smelter_tpu.models import speech_decoder
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, _ = speech_decoder.build_decode_step(
+            vocab=50, dim=32, heads=4, layers=1, max_len=12, t_enc=6)
+        state = {"servers": {}, "default": None,
+                 "generator": FusedGenerator(step_g), "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+
+    def _post(self, base, payload):
+        req = urllib.request.Request(
+            base + "/v1/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=120)
+
+    def test_generate_with_memory(self, ctx_server):
+        import numpy as np
+
+        mem = np.random.default_rng(0).standard_normal((6, 32)).tolist()
+        with self._post(ctx_server, {"prompt": [1, 2], "n_new": 5,
+                                     "context": {"memory": mem}}) as r:
+            toks = json.loads(r.read())["tokens"]
+        assert toks[:2] == [1, 2] and len(toks) == 7
+
+    def test_missing_context_400(self, ctx_server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(ctx_server, {"prompt": [1], "n_new": 2})
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "memory" in body["error"]
