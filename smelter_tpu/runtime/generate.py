@@ -137,10 +137,12 @@ class FusedGenerator:
         shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
         self.cache_shapes = [shapes[n] for n in self.cache_names]
         self.max_len = self.cache_shapes[0][0]
-        self._decode = jax.jit(self._make_decode(),
-                               static_argnames=("plen", "n_new"))
+        self._decode = jax.jit(
+            self._make_decode(),
+            static_argnames=("plen", "n_new", "top_k", "do_sample"))
 
     def _make_decode(self):
+        import jax
         import jax.numpy as jnp
         from jax import lax
 
@@ -149,42 +151,67 @@ class FusedGenerator:
         cache_names = list(self.cache_names)
         context_names = list(self.context_names)
 
-        def decode(params, prompt, plen, n_new, caches, ctxs=()):
+        def decode(params, prompt, plen, n_new, caches, ctxs=(),
+                   key=None, temperature=1.0, top_k=0, do_sample=False):
             def ordered(tok, pos, caches):
                 by_name = {"token": tok, "pos": pos}
                 by_name.update(zip(cache_names, caches))
                 by_name.update(zip(context_names, ctxs))
                 return [by_name[n] for n in input_names]
 
+            def pick(logits, k):
+                """Next token from (vocab,) logits — greedy or sampled
+                on-chip (temperature / top-k), key threaded via the carry."""
+                if not do_sample:
+                    return jnp.argmax(logits), k
+                k, sub = jax.random.split(k)
+                lg = logits.astype(jnp.float32) / temperature
+                if top_k:
+                    kth = lax.top_k(lg, top_k)[0][-1]
+                    lg = jnp.where(lg < kth, -jnp.inf, lg)
+                return jax.random.categorical(sub, lg), k
+
             # Step at position p consumes token[p], emits logits for p+1.
             def body(carry, pos):
-                caches, tok = carry
+                caches, tok, k = carry
                 outs = step(params, *ordered(tok, pos[None], caches))
-                logits = outs[0]
-                nxt = jnp.argmax(logits[0]).astype(tok.dtype)
+                nxt, k = pick(outs[0][0], k)
+                nxt = nxt.astype(tok.dtype)
                 # while still inside the prompt, feed the given token
                 nxt = jnp.where(pos + 1 < plen,
                                 prompt[jnp.minimum(pos + 1, plen - 1)], nxt)
-                return (list(outs[1:]), nxt[None]), nxt
+                return (list(outs[1:]), nxt[None], k), nxt
 
+            if key is None:
+                key = jax.random.PRNGKey(0)
             total = plen - 1 + n_new
-            (_, _), toks = lax.scan(body, (list(caches), prompt[0:1]),
-                                    jnp.arange(total))
+            (_, _, _), toks = lax.scan(body, (list(caches), prompt[0:1], key),
+                                       jnp.arange(total))
             return toks[plen - 1:]  # the n_new generated tokens
 
         return decode
 
     def generate(self, prompt: list[int], n_new: int,
-                 context: dict | None = None) -> list[int]:
+                 context: dict | None = None,
+                 temperature: float | None = None, top_k: int = 0,
+                 seed: int = 0) -> list[int]:
+        """Greedy decode, or — when temperature/top_k is given — sampled
+        decode with the PRNG key threaded through the on-chip scan (still
+        ONE dispatch; a given seed is reproducible)."""
+        import jax
         import jax.numpy as jnp
 
         ctxs = tuple(jnp.asarray((context or {})[n])
                      for n in self.context_names)
         n_new = min(n_new, self.max_len - len(prompt))
         caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
+        do_sample = temperature is not None or bool(top_k)
         toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
                             plen=len(prompt), n_new=n_new, caches=caches,
-                            ctxs=ctxs)
+                            ctxs=ctxs, key=jax.random.PRNGKey(seed),
+                            temperature=(1.0 if temperature is None
+                                         else float(temperature)),
+                            top_k=int(top_k), do_sample=do_sample)
         return list(prompt) + [int(t) for t in np.asarray(toks)]
 
 
