@@ -81,12 +81,41 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
             cin_per_g = w_shape[1 if node.op_type == "Conv" else 1]
             k = _numel(w_shape[2:])
             flops = 2.0 * o_n * cin_per_g * k
-        elif node.op_type in ("MatMul", "Gemm", "FusedDequantMatMul"):
+        elif node.op_type in ("MatMul", "Gemm", "FusedDequantMatMul",
+                              "FusedMatMul"):
             a_t = vt.get(node.inputs[0])
             if a_t is not None:
                 flops = 2.0 * o_n * int(a_t.shape[-1])
+        elif node.op_type == "MatMulNBits":
+            flops = 2.0 * o_n * int(node.attr("K", 1))
+        elif node.op_type in ("FusedAttention", "FusedQKVAttention",
+                              "MultiHeadAttention", "GroupQueryAttention"):
+            # two N*T*hd matmuls per head: 4 * out_elems * kv_len
+            kv_len = None
+            if node.op_type == "FusedQKVAttention":
+                i_t = vt.get(node.inputs[0])
+                kv_len = int(i_t.shape[1]) if i_t is not None else None
+            elif len(node.inputs) > 1 and node.inputs[1]:
+                k_t = vt.get(node.inputs[1])
+                if k_t is not None and len(k_t.shape) >= 3:
+                    kv_len = int(k_t.shape[1 if node.attr("k_native", 0)
+                                           else -2])
+            if kv_len is None:
+                i_t = vt.get(node.inputs[0])
+                kv_len = int(i_t.shape[1]) if i_t is not None else 1
+            flops = 4.0 * o_n * kv_len
+        elif node.op_type == "Attention":
+            # QKV projection + attention over the packed weights
+            x_t = vt.get(node.inputs[0])
+            w = graph.initializers.get(node.inputs[1])
+            if x_t is not None:
+                s = _numel(x_t.shape[:-1])
+                din = int(x_t.shape[-1])
+                proj_out = int(w.shape[-1]) if w is not None else 3 * din
+                flops = 2.0 * s * din * proj_out + 4.0 * o_n * int(x_t.shape[1])
         elif node.op_type in ("Softmax", "LogSoftmax", "Exp", "Log", "Tanh",
-                              "Sigmoid", "Gelu", "Erf"):
+                              "Sigmoid", "Gelu", "Erf", "FastGelu",
+                              "QuickGelu", "BiasGelu"):
             flops = 5.0 * o_n  # transcendental-ish
         out.append(OpCost(node.name, node.op_type, flops, float(in_bytes + out_bytes),
                           o_t.shape))
