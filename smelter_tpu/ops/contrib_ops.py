@@ -343,8 +343,6 @@ def attention_contrib(ctx: Ctx, node: Node):
     unidirectional (causal), and unequal qkv_hidden_sizes. Rotary inside
     attention (do_rotary) and shared past/present buffers are not supported.
     """
-    if int(node.attr("do_rotary", 0)):
-        raise NotSupportedError("Attention do_rotary")
     if int(node.attr("past_present_share_buffer", 0)):
         raise NotSupportedError("Attention past_present_share_buffer")
     x = ctx.get(node.inputs[0])
@@ -366,6 +364,20 @@ def attention_contrib(ctx: Ctx, node: Node):
             if len(node.inputs) > 3 and node.inputs[3] else None)
     past = (ctx.get(node.inputs[4])
             if len(node.inputs) > 4 and node.inputs[4] else None)
+    if int(node.attr("do_rotary", 0)):
+        # NeoX-style in-attention rotary: base-10000 caches built at trace
+        # time (static shapes), positions offset by the past length
+        sp = int(past.shape[3]) if past is not None else 0
+        hd = qh // h
+        r = int(node.attr("rotary_embedding_dim", 0)) or hd
+        inv = 1.0 / 10000.0 ** (np.arange(0, r, 2, dtype=np.float64) / r)
+        ang = np.arange(sp + s, dtype=np.float64)[:, None] * inv[None]
+        cos_c = jnp.asarray(np.cos(ang), jnp.float32)
+        sin_c = jnp.asarray(np.sin(ang), jnp.float32)
+        pos = (sp + jnp.arange(s, dtype=jnp.int32))[None, :] \
+            + jnp.zeros((b, 1), jnp.int32)
+        q = _apply_rotary(q, pos, cos_c, sin_c, 0, r)
+        k = _apply_rotary(k, pos, cos_c, sin_c, 0, r)
     attn_bias = (ctx.get(node.inputs[5])
                  if len(node.inputs) > 5 and node.inputs[5] else None)
     scale = node.attr("scale")

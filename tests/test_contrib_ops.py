@@ -619,3 +619,31 @@ class TestGatherNDBatchDims:
             for j in range(3):
                 want[i, j] = x[i, j][idx[i, j, :, 0]]
         np.testing.assert_array_equal(got, want)
+
+
+class TestAttentionRotary:
+    def test_do_rotary_vs_manual(self, rng):
+        B, S, H, HD = 2, 6, 2, 8
+        D = H * HD
+        x = rng.standard_normal((B, S, D)).astype(np.float32)
+        w = (rng.standard_normal((D, 3 * D)) * 0.1).astype(np.float32)
+        bias = np.zeros(3 * D, np.float32)
+        got = run_op("Attention", [x], dict(num_heads=H, do_rotary=1,
+                                            unidirectional=1),
+                     initializers=[w, bias])
+        qkv = x @ w
+        q, k, v = np.split(qkv, 3, axis=-1)
+        r4 = (B, S, H, HD)
+        q, k, v = q.reshape(r4), k.reshape(r4), v.reshape(r4)
+        inv = 1.0 / 10000.0 ** (np.arange(0, HD, 2) / HD)
+        ang = np.arange(S)[:, None] * inv[None]
+        cos = np.cos(ang)[None, :, None, :]
+        sin = np.sin(ang)[None, :, None, :]
+
+        def rot(t):
+            t1, t2 = t[..., :HD // 2], t[..., HD // 2:]
+            return np.concatenate([t1 * cos - t2 * sin,
+                                   t1 * sin + t2 * cos], -1).astype(np.float32)
+
+        want = sdpa(rot(q), rot(k), v, causal=True).reshape(B, S, D)
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=1e-2)
