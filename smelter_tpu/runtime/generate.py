@@ -226,13 +226,18 @@ class FusedBatchedGenerator:
         self.batch = batch
         self._single = FusedGenerator(step_graph, config)
         decode = self._single._make_decode()
+        # per-stream: prompt, caches, contexts, and the sampling key
         self._decode = jax.jit(
-            jax.vmap(decode, in_axes=(None, 0, None, None, 0, 0)),
-            static_argnums=(2, 3))
+            jax.vmap(decode,
+                     in_axes=(None, 0, None, None, 0, 0, 0, None, None, None)),
+            static_argnums=(2, 3, 8, 9))
         self.max_len = self._single.max_len
 
     def generate(self, prompts: list[list[int]], n_new: int,
-                 context: dict | None = None) -> list[list[int]]:
+                 context: dict | None = None,
+                 temperature: float | None = None, top_k: int = 0,
+                 seed: int = 0) -> list[list[int]]:
+        import jax
         import jax.numpy as jnp
 
         assert len(prompts) == self.batch
@@ -243,9 +248,13 @@ class FusedBatchedGenerator:
                   for s in self._single.cache_shapes]
         ctxs = tuple(jnp.asarray((context or {})[n])  # leading batch axis
                      for n in self._single.context_names)
+        do_sample = temperature is not None or bool(top_k)
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.batch)
         toks = self._decode(self._single._params,
                             jnp.asarray(prompts, jnp.int32), plen, n_new,
-                            caches, ctxs)
+                            caches, ctxs, keys,
+                            1.0 if temperature is None else float(temperature),
+                            int(top_k), do_sample)
         toks = np.asarray(toks)
         return [list(p) + [int(t) for t in toks[i]]
                 for i, p in enumerate(prompts)]

