@@ -24,3 +24,9 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return jax.devices()

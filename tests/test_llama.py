@@ -54,3 +54,26 @@ def test_fused_generator_greedy():
     logits = full(np.asarray(toks, np.int64))[0]
     for p in range(2, 10):
         assert int(np.argmax(logits[p])) == toks[p + 1], f"position {p}"
+
+
+def test_llama_tp_parity(eight_devices):
+    """Full llama graph under tensor parallelism (tp=2 over the virtual
+    mesh): sharded weights produce identical logits (BASELINE config 5's
+    sharded-transformer pattern on the GQA/RoPE/SwiGLU stack)."""
+    import jax
+    from smelter_tpu.parallel.mesh import (MeshPlan, param_shardings,
+                                           shard_params)
+
+    w = llama_style.make_weights(max_len=16, **CFG)
+    g = llama_style.build_full(w, seq_len=8, **CFG)
+    ex = st.Executor(g)
+    toks = np.arange(8, dtype=np.int64) % CFG["vocab"]
+    want = st.CompiledModel(g)(toks)[0]
+    plan = MeshPlan.for_devices(8, tp=2)
+    with plan.mesh:
+        params = shard_params(ex, plan)
+        fn = jax.jit(ex.build_fn(),
+                     in_shardings=(param_shardings(ex, plan),
+                                   plan.replicated()))
+        got = np.asarray(fn(params, toks)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
