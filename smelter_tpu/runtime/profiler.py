@@ -124,10 +124,17 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
 
 def model_cost(graph: Graph) -> dict:
     table = op_cost_table(graph)
+    by_op: dict[str, dict] = {}
+    for c in table:
+        agg = by_op.setdefault(c.op_type, {"flops": 0.0, "bytes": 0.0, "count": 0})
+        agg["flops"] += c.flops
+        agg["bytes"] += c.bytes
+        agg["count"] += 1
     return {
         "flops": sum(c.flops for c in table),
         "bytes": sum(c.bytes for c in table),
-        "by_op": {},
+        "by_op": dict(sorted(by_op.items(),
+                             key=lambda kv: -kv[1]["flops"])),
     }
 
 
