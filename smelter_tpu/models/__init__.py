@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import audio_kws, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
+from . import audio_kws, bert_encoder, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
@@ -20,6 +20,9 @@ ZOO = {
         batch=batch, frames=1000, **kw),
     "audio_kws": lambda batch=1, image_size=224, **kw: audio_kws.build(
         batch=batch, samples=16000, **kw),
+    # seq_len fixed at 128 (BERT-base-ish shape at dim 256); image_size unused
+    "bert_encoder": lambda batch=8, image_size=224, **kw: bert_encoder.build_zoo(
+        batch=batch, seq_len=128, **kw),
     # image_size is the PIXEL size; the latent UNet runs at /8 (SD-style).
     # Width scaled to an MXU-meaningful 128 (SD-1.5 uses 320); tests build
     # smaller explicit configs.
