@@ -18,11 +18,7 @@ import numpy as np
 
 from ..ir.build import GraphBuilder
 from ..utils import dtypes as dt
-
-
-def _w(rng, *shape, scale=None):
-    scale = scale if scale is not None else 1.0 / np.sqrt(shape[0])
-    return (rng.standard_normal(shape) * scale).astype(np.float32)
+from ._util import rand_weight as _w
 
 
 def make_weights(vocab: int = 1000, dim: int = 256, heads: int = 4,

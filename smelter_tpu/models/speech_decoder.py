@@ -18,11 +18,7 @@ import numpy as np
 
 from ..ir.build import GraphBuilder
 from ..utils import dtypes as dt
-
-
-def _w(rng, *shape, scale=None):
-    scale = scale if scale is not None else 1.0 / np.sqrt(shape[0])
-    return (rng.standard_normal(shape) * scale).astype(np.float32)
+from ._util import rand_weight as _w, rename_edges
 
 
 def make_weights(vocab: int = 64, dim: int = 64, heads: int = 4,
@@ -132,11 +128,7 @@ def build_decode_step(weights: dict | None = None, vocab: int = 64,
         x = b.node("Add", [x, b.node("MatMul", [m1, b.init(w[f"w2_{li}"])])])
     xf = _ln(b, x, w, "lnf")
     logits = b.node("MatMul", [xf, b.init(w["w_head"], "w_head")])
-    gr = b.graph
-    for (want_name, have_edge) in cache_outs:
-        for n in gr.nodes:
-            n.outputs = [want_name if o == have_edge else o for o in n.outputs]
-            n.inputs = [want_name if i == have_edge else i for i in n.inputs]
+    rename_edges(b.graph, cache_outs)
     return b.finish([logits] + [n for n, _ in cache_outs]), weights
 
 

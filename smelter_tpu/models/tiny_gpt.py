@@ -107,11 +107,9 @@ def build_decode_step(vocab: int = 128, dim: int = 64, heads: int = 4,
     logits = b.node("MatMul", [x, b.init(weights["w_head"], "w_head")])
     outs = [logits] + [name for name, _ in cache_outs]
     # rename cache outputs to stable names
-    g = b.graph
-    for (want_name, have_edge) in cache_outs:
-        for n in g.nodes:
-            n.outputs = [want_name if o == have_edge else o for o in n.outputs]
-            n.inputs = [want_name if i == have_edge else i for i in n.inputs]
+    from ._util import rename_edges
+
+    rename_edges(b.graph, cache_outs)
     g2 = b.finish([logits] + [n for n, _ in cache_outs])
     return g2, weights
 

@@ -340,8 +340,10 @@ def attention_contrib(ctx: Ctx, node: Node):
 
     input (B,S,Din) @ weights (Din, qh+kh+vh) [+ bias] -> Q/K/V; supports
     mask_index (all 1-3D forms), additive attention_bias, past/present KV,
-    unidirectional (causal), and unequal qkv_hidden_sizes. Rotary inside
-    attention (do_rotary) and shared past/present buffers are not supported.
+    unidirectional (causal), unequal qkv_hidden_sizes, and do_rotary
+    (NeoX-style in-attention rotary with past-offset positions). Shared
+    past/present buffers (past_present_share_buffer) are not supported —
+    use the FusedGenerator KV-cache path for decode serving.
     """
     if int(node.attr("past_present_share_buffer", 0)):
         raise NotSupportedError("Attention past_present_share_buffer")
@@ -515,9 +517,11 @@ def group_query_attention(ctx: Ctx, node: Node):
     key/value heads; always causal; optional fused rotary embedding.
 
     Supported: separate or packed (key/value empty) projections, seqlens_k
-    key-length masking, rotary via cos/sin caches, grouped-head broadcast.
-    Unsupported (raise): static past buffers (past_present_share_buffer
-    serving pattern) and local/sliding-window attention.
+    key-length masking, rotary via cos/sin caches, grouped-head broadcast,
+    and local_window_size (Mistral-style sliding window: the last `window`
+    keys including the current position are visible). Unsupported (raise):
+    static past buffers (the past_present_share_buffer serving pattern) —
+    use the FusedGenerator KV-cache path for decode serving.
     """
     h = int(node.attr("num_heads"))
     h_kv = int(node.attr("kv_num_heads"))
@@ -712,14 +716,19 @@ def matmul_nbits(ctx: Ctx, node: Node):
     else:
         w = rows[:, :nb * bs]
     w = w.astype(np.int32).reshape(N, nb, bs)
+    # bits=8 weights span [0,255]: shift stored weights by 128 to fit int8
+    # and carry the shift through the zero-point (dequant is invariant:
+    # (w - zp) == ((w-128) - (zp-128)))
+    w_shift = 128 if bits == 8 else 0
     zp_in = ctx.static(node.inputs[3], required=False) \
         if len(node.inputs) > 3 and node.inputs[3] else None
     if zp_in is None:
         zp = np.full((N, nb), 1 << (bits - 1), np.int32)
+        zp_f = None
     elif np.issubdtype(np.asarray(zp_in).dtype, np.floating):
         # float zero-points fold into the scale epilogue instead
         zp = None
-        zp_f = np.asarray(zp_in, np.float32).reshape(N, nb)
+        zp_f = np.asarray(zp_in, np.float32).reshape(N, nb) - w_shift
     else:
         zrows = np.asarray(zp_in).reshape(N, -1).view(np.uint8)
         if bits == 4:
@@ -728,11 +737,16 @@ def matmul_nbits(ctx: Ctx, node: Node):
             zp = np.stack([zlo, zhi], axis=-1).reshape(N, -1)[:, :nb].astype(np.int32)
         else:
             zp = zrows[:, :nb].astype(np.int32)
+    if zp is not None and bits == 8:
+        # int zp on 8-bit: (w-zp) spans [-255,255] — fold via the shifted
+        # float-zp epilogue instead of wrapping int8
+        zp_f = (zp - w_shift).astype(np.float32)
+        zp = None
     if zp is not None:
-        w_int = (w - zp[:, :, None]).astype(np.int8)     # |w|<=2^bits-1
+        w_int = (w - zp[:, :, None]).astype(np.int8)     # 4-bit: |w-zp|<=15
         zp_dev = None
     else:
-        w_int = w.astype(np.int8)
+        w_int = (w - w_shift).astype(np.int8)
         zp_dev = jnp.asarray(np.transpose(zp_f, (1, 0)))[:, None, :]  # (nb,1,N)
     # int8 (K,N) in HBM; the per-block rescale below fuses into the matmul
     w_dev = jnp.asarray(np.transpose(w_int, (1, 2, 0)).reshape(nb * bs, N))

@@ -36,6 +36,14 @@ def fused_attention(ctx: Ctx, node: Node):
         qt = q if node.attr("q_native", 0) else jnp.swapaxes(q, 1, 2)
         kt = k if node.attr("k_native", 0) else jnp.swapaxes(k, 1, 2)
         vt = v if node.attr("v_native", 0) else jnp.swapaxes(v, 1, 2)
+        # Baked batch-1 K/V constants (folded context projections) against
+        # a batched query: the original MatMul broadcast; dpa requires
+        # equal batch, so broadcast explicitly (free — they're constants).
+        b = qt.shape[0]
+        if kt.shape[0] == 1 and b != 1:
+            kt = jnp.broadcast_to(kt, (b,) + kt.shape[1:])
+        if vt.shape[0] == 1 and b != 1:
+            vt = jnp.broadcast_to(vt, (b,) + vt.shape[1:])
         out = jax.nn.dot_product_attention(qt, kt, vt, bias=bias, scale=scale)
         out_shape = node.attr("out_shape")
         if out_shape is not None:

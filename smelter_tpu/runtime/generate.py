@@ -134,6 +134,9 @@ class FusedGenerator:
         self.context_names = [n for n in self.input_names
                               if n not in ("token", "pos")
                               and n not in set(self.cache_names)]
+        self.context_types = {v.name: v.type.np_dtype
+                              for v in step_graph.inputs
+                              if v.name in set(self.context_names)}
         shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
         self.cache_shapes = [shapes[n] for n in self.cache_names]
         self.max_len = self.cache_shapes[0][0]

@@ -97,9 +97,14 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
                 kv_len = int(i_t.shape[1]) if i_t is not None else None
             elif len(node.inputs) > 1 and node.inputs[1]:
                 k_t = vt.get(node.inputs[1])
-                if k_t is not None and len(k_t.shape) >= 3:
-                    kv_len = int(k_t.shape[1 if node.attr("k_native", 0)
-                                           else -2])
+                k_shape = (tuple(k_t.shape) if k_t is not None
+                           else getattr(graph.initializers.get(node.inputs[1]),
+                                        "shape", None))
+                if k_shape is not None and len(k_shape) == 5:
+                    kv_len = int(k_shape[1])  # packed KV (B,Skv,H,2,hd)
+                elif k_shape is not None and len(k_shape) >= 3:
+                    kv_len = int(k_shape[1 if node.attr("k_native", 0)
+                                         else -2])
             if kv_len is None:
                 i_t = vt.get(node.inputs[0])
                 kv_len = int(i_t.shape[1]) if i_t is not None else 1

@@ -139,7 +139,8 @@ def make_handler(server_state):
                     if missing:
                         raise ValueError(
                             f"decode model needs context arrays {missing}")
-                    ctx = {n: _np.asarray(raw[n], _np.float32)
+                    ctx = {n: _np.asarray(raw[n],
+                                          gen.context_types.get(n, _np.float32))
                            for n in gen.context_names}
                 toks = gen.generate(prompt, n_new, context=ctx)
             except Exception as e:  # noqa: BLE001

@@ -647,3 +647,29 @@ class TestAttentionRotary:
 
         want = sdpa(rot(q), rot(k), v, causal=True).reshape(B, S, D)
         np.testing.assert_allclose(got, want, rtol=RTOL, atol=1e-2)
+
+
+class TestMatMulNBits8BitZp:
+    def test_uint8_zero_points_no_wraparound(self, rng):
+        M, K, N, BS = 4, 32, 6, 16
+        nb = K // BS
+        a = rng.standard_normal((M, K)).astype(np.float32)
+        # weights near 255 with zero-point 0: w-zp = 255 would wrap in int8
+        wf = rng.integers(200, 256, (N, nb, BS)).astype(np.uint8)
+        scales = np.full((N, nb), 0.01, np.float32)
+        zps = np.zeros((N, nb), np.uint8)
+        bias = rng.standard_normal(N).astype(np.float32)
+        from smelter_tpu.ir.build import GraphBuilder
+        import smelter_tpu as st
+
+        g = GraphBuilder("t", opset=17)
+        ai = g.input("a", a.shape)
+        out = g.node("MatMulNBits",
+                     [ai, g.init(wf), g.init(scales.reshape(-1)),
+                      g.init(zps), "", g.init(bias)],
+                     K=K, N=N, bits=8, block_size=BS)
+        m = st.CompiledModel(g.finish([out]))
+        got = m(a)[0]
+        wd = (wf.astype(np.float32) - zps[:, :, None]) * scales[:, :, None]
+        want = a @ wd.reshape(N, K).T + bias
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)

@@ -144,6 +144,9 @@ class TestBatchedSampledDecode:
         b = bgen.generate([[3, 7], [5, 9]], 6, temperature=1.5, seed=1)
         assert a == b  # seed-reproducible
         assert len(a[0]) == 8 and len(a[1]) == 8
-        # per-stream keys: identical prompts must not force identical samples
+        # per-stream keys: identical prompts must not produce identical
+        # samples (this exact divergence is what per-stream key splitting
+        # guarantees; seed fixed so the outcome is deterministic)
         c = bgen.generate([[3, 7], [3, 7]], 8, temperature=3.0, seed=2)
-        assert c[0] != c[1] or greedy is not None
+        assert c[0] != c[1]
+        assert greedy[0] != greedy[1]  # different prompts, greedy differs too

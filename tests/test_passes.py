@@ -327,3 +327,58 @@ class TestLayoutDepthToSpace:
         run_passes(g, ["layout_nhwc", "dce"])
         assert sum(1 for _ in g.find_nodes("Transpose")) == 2
         np.testing.assert_allclose(outputs_of(g, xin), before, rtol=1e-4, atol=1e-5)
+
+
+class TestNativeAttentionFusion:
+    """The round-2 native-layout branches of fuse_attention: torch-export
+    form (K via Transpose(0,2,3,1)) and constant-folded K/V projections,
+    incl. the batch-1-constant vs batch>1-activation broadcast case."""
+
+    def _attn_graph(self, rng, b_act, const_kv):
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+
+        B, N, H, HD = b_act, 6, 2, 8
+        D = H * HD
+        T = 5
+        g = GraphBuilder("t", opset=17)
+        q4 = g.input("q", (B, N, H, HD))  # native (B,N,H,hd)
+        qt = g.node("Transpose", [q4], perm=[0, 2, 1, 3])
+        if const_kv:
+            kT = rng.standard_normal((1, H, HD, T)).astype(np.float32)
+            vv = rng.standard_normal((1, H, T, HD)).astype(np.float32)
+            k_name, v_name = g.init(kT), g.init(vv)
+        else:
+            k4 = g.input("k", (B, T, H, HD))
+            v4 = g.input("v", (B, T, H, HD))
+            k_name = g.node("Transpose", [k4], perm=[0, 2, 3, 1])
+            v_name = g.node("Transpose", [v4], perm=[0, 2, 1, 3])
+        sc = g.node("MatMul", [qt, k_name])
+        sc = g.node("Mul", [sc, g.init(np.float32(HD ** -0.5))])
+        at = g.node("Softmax", [sc], axis=-1)
+        cv = g.node("MatMul", [at, v_name])
+        cv = g.node("Transpose", [cv], perm=[0, 2, 1, 3])
+        out = g.node("Reshape", [cv, g.init(np.array([B, N, D], np.int64))])
+        return g.finish([out])
+
+    @pytest.mark.parametrize("b_act,const_kv", [(1, False), (2, False),
+                                                (1, True), (2, True)])
+    def test_parity_and_fusion(self, b_act, const_kv):
+        import smelter_tpu as st
+
+        g = self._attn_graph(np.random.default_rng(0), b_act, const_kv)
+        unfused = st.CompiledModel(g)
+        g2 = self._attn_graph(np.random.default_rng(0), b_act, const_kv)
+        from smelter_tpu.passes.fuse_attention import fuse_attention
+        n = fuse_attention(g2)
+        assert n == 1, "native-form attention must fuse"
+        fused = st.CompiledModel(g2)
+        args = [np.random.default_rng(1).standard_normal(
+            (b_act, 6, 2, 8)).astype(np.float32)]
+        if not const_kv:
+            args += [np.random.default_rng(2).standard_normal(
+                (b_act, 5, 2, 8)).astype(np.float32),
+                np.random.default_rng(3).standard_normal(
+                    (b_act, 5, 2, 8)).astype(np.float32)]
+        np.testing.assert_allclose(fused(*args)[0], unfused(*args)[0],
+                                   rtol=1e-4, atol=1e-4)
