@@ -7,9 +7,9 @@ Sources/Smelter/Extensions/Foundation/Data+Extensions.swift:4-24).
 This module is the same capability over numpy: zero-copy reinterpret of
 raw_data when possible, typed-field fallback, fp16/bf16 aware.
 
-Note: int4/uint4 tensors serialize UNPACKED (one byte per element) —
-engine-internal convention; the ONNX two-per-byte packing of external
-int4 models is not yet parsed (roadmap).
+int4/uint4: the ONNX wire format packs two elements per byte (low nibble
+first, ceil(n/2) bytes); this codec WRITES packed per spec and READS both
+packed and the one-byte-per-element form older engine artifacts used.
 """
 
 from __future__ import annotations
@@ -22,6 +22,30 @@ from .errors import ImportError_
 
 # ONNX stores some narrow dtypes widened inside int32_data.
 _INT32_CARRIED = {dt.UINT8, dt.INT8, dt.UINT16, dt.INT16, dt.INT32, dt.BOOL, dt.FLOAT16, dt.BFLOAT16}
+
+
+def _unpack_nibbles(raw: bytes, count: int, signed: bool) -> np.ndarray:
+    """ONNX 4-bit packing: element 2i in the low nibble of byte i."""
+    b = np.frombuffer(raw, dtype=np.uint8, count=(count + 1) // 2)
+    lo = b & 0xF
+    hi = b >> 4
+    vals = np.stack([lo, hi], axis=-1).reshape(-1)[:count]
+    if signed:
+        vals = vals.astype(np.int8)
+        vals = np.where(vals > 7, vals - 16, vals)
+    return vals
+
+
+def _decode_int4_raw(raw: bytes, count: int, data_type: int,
+                     np_dtype: np.dtype, name: str) -> np.ndarray:
+    """Accept both the spec's packed form and the unpacked legacy form."""
+    if len(raw) >= count:  # one byte per element (legacy engine artifacts)
+        return np.frombuffer(raw, dtype=np_dtype, count=count)
+    if len(raw) >= (count + 1) // 2:
+        return _unpack_nibbles(raw, count, data_type == dt.INT4).astype(np_dtype)
+    raise ImportError_(
+        f"tensor {name!r}: int4 payload has {len(raw)} bytes, need "
+        f"{(count + 1) // 2} packed or {count} unpacked")
 
 
 def _read_external(tp: onnx.TensorProto, base_dir: str) -> bytes:
@@ -59,6 +83,9 @@ def tensor_to_numpy(tp: onnx.TensorProto, base_dir: str | None = None) -> np.nda
         np_dtype = dt.onnx_to_numpy_dtype(tp.data_type)
         shape = tuple(tp.dims)
         count = int(np.prod(shape)) if shape else 1
+        if tp.data_type in (dt.INT4, dt.UINT4):
+            return _decode_int4_raw(raw, count, tp.data_type, np_dtype,
+                                    tp.name).reshape(shape)
         if len(raw) < count * np_dtype.itemsize:
             raise ImportError_(
                 f"tensor {tp.name!r}: external payload too short")
@@ -68,6 +95,9 @@ def tensor_to_numpy(tp: onnx.TensorProto, base_dir: str | None = None) -> np.nda
     count = int(np.prod(shape)) if shape else 1
 
     if tp.raw_data:
+        if tp.data_type in (dt.INT4, dt.UINT4):
+            return _decode_int4_raw(tp.raw_data, count, tp.data_type,
+                                    np_dtype, tp.name).reshape(shape)
         if len(tp.raw_data) < count * np_dtype.itemsize:
             raise ImportError_(
                 f"tensor {tp.name!r}: raw_data has {len(tp.raw_data)} bytes, "
@@ -110,5 +140,13 @@ def numpy_to_tensor(arr: np.ndarray, name: str = "") -> onnx.TensorProto:
     tp.name = name
     tp.data_type = dt.numpy_to_onnx_dtype(arr.dtype)
     tp.dims.extend(arr.shape)
-    tp.raw_data = arr.tobytes()
+    if tp.data_type in (dt.INT4, dt.UINT4):
+        # pack two-per-byte per the ONNX spec (low nibble = element 2i)
+        flat = arr.reshape(-1).view(np.uint8) & 0xF
+        if flat.size % 2:
+            flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+        pair = flat.reshape(-1, 2)
+        tp.raw_data = (pair[:, 0] | (pair[:, 1] << 4)).astype(np.uint8).tobytes()
+    else:
+        tp.raw_data = arr.tobytes()
     return tp

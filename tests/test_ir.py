@@ -228,3 +228,31 @@ class TestExternalData:
         (tmp_path / "m2.onnx").write_bytes(mp.SerializeToString())
         with pytest.raises(ImportError_, match="not found"):
             load_model(tmp_path / "m2.onnx")
+
+
+class TestInt4Packing:
+    """ONNX-spec two-per-byte int4/uint4 packing in the tensor codec."""
+
+    def test_roundtrip_packed(self, rng):
+        import ml_dtypes
+        from smelter_tpu.ir.tensor_codec import numpy_to_tensor, tensor_to_numpy
+
+        for dtype, lo, hi in ((ml_dtypes.int4, -8, 8), (ml_dtypes.uint4, 0, 16)):
+            for n in (1, 2, 7, 8):
+                vals = rng.integers(lo, hi, n).astype(dtype)
+                tp = numpy_to_tensor(vals, "t")
+                assert len(tp.raw_data) == (n + 1) // 2  # packed per spec
+                back = tensor_to_numpy(tp)
+                np.testing.assert_array_equal(
+                    back.astype(np.int32), vals.astype(np.int32))
+
+    def test_reads_legacy_unpacked(self, rng):
+        import ml_dtypes
+        from smelter_tpu.ir.tensor_codec import numpy_to_tensor, tensor_to_numpy
+
+        vals = rng.integers(-8, 8, 6).astype(ml_dtypes.int4)
+        tp = numpy_to_tensor(vals, "t")
+        tp.raw_data = vals.tobytes()  # old one-byte-per-element form
+        back = tensor_to_numpy(tp)
+        np.testing.assert_array_equal(back.astype(np.int32),
+                                      vals.astype(np.int32))
