@@ -138,6 +138,8 @@ class FusedGenerator:
                               for v in step_graph.inputs
                               if v.name in set(self.context_names)}
         shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
+        self._ctx_shapes = {n: shapes[n] for n in self.context_names}
+        self._ctx_dtypes = dict(self.context_types)
         self.cache_shapes = [shapes[n] for n in self.cache_names]
         self.max_len = self.cache_shapes[0][0]
         self._decode = jax.jit(
@@ -209,13 +211,103 @@ class FusedGenerator:
         n_new = min(n_new, self.max_len - len(prompt))
         caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
         do_sample = temperature is not None or bool(top_k)
-        toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
-                            plen=len(prompt), n_new=n_new, caches=caches,
-                            ctxs=ctxs, key=jax.random.PRNGKey(seed),
-                            temperature=(1.0 if temperature is None
-                                         else float(temperature)),
-                            top_k=int(top_k), do_sample=do_sample)
+        temp = np.float32(1.0 if temperature is None else temperature)
+        aot_key = (len(prompt), n_new, int(top_k), bool(do_sample))
+        fn = getattr(self, "_aot", {}).get(aot_key)
+        toks = None
+        if fn is not None:  # pre-compiled executable (aot_load)
+            try:
+                toks = fn(self._params, jnp.asarray(prompt, jnp.int32),
+                          caches=caches, ctxs=ctxs,
+                          key=jax.random.PRNGKey(seed), temperature=temp)
+            except Exception as e:  # noqa: BLE001 — device-assignment or
+                # machine-feature mismatch surfaces at execution time;
+                # self-heal onto the live jit (same policy as ArtifactModel)
+                import warnings
+
+                warnings.warn(
+                    f"AOT decode executable rejected at execution "
+                    f"({type(e).__name__}); recompiling", stacklevel=2)
+                del self._aot[aot_key]
+        if toks is None:
+            toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
+                                plen=len(prompt), n_new=n_new, caches=caches,
+                                ctxs=ctxs, key=jax.random.PRNGKey(seed),
+                                temperature=temp,
+                                top_k=int(top_k), do_sample=do_sample)
         return list(prompt) + [int(t) for t in np.asarray(toks)]
+
+    # -- AOT decode executables (the batched/fused compiles are the slow
+    # part of serving restarts: 322 s for the b32 vmap on a remote chip) --
+
+    def _decode_structs(self, plen: int, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        # pin to one device: on multi-device hosts an unpinned lowering
+        # serializes an executable that then demands per-device shards
+        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def sds(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=dev)
+
+        prompt = sds((plen,), jnp.int32)
+        caches = [sds(s, jnp.float32) for s in self.cache_shapes]
+        ctxs = tuple(sds(self._ctx_shapes[n], self._ctx_dtypes[n])
+                     for n in self.context_names)
+        ks = jax.eval_shape(lambda: jax.random.PRNGKey(seed))
+        key = sds(ks.shape, ks.dtype)
+        return prompt, caches, ctxs, key
+
+    def aot_save(self, path, plen: int, n_new: int,
+                 temperature: float | None = None, top_k: int = 0) -> str:
+        """Compile the decode for (plen, n_new[, sampling]) and serialize
+        the XLA executable into `path`; aot_load restores it with zero
+        compile on a matching jax version + backend (same contract as
+        runtime/artifact.py's exec_*.xla files)."""
+        import pickle
+
+        from pathlib import Path
+
+        from jax.experimental import serialize_executable
+
+        do_sample = temperature is not None or bool(top_k)
+        prompt, caches, ctxs, key = self._decode_structs(plen)
+        temp = np.float32(1.0 if temperature is None else temperature)
+        lowered = self._decode.lower(
+            self._params, prompt, plen=plen, n_new=n_new, caches=caches,
+            ctxs=ctxs, key=key, temperature=temp,
+            top_k=int(top_k), do_sample=do_sample)
+        payload = serialize_executable.serialize(lowered.compile())
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        f = p / f"decode_{plen}_{n_new}_{int(top_k)}_{int(do_sample)}.xla"
+        f.write_bytes(pickle.dumps(payload))
+        return str(f)
+
+    def aot_load(self, path) -> int:
+        """Load every decode_*.xla executable under `path`; returns how
+        many installed. generate() uses them when (plen, n_new, top_k,
+        do_sample) matches."""
+        import pickle
+
+        from pathlib import Path
+
+        from jax.experimental import serialize_executable
+
+        self._aot = getattr(self, "_aot", {})
+        n = 0
+        for f in sorted(Path(path).glob("decode_*.xla")):
+            try:
+                plen, n_new, top_k, ds = (int(v) for v in
+                                          f.stem.split("_")[1:5])
+                payload = pickle.loads(f.read_bytes())
+                self._aot[(plen, n_new, top_k, bool(ds))] = \
+                    serialize_executable.deserialize_and_load(*payload)
+                n += 1
+            except Exception:  # noqa: BLE001 — version-mismatched file
+                continue
+        return n
 
 
 class FusedBatchedGenerator:

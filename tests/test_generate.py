@@ -150,3 +150,23 @@ class TestBatchedSampledDecode:
         c = bgen.generate([[3, 7], [3, 7]], 8, temperature=3.0, seed=2)
         assert c[0] != c[1]
         assert greedy[0] != greedy[1]  # different prompts, greedy differs too
+
+
+class TestAotDecode:
+    def test_save_load_roundtrip(self, tmp_path):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        gen = FusedGenerator(step_g)
+        want = gen.generate([3, 7, 11], 8)
+        gen.aot_save(tmp_path, plen=3, n_new=8)
+        gen.aot_save(tmp_path, plen=3, n_new=8, temperature=0.8, top_k=5)
+        gen2 = FusedGenerator(step_g)
+        assert gen2.aot_load(tmp_path) == 2
+        assert (3, 8, 0, False) in gen2._aot
+        assert gen2.generate([3, 7, 11], 8) == want
+        s1 = gen.generate([3, 7, 11], 8, temperature=0.8, top_k=5, seed=3)
+        s2 = gen2.generate([3, 7, 11], 8, temperature=0.8, top_k=5, seed=3)
+        assert s1 == s2
