@@ -1,0 +1,201 @@
+"""Continuous-batching decode serving (the vLLM-style slot loop).
+
+FusedBatchedGenerator decodes equal-length prompt batches in one dispatch;
+real LLM serving gets ragged, asynchronous requests. DecodeServer keeps B
+slots of device-resident KV cache and runs ONE vmapped decode step per
+tick across all slots: new requests are admitted into free slots mid-
+flight (no barrier on the other slots), finished sequences free their
+slot immediately.
+
+Slot-reuse needs no cache reset: a sequence reads only rows <= its pos,
+and it writes each row before first reading it, so whatever the previous
+occupant left is never observed.
+
+This extends the reference's batching story (the InferenceServer covers
+the single-forward models; SURVEY §5.2) to autoregressive serving. The
+per-token host round-trip makes it latency-bound over an RPC tunnel —
+measured locally it is the right architecture (the dispatch is one fused
+step for the whole batch); pair with FusedGenerator for offline batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class _Slot:
+    active: bool = False
+    prompt: list[int] = field(default_factory=list)
+    fed: int = 0                 # tokens of the prompt already consumed
+    generated: list[int] = field(default_factory=list)
+    n_new: int = 0
+    last_token: int = 0
+    pos: int = 0
+    future: Future | None = None
+    context: dict | None = None
+
+
+class DecodeServer:
+    """Continuous batching over a FusedGenerator-compatible step graph.
+
+    submit(prompt, n_new) -> Future resolving to prompt+generated tokens.
+    Greedy decoding; stop_tokens end a sequence early.
+    """
+
+    def __init__(self, step_graph, slots: int = 8, config=None,
+                 stop_tokens: tuple[int, ...] = ()):
+        import jax
+        import jax.numpy as jnp
+
+        from ..runtime.config import Config
+        from ..runtime.executor import Executor
+
+        self.slots = slots
+        self.stop_tokens = set(stop_tokens)
+        ex = Executor(step_graph, config or Config())
+        params = ex.init_params()
+        fn = ex.build_fn()
+        self._input_names = [v.name for v in step_graph.inputs]
+        self._cache_names = [n for n in self._input_names
+                             if n.startswith(("k_cache_", "v_cache_"))]
+        self._context_names = [n for n in self._input_names
+                               if n not in ("token", "pos")
+                               and n not in set(self._cache_names)]
+        shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
+        self._ctx_shapes = {n: shapes[n] for n in self._context_names}
+        self.max_len = shapes[self._cache_names[0]][0]
+
+        input_names = self._input_names
+        cache_names = self._cache_names
+        context_names = self._context_names
+
+        def step_all(tokens, pos, caches, ctxs):
+            # one batched step; argmax on device so the readback is (B,)
+            def one(tok, p, *rest):
+                nc = len(cache_names)
+                by = {"token": tok, "pos": p}
+                by.update(zip(cache_names, rest[:nc]))
+                by.update(zip(context_names, rest[nc:]))
+                outs = fn(params, *[by[n] for n in input_names])
+                return (jnp.argmax(outs[0][0]).astype(jnp.int32),
+                        list(outs[1:]))
+
+            nxt, new_caches = jax.vmap(one)(tokens, pos, *caches, *ctxs)
+            return nxt, new_caches
+
+        self._step_all = jax.jit(step_all)
+        self._caches = [jnp.zeros((slots,) + shapes[n], jnp.float32)
+                        for n in self._cache_names]
+        self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n], jnp.float32)
+                      for n in self._context_names]
+        self._state = [_Slot() for _ in range(slots)]
+        self._pending: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._shutdown = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, prompt: list[int], n_new: int,
+               context: dict | None = None) -> Future:
+        if not prompt:
+            raise ValueError("prompt must be non-empty")
+        fut: Future = Future()
+        self._pending.put((list(prompt), int(n_new), context, fut))
+        self._wake.set()
+        return fut
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "slots": self.slots,
+                "active": sum(s.active for s in self._state),
+                "queued": self._pending.qsize(),
+            }
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # -- slot loop -------------------------------------------------------
+
+    def _admit(self) -> None:
+        import jax.numpy as jnp
+
+        for i, s in enumerate(self._state):
+            if s.active:
+                continue
+            try:
+                prompt, n_new, context, fut = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            n_new = min(n_new, self.max_len - len(prompt))
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=0,
+                                   generated=[], n_new=n_new,
+                                   last_token=prompt[0], pos=0, future=fut,
+                                   context=context)
+            for j, n in enumerate(self._context_names):
+                arr = np.asarray((context or {}).get(n, 0.0), np.float32)
+                self._ctxs[j] = self._ctxs[j].at[i].set(
+                    jnp.broadcast_to(arr, self._ctx_shapes[n]))
+
+    def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._shutdown:
+            with self._lock:
+                self._admit()
+                active = [s for s in self._state if s.active]
+            if not active:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            tokens = np.zeros((self.slots, 1), np.int64)
+            pos = np.zeros((self.slots, 1), np.int64)
+            for i, s in enumerate(self._state):
+                if s.active:
+                    tokens[i, 0] = s.last_token
+                    pos[i, 0] = s.pos
+            nxt, self._caches = self._step_all(
+                jnp.asarray(tokens), jnp.asarray(pos),
+                self._caches, self._ctxs)
+            nxt = np.asarray(nxt)
+            with self._lock:
+                for i, s in enumerate(self._state):
+                    if not s.active:
+                        continue
+                    s.pos += 1
+                    if s.fed + 1 < len(s.prompt):
+                        # still feeding the prompt
+                        s.fed += 1
+                        s.last_token = s.prompt[s.fed]
+                        continue
+                    tok = int(nxt[i])
+                    s.generated.append(tok)
+                    s.last_token = tok
+                    done = (len(s.generated) >= s.n_new
+                            or tok in self.stop_tokens
+                            or s.pos >= self.max_len)
+                    if done:
+                        s.future.set_result(list(s.prompt) + s.generated)
+                        self._state[i] = _Slot()
+        # drain on shutdown: fail anything still outstanding
+        with self._lock:
+            for s in self._state:
+                if s.active and s.future is not None and not s.future.done():
+                    s.future.set_exception(RuntimeError("server shut down"))
+            while True:
+                try:
+                    *_rest, fut = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                fut.set_exception(RuntimeError("server shut down"))

@@ -142,7 +142,14 @@ def make_handler(server_state):
                     ctx = {n: _np.asarray(raw[n],
                                           gen.context_types.get(n, _np.float32))
                            for n in gen.context_names}
-                toks = gen.generate(prompt, n_new, context=ctx)
+                dsrv = server_state.get("decode_server")
+                if dsrv is not None:
+                    # continuous batching: concurrent requests share the
+                    # slot loop instead of serializing whole decodes
+                    toks = dsrv.submit(prompt, n_new,
+                                       context=ctx).result(timeout=600)
+                else:
+                    toks = gen.generate(prompt, n_new, context=ctx)
             except Exception as e:  # noqa: BLE001
                 self._send(400, json.dumps({"error": str(e)[:500]}).encode())
                 return
@@ -166,6 +173,11 @@ def main(argv=None) -> int:
                    help="per-channel on-device normalization, e.g. "
                         "0.485,0.456,0.406:0.229,0.224,0.225 (uint8 bodies "
                         "are scaled /255 first)")
+    p.add_argument("--decode-slots", type=int, default=0, metavar="N",
+                   help="serve /v1/generate through the continuous-batching "
+                        "DecodeServer with N KV-cache slots (concurrent "
+                        "ragged requests) instead of one fused decode per "
+                        "request")
     p.add_argument("--decode-step", default=None, metavar="ONNX",
                    help="decode-step graph (token, pos, *caches) to serve "
                         "on POST /v1/generate via the one-dispatch fused "
@@ -207,9 +219,15 @@ def main(argv=None) -> int:
     if args.decode_step:
         from ..runtime.generate import FusedGenerator
 
+        step_graph = st.load_model(args.decode_step)
         state["generator"] = FusedGenerator(
-            st.load_model(args.decode_step),
-            st.Config(compute_dtype=args.dtype))
+            step_graph, st.Config(compute_dtype=args.dtype))
+        if args.decode_slots:
+            from ..serving.decode_server import DecodeServer
+
+            state["decode_server"] = DecodeServer(
+                step_graph, slots=args.decode_slots,
+                config=st.Config(compute_dtype=args.dtype))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

@@ -1,0 +1,90 @@
+"""Continuous-batching decode server (serving/decode_server.py)."""
+
+import numpy as np
+import pytest
+
+from smelter_tpu.models import speech_decoder, tiny_gpt
+from smelter_tpu.runtime.generate import FusedGenerator
+from smelter_tpu.serving.decode_server import DecodeServer
+
+
+@pytest.fixture(scope="module")
+def gpt_step():
+    step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                           layers=2, max_len=24)
+    return step_g
+
+
+class TestDecodeServer:
+    def test_matches_fused_generator(self, gpt_step):
+        srv = DecodeServer(gpt_step, slots=4)
+        try:
+            gen = FusedGenerator(gpt_step)
+            prompts = [[3, 7, 11], [5], [9, 2], [1, 2, 3, 4]]
+            futs = [srv.submit(p, 6) for p in prompts]
+            got = [f.result(timeout=120) for f in futs]
+            for p, g in zip(prompts, got):
+                assert g == gen.generate(p, 6), p
+        finally:
+            srv.shutdown()
+
+    def test_more_requests_than_slots(self, gpt_step):
+        srv = DecodeServer(gpt_step, slots=2)
+        try:
+            gen = FusedGenerator(gpt_step)
+            prompts = [[i + 1, i + 2] for i in range(7)]
+            futs = [srv.submit(p, 5) for p in prompts]
+            for p, f in zip(prompts, futs):
+                assert f.result(timeout=240) == gen.generate(p, 5)
+        finally:
+            srv.shutdown()
+
+    def test_stop_tokens(self, gpt_step):
+        gen = FusedGenerator(gpt_step)
+        full = gen.generate([3, 7, 11], 10)
+        stop = full[5]  # a token we know the rollout produces
+        first = full.index(stop, 3)  # its FIRST generated occurrence
+        srv = DecodeServer(gpt_step, slots=2, stop_tokens=(stop,))
+        try:
+            out = srv.submit([3, 7, 11], 10).result(timeout=120)
+            assert out == full[:first + 1]  # stops right at the stop token
+        finally:
+            srv.shutdown()
+
+    def test_ragged_admission_and_slot_reuse(self, gpt_step):
+        """Sequences of different lengths finishing at different times must
+        not corrupt each other (slot reuse without cache reset)."""
+        srv = DecodeServer(gpt_step, slots=2)
+        try:
+            gen = FusedGenerator(gpt_step)
+            f1 = srv.submit([3], 12)
+            f2 = srv.submit([5, 9, 2, 8], 3)  # finishes much earlier
+            f3 = srv.submit([7, 7], 8)        # admitted into f2's slot
+            assert f2.result(timeout=120) == gen.generate([5, 9, 2, 8], 3)
+            assert f3.result(timeout=120) == gen.generate([7, 7], 8)
+            assert f1.result(timeout=120) == gen.generate([3], 12)
+        finally:
+            srv.shutdown()
+
+    def test_context_model(self):
+        step_g, _ = speech_decoder.build_decode_step(
+            vocab=50, dim=32, heads=4, layers=1, max_len=12, t_enc=6)
+        gen = FusedGenerator(step_g)
+        rng = np.random.default_rng(0)
+        mems = [rng.standard_normal((6, 32)).astype(np.float32)
+                for _ in range(3)]
+        srv = DecodeServer(step_g, slots=2)
+        try:
+            futs = [srv.submit([1, 2], 5, context={"memory": m})
+                    for m in mems]
+            for m, f in zip(mems, futs):
+                assert f.result(timeout=120) == gen.generate(
+                    [1, 2], 5, context={"memory": m})
+        finally:
+            srv.shutdown()
+
+    def test_stats_and_shutdown_drain(self, gpt_step):
+        srv = DecodeServer(gpt_step, slots=1)
+        st_ = srv.stats()
+        assert st_["slots"] == 1 and st_["active"] == 0
+        srv.shutdown()

@@ -239,3 +239,46 @@ class TestGenerateWithContext:
         assert ei.value.code == 400
         body = json.loads(ei.value.read())
         assert "memory" in body["error"]
+
+
+class TestDecodeServerEndpoint:
+    """POST /v1/generate backed by the continuous-batching DecodeServer."""
+
+    @pytest.fixture(scope="class")
+    def slot_server(self):
+        from smelter_tpu.models import tiny_gpt
+        from smelter_tpu.runtime.generate import FusedGenerator
+        from smelter_tpu.serving.decode_server import DecodeServer
+
+        step_g, _ = tiny_gpt.build_decode_step(vocab=50, dim=32, heads=4,
+                                               layers=2, max_len=24)
+        state = {"servers": {}, "default": None,
+                 "generator": FusedGenerator(step_g),
+                 "decode_server": DecodeServer(step_g, slots=2),
+                 "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+        httpd.shutdown()
+        state["decode_server"].shutdown()
+
+    def test_concurrent_requests(self, slot_server):
+        import concurrent.futures
+
+        base, state = slot_server
+        prompts = [[3, 7], [5, 9, 1], [2], [8, 8, 8, 8]]
+
+        def post(p):
+            req = urllib.request.Request(
+                base + "/v1/generate",
+                data=json.dumps({"prompt": p, "n_new": 6}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["tokens"]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(post, prompts))
+        gen = state["generator"]
+        for p, g in zip(prompts, got):
+            assert g == gen.generate(p, 6)
