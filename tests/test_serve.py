@@ -262,3 +262,30 @@ class TestServingHardening:
             assert srv.infer(x)[0].shape == (10,)
         finally:
             srv.shutdown()
+
+
+class TestESRGANServing:
+    """BASELINE config 4: large-activation conv graphs under continuous
+    batching — ESRGAN through the InferenceServer, parity with the torch
+    reference per request."""
+
+    def test_esrgan_continuous_batching(self):
+        from smelter_tpu.models import esrgan
+
+        g, tm, shape = esrgan.build(1, 16, nf=8, nb=1, scale=4)
+        srv = InferenceServer(g, max_batch=4, max_wait_ms=5)
+        try:
+            rng = np.random.default_rng(0)
+            imgs = [rng.standard_normal(shape[1:]).astype(np.float32)
+                    for _ in range(6)]
+            futs = [srv.submit(im) for im in imgs]
+            outs = [f.result(timeout=120) for f in futs]
+            with torch.no_grad():
+                for im, out in zip(imgs, outs):
+                    want = tm(torch.from_numpy(im[None])).numpy()[0]
+                    np.testing.assert_allclose(out[0], want, rtol=1e-3,
+                                               atol=1e-3)
+            s = srv.stats()
+            assert s["requests"] >= 6
+        finally:
+            srv.shutdown()
