@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import audio_kws, bert_encoder, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
+from . import audio_kws, bert_encoder, convnext, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
@@ -15,6 +15,7 @@ ZOO = {
     "vit_l16": lambda **kw: vit.build(dim=1024, depth=24, heads=16, **kw),
     "retina_fpn": retina_fpn.build,
     "mobilenet_v3": mobilenet_v3.build,
+    "convnext": convnext.build,  # ConvNeXt-T shapes by default
     # bench.py passes image_size; audio models take fixed-length clips/frames
     "speech_encoder": lambda batch=1, image_size=224, **kw: speech_encoder.build(
         batch=batch, frames=1000, **kw),

@@ -245,3 +245,30 @@ class TestSpeechEncoder:
         got = m(x)[0].astype(np.float32)
         corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
         assert corr > 0.999, corr
+
+
+class TestConvNeXt:
+    def test_parity_and_structure(self):
+        from smelter_tpu.models import convnext
+
+        g, tm, shape = convnext.build(batch=1, image_size=64, num_classes=10,
+                                      dims=(32, 64), depths=(2, 2))
+        ops = {n.op_type for n in g.nodes}
+        assert "LayerNormalization" in ops and "Gelu" in ops
+        # depthwise 7x7: a Conv with group == channels
+        assert any(n.op_type == "Conv" and n.attr("group", 1) > 1
+                   for n in g.nodes)
+        check_model(g, tm, shape, atol=1e-4)
+
+    def test_int8_pipeline(self):
+        import smelter_tpu as st
+        from smelter_tpu.models import convnext
+
+        g, tm, shape = convnext.build(batch=1, image_size=64, num_classes=10,
+                                      dims=(32, 64), depths=(2, 2))
+        m = st.compile(g, quant="int8")
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        got = m(x)[0]
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        assert np.argmax(got) == np.argmax(want)
