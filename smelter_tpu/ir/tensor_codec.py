@@ -25,8 +25,14 @@ _INT32_CARRIED = {dt.UINT8, dt.INT8, dt.UINT16, dt.INT16, dt.INT32, dt.BOOL, dt.
 
 
 def _unpack_nibbles(raw: bytes, count: int, signed: bool) -> np.ndarray:
-    """ONNX 4-bit packing: element 2i in the low nibble of byte i."""
+    """ONNX 4-bit packing: element 2i in the low nibble of byte i.
+    Uses the multithreaded native unpacker when available (single pass,
+    no stack/reshape intermediates — matters on multi-GB LLM files)."""
     b = np.frombuffer(raw, dtype=np.uint8, count=(count + 1) // 2)
+    from ..native import available, unpack_int4
+
+    if available():
+        return unpack_int4(b, count, signed=signed)
     lo = b & 0xF
     hi = b >> 4
     vals = np.stack([lo, hi], axis=-1).reshape(-1)[:count]

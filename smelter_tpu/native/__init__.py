@@ -46,6 +46,12 @@ def _try_load() -> None:
             ctypes.c_int64, ctypes.c_int64]
         lib.convert_f32_to_f16.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.preprocess_u8_images.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.unpack_int4.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         _lib = lib
     except OSError:
         return
@@ -110,3 +116,42 @@ def convert_f32_to_f16(a: np.ndarray) -> np.ndarray:
         _lib.convert_f32_to_f16(_ptr(a), _ptr(out), int(a.size))
         return out.view(np.float16)
     return a.astype(np.float16)
+
+
+def preprocess_images(u8: np.ndarray, mean, std,
+                      layout: str = "NCHW") -> np.ndarray:
+    """Serving ingest: (N, H, W, C) uint8 -> normalized f32 in NCHW or
+    NHWC. out = px/255 normalized by per-channel mean/std — the decode-
+    to-device hot loop a production image service runs per request."""
+    assert u8.ndim == 4 and u8.dtype == np.uint8
+    n, h, w, c = u8.shape
+    mean = np.asarray(mean, np.float32).reshape(-1)
+    std = np.asarray(std, np.float32).reshape(-1)
+    scale = (1.0 / (255.0 * std)).astype(np.float32)
+    bias = (-mean / std).astype(np.float32)
+    to_nchw = layout.upper() == "NCHW"
+    if _lib is not None:
+        u8 = np.ascontiguousarray(u8)
+        out = np.empty((n, c, h, w) if to_nchw else (n, h, w, c), np.float32)
+        _lib.preprocess_u8_images(_ptr(u8), _ptr(out), n, h, w, c,
+                                  _ptr(scale), _ptr(bias), int(to_nchw))
+        return out
+    f = u8.astype(np.float32) * scale + bias
+    return np.ascontiguousarray(np.transpose(f, (0, 3, 1, 2))) if to_nchw else f
+
+
+def unpack_int4(packed: np.ndarray, count: int,
+                signed: bool = True) -> np.ndarray:
+    """ONNX two-per-byte 4-bit unpack (low nibble first) -> int8 values."""
+    packed = np.ascontiguousarray(packed.reshape(-1).view(np.uint8))
+    assert packed.size >= (count + 1) // 2
+    if _lib is not None:
+        out = np.empty(count, np.int8)
+        _lib.unpack_int4(_ptr(packed), _ptr(out), int(count), int(signed))
+        return out
+    lo = (packed & 0xF).astype(np.int8)
+    hi = (packed >> 4).astype(np.int8)
+    vals = np.stack([lo, hi], axis=-1).reshape(-1)[:count]
+    if signed:
+        vals = np.where(vals > 7, vals - 16, vals).astype(np.int8)
+    return vals

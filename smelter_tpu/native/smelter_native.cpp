@@ -149,6 +149,48 @@ void convert_f32_to_f16(const float* src, uint16_t* dst, int64_t n) {
     });
 }
 
+// Serving-ingest hot loop: uint8 HWC image batch -> normalized f32, NCHW
+// or NHWC. out = px * scale[c] + bias[c] with scale = 1/(255*std) and
+// bias = -mean/std precomputed by the caller. One thread per image.
+void preprocess_u8_images(const uint8_t* src, float* dst, int64_t N,
+                          int64_t H, int64_t W, int64_t C,
+                          const float* scale, const float* bias,
+                          int to_nchw) {
+    int64_t hw = H * W;
+    parallel_for(N, [=](int64_t n) {
+        const uint8_t* im = src + n * hw * C;
+        float* out = dst + n * hw * C;
+        if (to_nchw) {
+            for (int64_t p = 0; p < hw; ++p)
+                for (int64_t c = 0; c < C; ++c)
+                    out[c * hw + p] = im[p * C + c] * scale[c] + bias[c];
+        } else {
+            for (int64_t i = 0; i < hw * C; ++i) {
+                int64_t c = i % C;
+                out[i] = im[i] * scale[c] + bias[c];
+            }
+        }
+    });
+}
+
+// ONNX 4-bit unpack: two elements per byte, low nibble first. signed=1
+// sign-extends two's-complement nibbles (int4), else uint4 values 0..15.
+// The single-pass C++ loop avoids the numpy stack/reshape intermediates
+// on multi-GB LLM weight files.
+void unpack_int4(const uint8_t* src, int8_t* dst, int64_t count, int signed_) {
+    const int64_t chunk = 1 << 16;  // elements
+    int64_t n_chunks = (count + chunk - 1) / chunk;
+    parallel_for(n_chunks, [=](int64_t ci) {
+        int64_t lo = ci * chunk, hi = std::min(count, lo + chunk);
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t b = src[i >> 1];
+            int8_t v = static_cast<int8_t>((i & 1) ? (b >> 4) : (b & 0xF));
+            if (signed_ && v > 7) v -= 16;
+            dst[i] = v;
+        }
+    });
+}
+
 int smelter_native_abi_version() { return 1; }
 
 }  // extern "C"

@@ -54,3 +54,32 @@ class TestNative:
         with np.errstate(over="ignore"):  # 7e4 overflows fp16 by design
             want = a.astype(np.float16)
         np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
+class TestIngestAndInt4:
+    def test_preprocess_images_nchw_nhwc(self, rng):
+        from smelter_tpu import native
+
+        u8 = rng.integers(0, 256, (3, 8, 9, 3)).astype(np.uint8)
+        mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+        got = native.preprocess_images(u8, mean, std, "NCHW")
+        f = u8.astype(np.float32) / 255.0
+        want = np.transpose((f - mean) / std, (0, 3, 1, 2)).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        got2 = native.preprocess_images(u8, mean, std, "NHWC")
+        np.testing.assert_allclose(got2, ((f - mean) / std).astype(np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unpack_int4_matches_numpy(self, rng):
+        from smelter_tpu import native
+
+        for count in (1, 2, 17, 4096):
+            packed = rng.integers(0, 256, ((count + 1) // 2,)).astype(np.uint8)
+            for signed in (True, False):
+                got = native.unpack_int4(packed, count, signed=signed)
+                lo = (packed & 0xF).astype(np.int8)
+                hi = (packed >> 4).astype(np.int8)
+                want = np.stack([lo, hi], -1).reshape(-1)[:count]
+                if signed:
+                    want = np.where(want > 7, want - 16, want).astype(np.int8)
+                np.testing.assert_array_equal(got, want)
