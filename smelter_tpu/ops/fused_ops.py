@@ -53,12 +53,16 @@ def fused_attention(ctx: Ctx, node: Node):
         ctx.set(node.outputs[0], out.astype(q.dtype))
         return
     use_pallas = bool(ctx.config is not None and getattr(ctx.config, "use_pallas", False))
-    # Flash kernel pays off only for long sequences; at ViT-sized N (~200)
-    # its small tiles lose to XLA's fused attention (1154 vs 1569 img/s,
-    # probe6). From n>=2048 it wins outright — 1.6x at 4096 and 19.5x at
-    # 8192, where XLA materializes the O(N^2) scores (probe9) — so there
-    # it engages regardless of use_pallas.
-    auto_flash = q.ndim == 4 and bias is None and q.shape[2] >= 2048
+    # Flash kernel pays off only for long sequences AND real head dims: at
+    # ViT-sized N (~200) its small tiles lose to XLA's fused attention
+    # (1154 vs 1569 img/s, probe6); at hd=16 (SD latent attention) every
+    # formulation is MXU-lane-bound and flash loses even at N=4096
+    # (probe30: 4.2 vs 5.7 TF/s). From n>=2048 with hd>=64 it wins
+    # outright — 1.6x at 4096 and 19.5x at 8192, where XLA materializes
+    # the O(N^2) scores (probe9) — so there it engages regardless of
+    # use_pallas.
+    auto_flash = (q.ndim == 4 and bias is None and q.shape[2] >= 2048
+                  and q.shape[-1] >= 64)
     if (auto_flash or (use_pallas and q.ndim == 4 and bias is None
                        and q.shape[2] >= 512)):
         from ..kernels.flash_attention import flash_attention
