@@ -26,20 +26,12 @@ _INT32_CARRIED = {dt.UINT8, dt.INT8, dt.UINT16, dt.INT16, dt.INT32, dt.BOOL, dt.
 
 def _unpack_nibbles(raw: bytes, count: int, signed: bool) -> np.ndarray:
     """ONNX 4-bit packing: element 2i in the low nibble of byte i.
-    Uses the multithreaded native unpacker when available (single pass,
-    no stack/reshape intermediates — matters on multi-GB LLM files)."""
-    b = np.frombuffer(raw, dtype=np.uint8, count=(count + 1) // 2)
-    from ..native import available, unpack_int4
+    native.unpack_int4 holds the single implementation (multithreaded C++
+    with a numpy fallback inside)."""
+    from ..native import unpack_int4
 
-    if available():
-        return unpack_int4(b, count, signed=signed)
-    lo = b & 0xF
-    hi = b >> 4
-    vals = np.stack([lo, hi], axis=-1).reshape(-1)[:count]
-    if signed:
-        vals = vals.astype(np.int8)
-        vals = np.where(vals > 7, vals - 16, vals)
-    return vals
+    b = np.frombuffer(raw, dtype=np.uint8, count=(count + 1) // 2)
+    return unpack_int4(b, count, signed=signed)
 
 
 def _decode_int4_raw(raw: bytes, count: int, data_type: int,

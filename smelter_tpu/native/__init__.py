@@ -20,20 +20,33 @@ _LIB_PATH = os.path.join(_DIR, "libsmelter_native.so")
 _lib = None
 
 
+_ABI = 2
+
+
+def _build() -> bool:
+    try:
+        subprocess.run([os.path.join(_DIR, "build.sh")], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _try_load() -> None:
     global _lib
     if _lib is not None:
         return
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run([os.path.join(_DIR, "build.sh")], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-        if lib.smelter_native_abi_version() != 1:
-            return
+        if lib.smelter_native_abi_version() != _ABI:
+            # stale .so from an older checkout: rebuild once and reload
+            if not _build():
+                return
+            lib = ctypes.CDLL(_LIB_PATH)
+            if lib.smelter_native_abi_version() != _ABI:
+                return
         lib.relayout_oihw_to_hwio.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
@@ -53,7 +66,8 @@ def _try_load() -> None:
         lib.unpack_int4.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # unloadable or symbol-incomplete library: numpy fallbacks take over
         return
 
 
@@ -125,8 +139,11 @@ def preprocess_images(u8: np.ndarray, mean, std,
     to-device hot loop a production image service runs per request."""
     assert u8.ndim == 4 and u8.dtype == np.uint8
     n, h, w, c = u8.shape
-    mean = np.asarray(mean, np.float32).reshape(-1)
-    std = np.asarray(std, np.float32).reshape(-1)
+    # scalars broadcast per channel (the C++ kernel indexes scale[ch])
+    mean = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(mean, np.float32).reshape(-1), (c,)))
+    std = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(std, np.float32).reshape(-1), (c,)))
     scale = (1.0 / (255.0 * std)).astype(np.float32)
     bias = (-mean / std).astype(np.float32)
     to_nchw = layout.upper() == "NCHW"

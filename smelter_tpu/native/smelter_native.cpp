@@ -191,6 +191,6 @@ void unpack_int4(const uint8_t* src, int8_t* dst, int64_t count, int signed_) {
     });
 }
 
-int smelter_native_abi_version() { return 1; }
+int smelter_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -68,7 +68,9 @@ class DecodeServer:
                                if n not in ("token", "pos")
                                and n not in set(self._cache_names)]
         shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
+        dtypes = {v.name: v.type.np_dtype for v in step_graph.inputs}
         self._ctx_shapes = {n: shapes[n] for n in self._context_names}
+        self._ctx_dtypes = {n: dtypes[n] for n in self._context_names}
         self.max_len = shapes[self._cache_names[0]][0]
 
         input_names = self._input_names
@@ -89,10 +91,13 @@ class DecodeServer:
             nxt, new_caches = jax.vmap(one)(tokens, pos, *caches, *ctxs)
             return nxt, new_caches
 
-        self._step_all = jax.jit(step_all)
+        # donate the caches: the old buffers are dead after each tick, so
+        # XLA updates them in place instead of copying the whole KV set
+        self._step_all = jax.jit(step_all, donate_argnums=(2,))
         self._caches = [jnp.zeros((slots,) + shapes[n], jnp.float32)
                         for n in self._cache_names]
-        self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n], jnp.float32)
+        self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n],
+                                self._ctx_dtypes[n])
                       for n in self._context_names]
         self._state = [_Slot() for _ in range(slots)]
         self._pending: queue.Queue = queue.Queue()
@@ -109,6 +114,13 @@ class DecodeServer:
         if not prompt:
             raise ValueError("prompt must be non-empty")
         fut: Future = Future()
+        if len(prompt) >= self.max_len:
+            fut.set_exception(ValueError(
+                f"prompt length {len(prompt)} >= cache max_len {self.max_len}"))
+            return fut
+        if n_new <= 0:
+            fut.set_result(list(prompt))  # FusedGenerator parity
+            return fut
         self._pending.put((list(prompt), int(n_new), context, fut))
         self._wake.set()
         return fut
@@ -143,10 +155,15 @@ class DecodeServer:
                                    generated=[], n_new=n_new,
                                    last_token=prompt[0], pos=0, future=fut,
                                    context=context)
-            for j, n in enumerate(self._context_names):
-                arr = np.asarray((context or {}).get(n, 0.0), np.float32)
-                self._ctxs[j] = self._ctxs[j].at[i].set(
-                    jnp.broadcast_to(arr, self._ctx_shapes[n]))
+            try:
+                for j, n in enumerate(self._context_names):
+                    arr = np.asarray((context or {}).get(n, 0),
+                                     self._ctx_dtypes[n])
+                    self._ctxs[j] = self._ctxs[j].at[i].set(
+                        jnp.broadcast_to(arr, self._ctx_shapes[n]))
+            except Exception as e:  # noqa: BLE001 — bad context shape/dtype
+                fut.set_exception(e)
+                self._state[i] = _Slot()
 
     def _loop(self) -> None:
         import jax.numpy as jnp
@@ -165,10 +182,26 @@ class DecodeServer:
                 if s.active:
                     tokens[i, 0] = s.last_token
                     pos[i, 0] = s.pos
-            nxt, self._caches = self._step_all(
-                jnp.asarray(tokens), jnp.asarray(pos),
-                self._caches, self._ctxs)
-            nxt = np.asarray(nxt)
+            try:
+                nxt, self._caches = self._step_all(
+                    jnp.asarray(tokens), jnp.asarray(pos),
+                    self._caches, self._ctxs)
+                nxt = np.asarray(nxt)
+            except Exception as e:  # noqa: BLE001 — an executor error must
+                # fail the in-flight requests, not kill the serving thread
+                with self._lock:
+                    for i, s in enumerate(self._state):
+                        if s.active and s.future is not None:
+                            s.future.set_exception(e)
+                        self._state[i] = _Slot()
+                    # the failed call may have consumed the donated cache
+                    # buffers: rebuild clean ones
+                    self._caches = [
+                        jnp.zeros((self.slots,) + tuple(c.shape[1:]),
+                                  jnp.float32) if getattr(c, "is_deleted",
+                                                          lambda: False)()
+                        else c for c in self._caches]
+                continue
             with self._lock:
                 for i, s in enumerate(self._state):
                     if not s.active:

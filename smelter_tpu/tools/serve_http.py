@@ -228,6 +228,8 @@ def main(argv=None) -> int:
             state["decode_server"] = DecodeServer(
                 step_graph, slots=args.decode_slots,
                 config=st.Config(compute_dtype=args.dtype))
+    elif args.decode_slots:
+        p.error("--decode-slots requires --decode-step")
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:
@@ -237,6 +239,8 @@ def main(argv=None) -> int:
     finally:
         for srv in servers.values():
             srv.shutdown()
+        if state.get("decode_server") is not None:
+            state["decode_server"].shutdown()
     return 0
 
 

@@ -88,3 +88,32 @@ class TestDecodeServer:
         st_ = srv.stats()
         assert st_["slots"] == 1 and st_["active"] == 0
         srv.shutdown()
+
+
+class TestDecodeServerRobustness:
+    def test_n_new_zero_and_long_prompt(self, gpt_step):
+        srv = DecodeServer(gpt_step, slots=2)
+        try:
+            assert srv.submit([1, 2], 0).result(timeout=30) == [1, 2]
+            with pytest.raises(ValueError):
+                srv.submit(list(range(30)), 4).result(timeout=30)
+        finally:
+            srv.shutdown()
+
+    def test_bad_context_fails_future_not_server(self):
+        from smelter_tpu.models import speech_decoder
+
+        step_g, _ = speech_decoder.build_decode_step(
+            vocab=50, dim=32, heads=4, layers=1, max_len=12, t_enc=6)
+        srv = DecodeServer(step_g, slots=2)
+        try:
+            bad = srv.submit([1], 4, context={"memory":
+                                              np.zeros((7, 32), np.float32)})
+            with pytest.raises(Exception):
+                bad.result(timeout=30)
+            # server must still serve good requests afterwards
+            good = srv.submit([1], 4, context={"memory":
+                                               np.zeros((6, 32), np.float32)})
+            assert len(good.result(timeout=60)) == 5
+        finally:
+            srv.shutdown()
