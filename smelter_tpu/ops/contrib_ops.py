@@ -764,3 +764,70 @@ def matmul_nbits(ctx: Ctx, node: Node):
     if len(node.inputs) > 5 and node.inputs[5]:
         y = y + ctx.get(node.inputs[5]).astype(jnp.float32)
     ctx.set(node.outputs[0], y.astype(a.dtype).reshape(lead + (N,)))
+
+
+@register("MoE")
+def moe_contrib(ctx: Ctx, node: Node):
+    """ORT contrib MoE (Mixtral-class blocks): softmax-top-k routing over
+    expert FFNs, optional gated (swiglu-style) fc3.
+
+    Lowered dense: every expert runs on every row (one batched einsum per
+    layer — MXU-friendly, no dynamic shapes) and the top-k routing weights
+    zero out non-selected experts. For E experts this costs E/k extra
+    FLOPs vs sparse dispatch, the standard TPU trade (a gather-based
+    dispatch needs dynamic shapes XLA can't compile); the ep-sharded
+    capacity router in parallel/moe.py is the multi-chip serving path.
+    """
+    x = ctx.get(node.inputs[0])                    # (rows, hidden)
+    router = ctx.get(node.inputs[1])               # (rows, E) logits
+    w1 = ctx.get(node.inputs[2])                   # (E, hidden, inter)
+    b1 = (ctx.get(node.inputs[3])
+          if len(node.inputs) > 3 and node.inputs[3] else None)
+    w2 = ctx.get(node.inputs[4])                   # (E, inter, hidden)
+    b2 = (ctx.get(node.inputs[5])
+          if len(node.inputs) > 5 and node.inputs[5] else None)
+    w3 = (ctx.get(node.inputs[6])
+          if len(node.inputs) > 6 and node.inputs[6] else None)
+    b3 = (ctx.get(node.inputs[7])
+          if len(node.inputs) > 7 and node.inputs[7] else None)
+    k = int(node.attr("k", 1))
+    act = node.attr("activation_type", "relu")
+    if isinstance(act, bytes):
+        act = act.decode()
+    norm = int(node.attr("normalize_routing_weights", 0))
+
+    lead = x.shape[:-1]
+    xf = x.reshape((-1, x.shape[-1]))
+    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    probs = probs.reshape((-1, probs.shape[-1]))
+    e = probs.shape[-1]
+    topv, topi = lax.top_k(probs, k)
+    if norm:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # (rows, E) routing weights, zero for unselected experts
+    route = jnp.zeros_like(probs)
+    rows = jnp.arange(probs.shape[0])[:, None]
+    route = route.at[rows, topi].set(topv)
+
+    h = jnp.einsum("rh,ehi->rei", xf, w1.astype(xf.dtype),
+                   preferred_element_type=jnp.float32)
+    if b1 is not None:
+        h = h + b1.astype(jnp.float32)[None]
+    acts = {"relu": jax.nn.relu, "gelu": _gelu_erf,
+            "silu": jax.nn.silu, "identity": lambda a: a}
+    if act == "swiglu" or w3 is not None:
+        g = jnp.einsum("rh,ehi->rei", xf, w3.astype(xf.dtype),
+                       preferred_element_type=jnp.float32)
+        if b3 is not None:
+            g = g + b3.astype(jnp.float32)[None]
+        h = jax.nn.silu(h) * g
+    elif act in acts:
+        h = acts[act](h)
+    else:
+        raise NotSupportedError(f"MoE activation_type {act!r}")
+    y = jnp.einsum("rei,eih->reh", h.astype(xf.dtype), w2.astype(xf.dtype),
+                   preferred_element_type=jnp.float32)
+    if b2 is not None:
+        y = y + b2.astype(jnp.float32)[None]
+    out = jnp.einsum("reh,re->rh", y, route.astype(y.dtype))
+    ctx.set(node.outputs[0], out.astype(x.dtype).reshape(lead + (x.shape[-1],)))

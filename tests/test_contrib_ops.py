@@ -673,3 +673,72 @@ class TestMatMulNBits8BitZp:
         wd = (wf.astype(np.float32) - zps[:, :, None]) * scales[:, :, None]
         want = a @ wd.reshape(N, K).T + bias
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-2)
+
+
+class TestMoE:
+    def _ref(self, x, router, w1, b1, w2, k, norm, act_fn):
+        import scipy.special as sp
+
+        probs = sp.softmax(router.astype(np.float64), axis=-1)
+        order = np.argsort(-probs, axis=-1)[:, :k]
+        out = np.zeros_like(x, np.float64)
+        for r in range(x.shape[0]):
+            sel = order[r]
+            wts = probs[r, sel]
+            if norm:
+                wts = wts / wts.sum()
+            for e, wt in zip(sel, wts):
+                h = act_fn(x[r] @ w1[e] + b1[e])
+                out[r] += wt * (h @ w2[e])
+        return out.astype(np.float32)
+
+    @pytest.mark.parametrize("k,norm", [(1, 0), (2, 1)])
+    def test_topk_routing(self, rng, k, norm):
+        R, H, E, I = 6, 8, 4, 16
+        x = rng.standard_normal((R, H)).astype(np.float32)
+        router = rng.standard_normal((R, E)).astype(np.float32)
+        w1 = (rng.standard_normal((E, H, I)) * 0.3).astype(np.float32)
+        b1 = rng.standard_normal((E, I)).astype(np.float32)
+        w2 = (rng.standard_normal((E, I, H)) * 0.3).astype(np.float32)
+        got = run_op("MoE", [x, router],
+                     dict(k=k, activation_type="relu",
+                          normalize_routing_weights=norm),
+                     initializers=[w1, b1, w2])
+        want = self._ref(x, router, w1, b1, w2, k, norm,
+                         lambda v: np.maximum(v, 0))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_swiglu_fc3(self, rng):
+        R, H, E, I = 4, 8, 2, 12
+        x = rng.standard_normal((R, H)).astype(np.float32)
+        router = rng.standard_normal((R, E)).astype(np.float32)
+        w1 = (rng.standard_normal((E, H, I)) * 0.3).astype(np.float32)
+        w2 = (rng.standard_normal((E, I, H)) * 0.3).astype(np.float32)
+        w3 = (rng.standard_normal((E, H, I)) * 0.3).astype(np.float32)
+        from smelter_tpu.ir.build import GraphBuilder
+        import smelter_tpu as st
+
+        g = GraphBuilder("t", opset=17)
+        xi = g.input("x", x.shape)
+        ri = g.input("r", router.shape)
+        out = g.node("MoE", [xi, ri, g.init(w1), "", g.init(w2), "",
+                             g.init(w3)],
+                     k=1, activation_type="swiglu")
+        m = st.CompiledModel(g.finish([out]))
+        got = m(x, router)[0]
+
+        import scipy.special as sp
+
+        probs = sp.softmax(router.astype(np.float64), -1)
+        sel = np.argmax(probs, -1)
+        want = np.zeros_like(x, np.float64)
+        for r in range(R):
+            e = sel[r]
+
+            def silu(v):
+                return v / (1 + np.exp(-v))
+
+            h = silu(x[r] @ w1[e]) * (x[r] @ w3[e])
+            want[r] = probs[r, e] * (h @ w2[e])
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-3, atol=1e-3)
