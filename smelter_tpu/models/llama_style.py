@@ -36,7 +36,8 @@ def _rope_caches(max_len: int, hd: int, base: float = 10000.0):
 
 def make_weights(vocab: int = 96, dim: int = 64, heads: int = 4,
                  kv_heads: int = 2, ffn: int = 128, layers: int = 2,
-                 max_len: int = 32, seed: int = 0) -> dict:
+                 max_len: int = 32, seed: int = 0,
+                 n_experts: int = 0) -> dict:
     rng = np.random.default_rng(seed)
     hd = dim // heads
     kvd = kv_heads * hd
@@ -51,10 +52,39 @@ def make_weights(vocab: int = 96, dim: int = 64, heads: int = 4,
         w[f"wk_{li}"] = _w(rng, dim, kvd)
         w[f"wv_{li}"] = _w(rng, dim, kvd)
         w[f"wo_{li}"] = _w(rng, dim, dim)
-        w[f"wgate_{li}"] = _w(rng, dim, ffn)
-        w[f"wup_{li}"] = _w(rng, dim, ffn)
-        w[f"wdown_{li}"] = _w(rng, ffn, dim)
+        if n_experts:
+            w[f"wrouter_{li}"] = _w(rng, dim, n_experts)
+            w[f"moe_w1_{li}"] = np.stack(
+                [_w(rng, dim, ffn) for _ in range(n_experts)])
+            w[f"moe_w2_{li}"] = np.stack(
+                [_w(rng, ffn, dim) for _ in range(n_experts)])
+            w[f"moe_w3_{li}"] = np.stack(
+                [_w(rng, dim, ffn) for _ in range(n_experts)])
+        else:
+            w[f"wgate_{li}"] = _w(rng, dim, ffn)
+            w[f"wup_{li}"] = _w(rng, dim, ffn)
+            w[f"wdown_{li}"] = _w(rng, ffn, dim)
     return w
+
+
+def _emit_mlp(b, weights, li, h2, top_k: int = 2):
+    """SwiGLU MLP, or — when the weight dict holds expert stacks — a
+    Mixtral-style MoE block via the contrib MoE op (softmax-top-k routing,
+    gated swiglu experts; ops/contrib_ops.py::moe_contrib)."""
+    if f"moe_w1_{li}" in weights:
+        router = b.node("MatMul", [h2, b.init(weights[f"wrouter_{li}"])])
+        return b.node("MoE",
+                      [h2, router, b.init(weights[f"moe_w1_{li}"]), "",
+                       b.init(weights[f"moe_w2_{li}"]), "",
+                       b.init(weights[f"moe_w3_{li}"])],
+                      k=top_k, activation_type="swiglu",
+                      normalize_routing_weights=1)
+    gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
+    sg = b.node("Sigmoid", [gate])
+    silu = b.node("Mul", [gate, sg])
+    up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
+    prod = b.node("Mul", [silu, up])
+    return b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
 
 
 def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
@@ -88,12 +118,7 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                       outputs=[f"mlp_in_{li}", "", "", f"res2_{li}"],
                       epsilon=1e-6)
         h2, res2 = outs[0], outs[3]
-        gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
-        sg = b.node("Sigmoid", [gate])
-        silu = b.node("Mul", [gate, sg])
-        up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
-        prod = b.node("Mul", [silu, up])
-        down = b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
+        down = _emit_mlp(b, weights, li, h2)
         residual = b.node("Add", [down, res2])
     xf = b.node("SimplifiedLayerNormalization",
                 [residual, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
@@ -160,12 +185,7 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         x = b.node("Add", [x, proj])
         h2 = b.node("SimplifiedLayerNormalization",
                     [x, b.init(weights[f"norm2_{li}"])], axis=-1, epsilon=1e-6)
-        gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
-        sg = b.node("Sigmoid", [gate])
-        silu = b.node("Mul", [gate, sg])
-        up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
-        prod = b.node("Mul", [silu, up])
-        down = b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
+        down = _emit_mlp(b, weights, li, h2)
         x = b.node("Add", [x, down])
     xf = b.node("SimplifiedLayerNormalization",
                 [x, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)

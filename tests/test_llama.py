@@ -77,3 +77,40 @@ def test_llama_tp_parity(eight_devices):
                                    plan.replicated()))
         got = np.asarray(fn(params, toks)[0])
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestMixtralStyle:
+    """llama family with MoE FFNs (contrib MoE op): decode-vs-full parity
+    and one-dispatch generation."""
+
+    CFGM = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+
+    def test_decode_matches_full(self):
+        max_len = 12
+        w = llama_style.make_weights(max_len=max_len, n_experts=4,
+                                     **self.CFGM)
+        step_g, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  **self.CFGM)
+        full_g = llama_style.build_full(w, seq_len=6, **self.CFGM)
+        ops = {n.op_type for n in full_g.nodes}
+        assert "MoE" in ops
+        step = st.CompiledModel(step_g)
+        full = st.CompiledModel(full_g)
+        toks = np.array([3, 17, 41, 8, 55, 2], np.int64)
+        want = full(toks)[0]
+        kvd = self.CFGM["kv_heads"] * self.CFGM["dim"] // self.CFGM["heads"]
+        caches = [np.zeros((max_len, kvd), np.float32)
+                  for _ in range(2 * self.CFGM["layers"])]
+        for p in range(6):
+            outs = step(np.array([toks[p]]), np.array([p], np.int64), *caches)
+            logits, caches = outs[0], list(outs[1:])
+            np.testing.assert_allclose(logits[0], want[p], rtol=5e-4,
+                                       atol=5e-4, err_msg=f"position {p}")
+
+    def test_fused_generate(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        w = llama_style.make_weights(max_len=16, n_experts=4, **self.CFGM)
+        step_g, _ = llama_style.build_decode_step(w, max_len=16, **self.CFGM)
+        out = FusedGenerator(step_g).generate([5, 9], 8)
+        assert len(out) == 10 and all(0 <= t < 60 for t in out)
