@@ -790,6 +790,11 @@ def moe_contrib(ctx: Ctx, node: Node):
           if len(node.inputs) > 6 and node.inputs[6] else None)
     b3 = (ctx.get(node.inputs[7])
           if len(node.inputs) > 7 and node.inputs[7] else None)
+    ctx.set(node.outputs[0],
+            _moe_core(node, x, router, w1, b1, w2, b2, w3, b3))
+
+
+def _moe_core(node: Node, x, router, w1, b1, w2, b2, w3, b3):
     k = int(node.attr("k", 1))
     act = node.attr("activation_type", "relu")
     if isinstance(act, bytes):
@@ -830,4 +835,55 @@ def moe_contrib(ctx: Ctx, node: Node):
     if b2 is not None:
         y = y + b2.astype(jnp.float32)[None]
     out = jnp.einsum("reh,re->rh", y, route.astype(y.dtype))
-    ctx.set(node.outputs[0], out.astype(x.dtype).reshape(lead + (x.shape[-1],)))
+    return out.astype(x.dtype).reshape(lead + (x.shape[-1],))
+
+
+@register("QMoE")
+def qmoe_contrib(ctx: Ctx, node: Node):
+    """Quantized MoE (Phi-3.5-MoE-class): 4- or 8-bit symmetric per-column
+    expert weights with f32 scales. Packed weights/scales are initializers
+    (trace-time constants): unpack to an int8 stack host-side, multiply the
+    scales back in-graph so XLA fuses the dequant into the expert einsums
+    (same design as MatMulNBits; weights stay int8 in HBM).
+
+    Input order mirrors MoE with (weights, scales, bias) triples per fc:
+    [x, router, fc1_w, fc1_scales, fc1_bias, fc2_w, fc2_scales, fc2_bias,
+    fc3_w, fc3_scales, fc3_bias]; attr expert_weight_bits in {4, 8}.
+    """
+    x = ctx.get(node.inputs[0])
+    router = ctx.get(node.inputs[1])
+    bits = int(node.attr("expert_weight_bits", 4))
+    if bits not in (4, 8):
+        raise NotSupportedError(f"QMoE expert_weight_bits={bits}")
+
+    def dequant(w_idx, s_idx, out_cols):
+        packed = np.asarray(ctx.static(node.inputs[w_idx]))
+        scales = np.asarray(ctx.static(node.inputs[s_idx]), np.float32)
+        e = packed.shape[0]
+        rows = packed.reshape(e, packed.shape[1], -1).view(np.uint8)
+        if bits == 4:
+            lo = (rows & 0xF).astype(np.int16)
+            hi = (rows >> 4).astype(np.int16)
+            w = np.stack([lo, hi], axis=-1).reshape(e, packed.shape[1], -1)
+            w = w[..., :out_cols] - 8
+        else:
+            w = rows[..., :out_cols].astype(np.int16) - 128
+        w_int = jnp.asarray(w.astype(np.int8))           # (E, in, out)
+        s = jnp.asarray(scales.reshape(e, 1, out_cols))
+        return w_int.astype(x.dtype) * s.astype(x.dtype)
+
+    def opt_bias(i):
+        return (ctx.get(node.inputs[i])
+                if len(node.inputs) > i and node.inputs[i] else None)
+
+    hidden = x.shape[-1]
+    # fc1/fc3 produce `inter` columns, fc2 produces `hidden`
+    inter = np.asarray(ctx.static(node.inputs[3], required=True)).reshape(
+        ctx.static(node.inputs[2]).shape[0], -1).shape[-1]
+    w1 = dequant(2, 3, inter)
+    w2 = dequant(5, 6, hidden)
+    w3 = (dequant(8, 9, inter)
+          if len(node.inputs) > 8 and node.inputs[8] else None)
+    ctx.set(node.outputs[0],
+            _moe_core(node, x, router, w1, opt_bias(4), w2, opt_bias(7),
+                      w3, opt_bias(10)))

@@ -66,6 +66,7 @@ _STATIC_POSITIONS: dict[str, set[int]] = {
     # Block-quantized weights: unpacked host-side at trace time
     # (ops/contrib_ops.py::matmul_nbits) — never uploaded as-is.
     "MatMulNBits": {1, 2, 3, 4},
+    "QMoE": {2, 3, 5, 6, 8, 9},
     "AffineGrid": {1},
 }
 

@@ -742,3 +742,48 @@ class TestMoE:
             want[r] = probs[r, e] * (h @ w2[e])
         np.testing.assert_allclose(got, want.astype(np.float32),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestQMoE:
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_matches_float_moe(self, rng, bits):
+        R, H, E, I = 5, 8, 3, 12
+        x = rng.standard_normal((R, H)).astype(np.float32)
+        router = rng.standard_normal((R, E)).astype(np.float32)
+        lo, hi = (0, 16) if bits == 4 else (0, 256)
+        off = 8 if bits == 4 else 128
+        w1q = rng.integers(lo, hi, (E, H, I)).astype(np.uint8)
+        w2q = rng.integers(lo, hi, (E, I, H)).astype(np.uint8)
+        s1 = np.full((E, I), 0.05, np.float32)
+        s2 = np.full((E, H), 0.05, np.float32)
+
+        def pack(w):
+            if bits == 8:
+                return w
+            pairs = w.reshape(w.shape[0], w.shape[1], -1, 2)
+            return (pairs[..., 0] | (pairs[..., 1] << 4)).astype(np.uint8)
+
+        from smelter_tpu.ir.build import GraphBuilder
+        import smelter_tpu as st
+
+        g = GraphBuilder("t", opset=17)
+        xi = g.input("x", x.shape)
+        ri = g.input("r", router.shape)
+        out = g.node("QMoE",
+                     [xi, ri, g.init(pack(w1q)), g.init(s1.reshape(-1)), "",
+                      g.init(pack(w2q)), g.init(s2.reshape(-1)), ""],
+                     k=2, activation_type="relu",
+                     normalize_routing_weights=1, expert_weight_bits=bits)
+        m = st.CompiledModel(g.finish([out]))
+        got = m(x, router)[0]
+        # float reference through the plain MoE op with dequantized weights
+        w1 = (w1q.astype(np.float32) - off) * s1[:, None, :]
+        w2 = (w2q.astype(np.float32) - off) * s2[:, None, :]
+        g2 = GraphBuilder("t2", opset=17)
+        xi2 = g2.input("x", x.shape)
+        ri2 = g2.input("r", router.shape)
+        out2 = g2.node("MoE", [xi2, ri2, g2.init(w1), "", g2.init(w2)],
+                       k=2, activation_type="relu",
+                       normalize_routing_weights=1)
+        want = st.CompiledModel(g2.finish([out2]))(x, router)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
