@@ -89,10 +89,17 @@ def conv_transpose(ctx: Ctx, node: Node):
 
     Lowered as an input-dilated forward conv with a spatially-flipped,
     transposed kernel — the standard XLA formulation; output size matches the
-    reference's closed form (ONNXConvolutionPadding.swift:102-113)."""
+    reference's closed form (ONNXConvolutionPadding.swift:102-113). Under
+    the NHWC layout pass the same kernel transform gains an HWIO reorder —
+    all on an initializer, so XLA constant-folds it at compile time (no
+    runtime transpose, same guarantee as the offline Conv relayout)."""
     x = ctx.get(node.inputs[0])
     w = ctx.get(node.inputs[1])
+    layout = _layout(node)
+    nhwc = layout == "NHWC"
     rank = x.ndim - 2
+    sp0 = 1 if nhwc else 2
+    in_spatial = tuple(x.shape[sp0:sp0 + rank])
     strides, dilations, group = _conv_attrs(node, rank)
     kernel = tuple(w.shape[2:])
     out_pad = tuple(node.attr("output_padding", [0] * rank))
@@ -107,7 +114,7 @@ def conv_transpose(ctx: Ctx, node: Node):
         pads = []
         for i in range(rank):
             eff = P.effective_kernel(kernel[i], dilations[i])
-            total = (strides[i] * (x.shape[2 + i] - 1) + out_pad[i]
+            total = (strides[i] * (in_spatial[i] - 1) + out_pad[i]
                      + eff - osz[i])
             half = total // 2 if total >= 0 else -((-total) // 2)
             if auto_pad == "SAME_UPPER":
@@ -115,7 +122,7 @@ def conv_transpose(ctx: Ctx, node: Node):
             else:
                 pads.append((total - half, half))
     else:
-        pads = P.resolve_pads(node, tuple(x.shape[2:]), kernel, strides,
+        pads = P.resolve_pads(node, in_spatial, kernel, strides,
                               dilations)
 
     cin = w.shape[0]
@@ -126,6 +133,11 @@ def conv_transpose(ctx: Ctx, node: Node):
     wt = jnp.moveaxis(wt, 2, 1)  # (g, cout/g, in/g, *k)
     wt = wt.reshape((group * cout_per_g, in_per_g) + kernel)
     wt = jnp.flip(wt, axis=tuple(range(2, 2 + rank)))
+    if nhwc:  # OIHW-form kernel -> HWIO (constant-folded for initializers)
+        wt = jnp.transpose(wt, tuple(range(2, 2 + rank)) + (1, 0))
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        dn = _spatial_dim_numbers(rank)
 
     conv_pads = []
     for i in range(rank):
@@ -140,11 +152,11 @@ def conv_transpose(ctx: Ctx, node: Node):
         padding=conv_pads,
         lhs_dilation=strides,
         rhs_dilation=dilations,
-        dimension_numbers=_spatial_dim_numbers(rank),
+        dimension_numbers=dn,
         feature_group_count=group,
     )
     if len(node.inputs) > 2 and node.inputs[2]:
-        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype))
+        y = _add_bias(y, ctx.get(node.inputs[2]).astype(y.dtype), layout)
     ctx.set(node.outputs[0], y)
 
 

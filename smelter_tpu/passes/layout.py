@@ -38,7 +38,8 @@ _TO_NCHW = [0, 3, 1, 2]
 
 # Ops rewritten to native NHWC execution (4-D only).
 _CONVERT = {
-    "Conv", "MaxPool", "AveragePool", "GlobalAveragePool", "GlobalMaxPool",
+    "Conv", "ConvTranspose", "MaxPool", "AveragePool", "GlobalAveragePool",
+    "GlobalMaxPool",
     "BatchNormalization", "InstanceNormalization", "GroupNormalization",
     "custom_group_norm", "Upsample", "Resize", "DepthToSpace", "SpaceToDepth",
 }

@@ -382,3 +382,36 @@ class TestNativeAttentionFusion:
                     (b_act, 5, 2, 8)).astype(np.float32)]
         np.testing.assert_allclose(fused(*args)[0], unfused(*args)[0],
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestConvTransposeNHWC:
+    @pytest.mark.parametrize("group,stride,outpad", [(1, 2, 0), (2, 2, 1),
+                                                     (1, 3, 2)])
+    def test_layout_pass_parity(self, group, stride, outpad):
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.passes.layout import layout_nhwc
+
+        rng = np.random.default_rng(0)
+        cin, cout_g = 4 * group, 6
+        x = rng.standard_normal((2, cin, 7, 8)).astype(np.float32)
+        w = rng.standard_normal((cin, cout_g, 3, 3)).astype(np.float32)
+        bias = rng.standard_normal(cout_g * group).astype(np.float32)
+
+        def build():
+            g = GraphBuilder("t", opset=17)
+            xi = g.input("x", x.shape)
+            out = g.node("ConvTranspose", [xi, g.init(w), g.init(bias)],
+                         strides=[stride, stride], pads=[1, 1, 1, 1],
+                         output_padding=[outpad, outpad],
+                         kernel_shape=[3, 3], group=group)
+            return g.finish([out])
+
+        want = st.CompiledModel(build())(x)[0]
+        g2 = build()
+        n = layout_nhwc(g2)
+        assert n > 0
+        assert any(nd.op_type == "ConvTranspose"
+                   and nd.attr("data_layout") == "NHWC" for nd in g2.nodes)
+        got = st.CompiledModel(g2)(x)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
