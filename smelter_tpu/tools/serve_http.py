@@ -96,6 +96,13 @@ def make_handler(server_state):
             try:
                 if "npy" in ctype or body[:6] == b"\x93NUMPY":
                     x = np.load(io.BytesIO(body), allow_pickle=False)
+                    if x.dtype == np.uint8 and x.ndim == 3:
+                        # raw HWC uint8 image: u8 -> f32/255 + HWC->CHW via
+                        # the native ingest (18x the numpy path); per-channel
+                        # mean/std stays on-device (Config.normalize)
+                        from ..native import preprocess_images
+
+                        x = preprocess_images(x[None], 0.0, 1.0, "NCHW")[0]
                 else:
                     payload = json.loads(body)
                     x = np.asarray(payload["inputs"], np.float32)

@@ -282,3 +282,31 @@ class TestDecodeServerEndpoint:
         gen = state["generator"]
         for p, g in zip(prompts, got):
             assert g == gen.generate(p, 6)
+
+
+class TestUint8Ingest:
+    """POST raw HWC uint8 .npy to /v1/infer: native ingest converts to
+    normalized f32 CHW before batching."""
+
+    def test_u8_npy_matches_float_path(self, http_server):
+        import io
+
+        base, shape = http_server
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (shape[2], shape[3], shape[1])).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, u8)
+        req = urllib.request.Request(
+            base + "/v1/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/npy"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = np.asarray(json.loads(r.read())["outputs"][0])
+        # float path with the same /255 CHW conversion
+        f = np.transpose(u8.astype(np.float32) / 255.0, (2, 0, 1))
+        req2 = urllib.request.Request(
+            base + "/v1/infer",
+            data=json.dumps({"inputs": f.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            want = np.asarray(json.loads(r.read())["outputs"][0])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
