@@ -89,7 +89,7 @@ def _emit_mlp(b, weights, li, h2, top_k: int = 2):
 
 def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                heads: int = 4, kv_heads: int = 2, ffn: int = 128,
-               layers: int = 2):
+               layers: int = 2, moe_top_k: int = 2):
     """tokens (T,) -> logits (T, vocab), causal, contrib-op vocabulary."""
     hd = dim // heads
     b = GraphBuilder("llama_full", opset=17)
@@ -118,7 +118,7 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                       outputs=[f"mlp_in_{li}", "", "", f"res2_{li}"],
                       epsilon=1e-6)
         h2, res2 = outs[0], outs[3]
-        down = _emit_mlp(b, weights, li, h2)
+        down = _emit_mlp(b, weights, li, h2, top_k=moe_top_k)
         residual = b.node("Add", [down, res2])
     xf = b.node("SimplifiedLayerNormalization",
                 [residual, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
@@ -131,7 +131,7 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
 def build_decode_step(weights: dict | None = None, vocab: int = 96,
                       dim: int = 64, heads: int = 4, kv_heads: int = 2,
                       ffn: int = 128, layers: int = 2, max_len: int = 32,
-                      seed: int = 0):
+                      seed: int = 0, moe_top_k: int = 2):
     """(token (1,), pos (1,), k_cache_i/v_cache_i (max_len, kvd)) ->
     (logits (1,vocab), updated caches). FusedGenerator-compatible."""
     if weights is None:
@@ -185,7 +185,7 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         x = b.node("Add", [x, proj])
         h2 = b.node("SimplifiedLayerNormalization",
                     [x, b.init(weights[f"norm2_{li}"])], axis=-1, epsilon=1e-6)
-        down = _emit_mlp(b, weights, li, h2)
+        down = _emit_mlp(b, weights, li, h2, top_k=moe_top_k)
         x = b.node("Add", [x, down])
     xf = b.node("SimplifiedLayerNormalization",
                 [x, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)

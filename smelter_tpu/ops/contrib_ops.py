@@ -805,7 +805,7 @@ def _moe_core(node: Node, x, router, w1, b1, w2, b2, w3, b3):
     xf = x.reshape((-1, x.shape[-1]))
     probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     probs = probs.reshape((-1, probs.shape[-1]))
-    e = probs.shape[-1]
+    k = min(k, probs.shape[-1])
     topv, topi = lax.top_k(probs, k)
     if norm:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
@@ -819,17 +819,25 @@ def _moe_core(node: Node, x, router, w1, b1, w2, b2, w3, b3):
     if b1 is not None:
         h = h + b1.astype(jnp.float32)[None]
     acts = {"relu": jax.nn.relu, "gelu": _gelu_erf,
-            "silu": jax.nn.silu, "identity": lambda a: a}
-    if act == "swiglu" or w3 is not None:
+            "silu": jax.nn.silu, "swiglu": jax.nn.silu,
+            "identity": lambda a: a}
+    if act not in acts:
+        raise NotSupportedError(f"MoE activation_type {act!r}")
+    if w3 is not None:
+        # gated experts: act(fc1(x)) * fc3(x) — 'swiglu' gates with silu,
+        # other activation_types gate with themselves (geglu/reglu)
         g = jnp.einsum("rh,ehi->rei", xf, w3.astype(xf.dtype),
                        preferred_element_type=jnp.float32)
         if b3 is not None:
             g = g + b3.astype(jnp.float32)[None]
-        h = jax.nn.silu(h) * g
-    elif act in acts:
-        h = acts[act](h)
+        h = acts[act](h) * g
+    elif act == "swiglu":
+        raise NotSupportedError(
+            "MoE activation_type='swiglu' without fc3 weights (interleaved "
+            "gate packing inside fc1) — export with separate fc3, or use "
+            "a plain activation")
     else:
-        raise NotSupportedError(f"MoE activation_type {act!r}")
+        h = acts[act](h)
     y = jnp.einsum("rei,eih->reh", h.astype(xf.dtype), w2.astype(xf.dtype),
                    preferred_element_type=jnp.float32)
     if b2 is not None:
@@ -862,10 +870,19 @@ def qmoe_contrib(ctx: Ctx, node: Node):
         e = packed.shape[0]
         rows = packed.reshape(e, packed.shape[1], -1).view(np.uint8)
         if bits == 4:
-            lo = (rows & 0xF).astype(np.int16)
-            hi = (rows >> 4).astype(np.int16)
-            w = np.stack([lo, hi], axis=-1).reshape(e, packed.shape[1], -1)
-            w = w[..., :out_cols] - 8
+            if out_cols % 2 == 0:
+                # rows pack with no per-row padding: one flat native unpack
+                # (C++ fast path, ir/tensor_codec shares the implementation)
+                from ..native import unpack_int4
+
+                w = unpack_int4(rows, e * packed.shape[1] * out_cols,
+                                signed=False)
+                w = w.reshape(e, packed.shape[1], out_cols).astype(np.int16) - 8
+            else:
+                lo = (rows & 0xF).astype(np.int16)
+                hi = (rows >> 4).astype(np.int16)
+                w = np.stack([lo, hi], axis=-1).reshape(e, packed.shape[1], -1)
+                w = w[..., :out_cols] - 8
         else:
             w = rows[..., :out_cols].astype(np.int16) - 128
         w_int = jnp.asarray(w.astype(np.int8))           # (E, in, out)

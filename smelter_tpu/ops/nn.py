@@ -90,18 +90,20 @@ def conv_transpose(ctx: Ctx, node: Node):
     Lowered as an input-dilated forward conv with a spatially-flipped,
     transposed kernel — the standard XLA formulation; output size matches the
     reference's closed form (ONNXConvolutionPadding.swift:102-113). Under
-    the NHWC layout pass the same kernel transform gains an HWIO reorder —
-    all on an initializer, so XLA constant-folds it at compile time (no
-    runtime transpose, same guarantee as the offline Conv relayout)."""
+    the NHWC layout pass, initializer weights are relaid to the flipped
+    HWIO kernel OFFLINE (passes/layout.py::_convt_weight_nhwc, marked
+    weight_prepped — same no-runtime-transpose guarantee as Conv); dynamic
+    weights stay a layout barrier."""
     x = ctx.get(node.inputs[0])
     w = ctx.get(node.inputs[1])
     layout = _layout(node)
     nhwc = layout == "NHWC"
+    prepped = bool(node.attr("weight_prepped", 0))  # layout pass relaid it
     rank = x.ndim - 2
     sp0 = 1 if nhwc else 2
     in_spatial = tuple(x.shape[sp0:sp0 + rank])
     strides, dilations, group = _conv_attrs(node, rank)
-    kernel = tuple(w.shape[2:])
+    kernel = tuple(w.shape[:rank]) if prepped else tuple(w.shape[2:])
     out_pad = tuple(node.attr("output_padding", [0] * rank))
     out_shape_attr = node.attr("output_shape")
     if out_shape_attr is not None:
@@ -125,19 +127,25 @@ def conv_transpose(ctx: Ctx, node: Node):
         pads = P.resolve_pads(node, in_spatial, kernel, strides,
                               dilations)
 
-    cin = w.shape[0]
-    cout_per_g = w.shape[1]
-    in_per_g = cin // group
-    # (C_in, C_out/g, *k) -> (C_out, C_in/g, *k), flipped spatially.
-    wt = w.reshape((group, in_per_g, cout_per_g) + kernel)
-    wt = jnp.moveaxis(wt, 2, 1)  # (g, cout/g, in/g, *k)
-    wt = wt.reshape((group * cout_per_g, in_per_g) + kernel)
-    wt = jnp.flip(wt, axis=tuple(range(2, 2 + rank)))
-    if nhwc:  # OIHW-form kernel -> HWIO (constant-folded for initializers)
-        wt = jnp.transpose(wt, tuple(range(2, 2 + rank)) + (1, 0))
+    if prepped:
+        # the layout pass already built the flipped HWIO forward kernel
+        # offline — zero runtime transform (parity with Conv's relayout)
+        wt = w
         dn = ("NHWC", "HWIO", "NHWC")
     else:
-        dn = _spatial_dim_numbers(rank)
+        cin = w.shape[0]
+        cout_per_g = w.shape[1]
+        in_per_g = cin // group
+        # (C_in, C_out/g, *k) -> (C_out, C_in/g, *k), flipped spatially.
+        wt = w.reshape((group, in_per_g, cout_per_g) + kernel)
+        wt = jnp.moveaxis(wt, 2, 1)  # (g, cout/g, in/g, *k)
+        wt = wt.reshape((group * cout_per_g, in_per_g) + kernel)
+        wt = jnp.flip(wt, axis=tuple(range(2, 2 + rank)))
+        if nhwc:  # dynamic weight under NHWC: transform in-graph
+            wt = jnp.transpose(wt, tuple(range(2, 2 + rank)) + (1, 0))
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            dn = _spatial_dim_numbers(rank)
 
     conv_pads = []
     for i in range(rank):

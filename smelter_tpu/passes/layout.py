@@ -101,6 +101,38 @@ class _Rewriter:
     def _is4d(self, name: str) -> bool:
         return self.rank(name) == 4
 
+    def _convt_weight_nhwc(self, node: Node) -> bool:
+        """Offline ConvTranspose weight prep for NHWC: (C_in, C_out/g, *k)
+        -> the flipped HWIO forward-conv kernel the lowering needs, done
+        once host-side (no per-dispatch transform). Fresh initializer, same
+        shared-weight safety as _conv_weight_nhwc. Dynamic weights return
+        False -> the node stays a barrier."""
+        g = self.graph
+        w_name = node.inputs[1]
+        cache_key = ("convt", w_name)
+        if cache_key in self._hwio_cache:
+            node.inputs[1] = self._hwio_cache[cache_key]
+            return True
+        if w_name not in g.initializers:
+            return False
+        w = g.initializers[w_name]
+        if w.ndim != 4:
+            return False
+        group = int(node.attr("group", 1))
+        cin, cout_g = w.shape[0], w.shape[1]
+        kernel = w.shape[2:]
+        wt = w.reshape((group, cin // group, cout_g) + kernel)
+        wt = np.moveaxis(wt, 2, 1)
+        wt = wt.reshape((group * cout_g, cin // group) + kernel)
+        wt = wt[:, :, ::-1, ::-1]                      # spatial flip
+        pw = np.ascontiguousarray(np.transpose(wt, (2, 3, 1, 0)))  # HWIO
+        pname = g.fresh_name(w_name + "__hwio_t")
+        g.initializers[pname] = pw
+        node.inputs[1] = pname
+        node.attrs["weight_prepped"] = 1
+        self._hwio_cache[cache_key] = pname
+        return True
+
     def _conv_weight_nhwc(self, node: Node) -> bool:
         """Rewrite the conv's weight input to an HWIO edge. Never mutates
         the original initializer in place (it may be shared by other convs
@@ -170,6 +202,8 @@ class _Rewriter:
                 ok = True
                 if node.op_type == "Conv":
                     ok = self._conv_weight_nhwc(node)
+                elif node.op_type == "ConvTranspose":
+                    ok = self._convt_weight_nhwc(node)
                 if ok:
                     node.inputs[0] = self.get(node.inputs[0], "nhwc")
                     node.attrs["data_layout"] = "NHWC"

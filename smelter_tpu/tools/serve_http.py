@@ -96,10 +96,15 @@ def make_handler(server_state):
             try:
                 if "npy" in ctype or body[:6] == b"\x93NUMPY":
                     x = np.load(io.BytesIO(body), allow_pickle=False)
-                    if x.dtype == np.uint8 and x.ndim == 3:
-                        # raw HWC uint8 image: u8 -> f32/255 + HWC->CHW via
-                        # the native ingest (18x the numpy path); per-channel
-                        # mean/std stays on-device (Config.normalize)
+                    if (x.dtype == np.uint8 and x.ndim == 3
+                            and x.shape[-1] in (1, 3, 4)
+                            and x.shape[0] not in (1, 3, 4)):
+                        # unambiguously HWC uint8 image: u8 -> f32/255 +
+                        # HWC->CHW via the native ingest (18x the numpy
+                        # path). CHW uint8 bodies keep the pre-existing
+                        # on-device /255 path (executor entry cast);
+                        # per-channel mean/std stays on-device
+                        # (Config.normalize) either way.
                         from ..native import preprocess_images
 
                         x = preprocess_images(x[None], 0.0, 1.0, "NCHW")[0]

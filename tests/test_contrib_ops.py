@@ -787,3 +787,51 @@ class TestQMoE:
                        normalize_routing_weights=1)
         want = st.CompiledModel(g2.finish([out2]))(x, router)[0]
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestMoEGating:
+    def test_geglu_gating_uses_activation(self, rng):
+        """fc3 present with activation_type='gelu' must gate with gelu,
+        not silu."""
+        R, H, E, I = 3, 8, 2, 10
+        x = rng.standard_normal((R, H)).astype(np.float32)
+        router = rng.standard_normal((R, E)).astype(np.float32)
+        w1 = (rng.standard_normal((E, H, I)) * 0.4).astype(np.float32)
+        w2 = (rng.standard_normal((E, I, H)) * 0.4).astype(np.float32)
+        w3 = (rng.standard_normal((E, H, I)) * 0.4).astype(np.float32)
+        from smelter_tpu.ir.build import GraphBuilder
+        import smelter_tpu as st
+        import scipy.special as sp
+
+        g = GraphBuilder("t", opset=17)
+        xi = g.input("x", x.shape)
+        ri = g.input("r", router.shape)
+        out = g.node("MoE", [xi, ri, g.init(w1), "", g.init(w2), "",
+                             g.init(w3)], k=1, activation_type="gelu")
+        got = st.CompiledModel(g.finish([out]))(x, router)[0]
+        probs = sp.softmax(router.astype(np.float64), -1)
+        sel = np.argmax(probs, -1)
+        want = np.zeros_like(x, np.float64)
+        for r in range(R):
+            e = sel[r]
+            h = x[r] @ w1[e]
+            gelu = 0.5 * h * (1 + sp.erf(h / np.sqrt(2)))
+            want[r] = probs[r, e] * ((gelu * (x[r] @ w3[e])) @ w2[e])
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_swiglu_without_fc3_raises(self, rng):
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.ir.errors import NotSupportedError
+        import smelter_tpu as st
+
+        g = GraphBuilder("t", opset=17)
+        xi = g.input("x", (2, 8))
+        ri = g.input("r", (2, 2))
+        out = g.node("MoE", [xi, ri,
+                             g.init(np.zeros((2, 8, 4), np.float32)), "",
+                             g.init(np.zeros((2, 4, 8), np.float32))],
+                     k=1, activation_type="swiglu")
+        m = st.CompiledModel(g.finish([out]))
+        with pytest.raises(NotSupportedError):
+            m(np.zeros((2, 8), np.float32), np.zeros((2, 2), np.float32))
