@@ -727,9 +727,11 @@ def affine_grid(ctx: Ctx, node: Node):
 
 @register("GridSample", since=16)
 def grid_sample(ctx: Ctx, node: Node):
-    """Bilinear/nearest grid sampling (spatial transformer). x: (N,C,H,W),
-    grid: (N,Ho,Wo,2) with normalized coords in [-1,1]. Lowered to traced
-    gathers + lerp — static shapes, dynamic indices."""
+    """Bilinear/nearest grid sampling (spatial transformer). x: (N,C,H,W)
+    (or (N,H,W,C) under the NHWC layout pass — channels-last gathers are
+    the TPU-friendlier form), grid: (N,Ho,Wo,2) with normalized coords in
+    [-1,1]. Lowered to traced gathers + lerp — static shapes, dynamic
+    indices."""
     x = ctx.get(node.inputs[0])
     grid = ctx.get(node.inputs[1])
     mode = _as_str(node.attr("mode", "bilinear"))
@@ -737,9 +739,11 @@ def grid_sample(ctx: Ctx, node: Node):
         mode = "bilinear"
     pad_mode = _as_str(node.attr("padding_mode", "zeros"))
     align = bool(node.attr("align_corners", 0))
-    if _layout(node) == "NHWC":
-        raise NotSupportedError("GridSample under NHWC layout")
-    n, c, h, w = x.shape
+    nhwc = _layout(node) == "NHWC"
+    if nhwc:
+        n, h, w, c = x.shape
+    else:
+        n, c, h, w = x.shape
     gx = grid[..., 0].astype(jnp.float32)  # (N, Ho, Wo)
     gy = grid[..., 1].astype(jnp.float32)
     if align:
@@ -771,23 +775,34 @@ def grid_sample(ctx: Ctx, node: Node):
     def sample(iy_idx, ix_idx):
         iyc = jnp.clip(iy_idx, 0, h - 1)
         ixc = jnp.clip(ix_idx, 0, w - 1)
-        flat = x.reshape(n, c, h * w)
-        lin = (iyc * w + ixc).reshape(n, 1, -1)  # (N,1,Ho*Wo)
-        vals = jnp.take_along_axis(flat, jnp.broadcast_to(lin, (n, c, lin.shape[-1])),
-                                   axis=2)
-        vals = vals.reshape((n, c) + iy_idx.shape[1:])
+        if nhwc:
+            flat = x.reshape(n, h * w, c)
+            lin = (iyc * w + ixc).reshape(n, -1, 1)  # (N,Ho*Wo,1)
+            vals = jnp.take_along_axis(
+                flat, jnp.broadcast_to(lin, (n, lin.shape[1], c)), axis=1)
+            vals = vals.reshape((n,) + iy_idx.shape[1:] + (c,))
+        else:
+            flat = x.reshape(n, c, h * w)
+            lin = (iyc * w + ixc).reshape(n, 1, -1)  # (N,1,Ho*Wo)
+            vals = jnp.take_along_axis(
+                flat, jnp.broadcast_to(lin, (n, c, lin.shape[-1])), axis=2)
+            vals = vals.reshape((n, c) + iy_idx.shape[1:])
         if pad_mode == "zeros":
             inb = ((iy_idx >= 0) & (iy_idx < h) & (ix_idx >= 0) & (ix_idx < w))
-            vals = vals * inb[:, None].astype(vals.dtype)
+            inb = inb[..., None] if nhwc else inb[:, None]
+            vals = vals * inb.astype(vals.dtype)
         return vals
+
+    def chanx(t):  # broadcast a (N,Ho,Wo) weight across the channel axis
+        return t[..., None] if nhwc else t[:, None]
 
     if mode == "nearest":
         y = sample(jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32))
     elif mode == "bilinear":
         x0 = jnp.floor(ix).astype(jnp.int32)
         y0 = jnp.floor(iy).astype(jnp.int32)
-        wx = (ix - x0)[:, None].astype(x.dtype)
-        wy = (iy - y0)[:, None].astype(x.dtype)
+        wx = chanx(ix - x0).astype(x.dtype)
+        wy = chanx(iy - y0).astype(x.dtype)
         v00 = sample(y0, x0)
         v01 = sample(y0, x0 + 1)
         v10 = sample(y0 + 1, x0)

@@ -42,6 +42,7 @@ _CONVERT = {
     "GlobalMaxPool",
     "BatchNormalization", "InstanceNormalization", "GroupNormalization",
     "custom_group_norm", "Upsample", "Resize", "DepthToSpace", "SpaceToDepth",
+    "GridSample",
 }
 
 # Ops that flow through whichever layout their (4-D) inputs are in.
@@ -204,6 +205,12 @@ class _Rewriter:
                     ok = self._conv_weight_nhwc(node)
                 elif node.op_type == "ConvTranspose":
                     ok = self._convt_weight_nhwc(node)
+                elif node.op_type == "GridSample" and len(node.inputs) > 1:
+                    # the grid is (N,Ho,Wo,2) regardless of activation
+                    # layout — pin it to its original (NCHW-world) form
+                    node.inputs[1] = self.get(node.inputs[1], "nchw") \
+                        if node.inputs[1] not in g.initializers \
+                        else node.inputs[1]
                 if ok:
                     node.inputs[0] = self.get(node.inputs[0], "nhwc")
                     node.attrs["data_layout"] = "NHWC"

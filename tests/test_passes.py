@@ -415,3 +415,37 @@ class TestConvTransposeNHWC:
                    and nd.attr("data_layout") == "NHWC" for nd in g2.nodes)
         got = st.CompiledModel(g2)(x)[0]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestGridSampleNHWC:
+    @pytest.mark.parametrize("mode,pad,align", [
+        ("bilinear", "zeros", 0), ("bilinear", "border", 1),
+        ("nearest", "zeros", 0), ("bilinear", "reflection", 0)])
+    def test_layout_pass_parity(self, mode, pad, align):
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.passes.layout import layout_nhwc
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5, 7, 8)).astype(np.float32)
+        grid = rng.uniform(-1.3, 1.3, (2, 6, 6, 2)).astype(np.float32)
+
+        def build():
+            g = GraphBuilder("t", opset=17)
+            xi = g.input("x", x.shape)
+            gi = g.input("grid", grid.shape)
+            # conv ahead of GridSample so the NHWC flow actually reaches it
+            c = g.conv(xi, rng.standard_normal((5, 5, 1, 1)).astype(np.float32))
+            out = g.node("GridSample", [c, gi], mode=mode,
+                         padding_mode=pad, align_corners=align)
+            return g.finish([out])
+
+        rng = np.random.default_rng(0)  # identical weights both builds
+        want = st.CompiledModel(build())(x, grid)[0]
+        rng = np.random.default_rng(0)
+        g2 = build()
+        layout_nhwc(g2)
+        assert any(n.op_type == "GridSample"
+                   and n.attr("data_layout") == "NHWC" for n in g2.nodes)
+        got = st.CompiledModel(g2)(x, grid)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
