@@ -340,6 +340,100 @@ class _Rewriter:
         return "barrier"
 
 
+def _ensure_types(graph: Graph) -> bool:
+    if graph.value_types:
+        return True
+    from ..ir.errors import SmelterError
+    from ..runtime.executor import Executor
+
+    try:
+        Executor(graph).infer_value_types()
+    except SmelterError:
+        return False
+    return True
+
+
+@register_pass("collapse_layout_transposes")
+def collapse_layout_transposes(graph: Graph) -> int:
+    """Cancel the Transpose/Reshape/Transpose sandwiches layout_nhwc leaves
+    around spatial-attention blocks (SD-style `x.reshape(B,C,HW).permute
+    (0,2,1)` and its inverse, models/sd_unet.py SpatialTransformer).
+
+    Under NHWC the token flattening is FREE — (B,H,W,C) reshapes straight
+    to (B,HW,C) — but the original graph expresses it via NCHW, so the
+    layout pass materializes a barrier transpose on both sides:
+
+        entry:  Transpose(0,3,1,2) -> Reshape(B,C,HW) -> Transpose(0,2,1)
+        exit:   Transpose(0,2,1) -> Reshape(B,C,H,W) -> Transpose(0,2,3,1)
+
+    Both compose to a pure reshape of the NHWC operand (index map:
+    (b,h,w,c) <-> (b, h*W+w, c)), so each sandwich is replaced by ONE
+    Reshape. Element order is proven by the index algebra above and
+    asserted by the pass parity tests; shapes are read from inferred
+    value_types, not the Reshape's shape operand, so Shape->Concat chains
+    don't matter. Runs right after layout_nhwc (api._prepare)."""
+    if not _ensure_types(graph):
+        return 0
+    vt = graph.value_types
+    cons = graph.consumers()
+    out_names = set(graph.output_names)
+
+    def shape(name: str):
+        t = vt.get(name)
+        return tuple(t.shape) if t is not None and t.is_static else None
+
+    def sole_consumer(edge: str, op: str) -> Node | None:
+        if edge in out_names:
+            return None
+        cs = cons.get(edge, [])
+        if len(cs) == 1 and cs[0].op_type == op:
+            return cs[0]
+        return None
+
+    changed = 0
+    dead: set[int] = set()
+    new_nodes: list[Node] = []
+    for t1 in list(graph.find_nodes("Transpose")):
+        if id(t1) in dead or not t1.inputs[0]:
+            continue
+        perm1 = list(t1.attr("perm", []))
+        s_in = shape(t1.inputs[0])
+        if s_in is None:
+            continue
+        r = sole_consumer(t1.outputs[0], "Reshape")
+        if r is None:
+            continue
+        t2 = sole_consumer(r.outputs[0], "Transpose")
+        if t2 is None:
+            continue
+        perm2 = list(t2.attr("perm", []))
+        s_mid = shape(r.outputs[0])
+        target = None
+        if (perm1 == [0, 3, 1, 2] and perm2 == [0, 2, 1] and len(s_in) == 4
+                and s_mid == (s_in[0], s_in[3], s_in[1] * s_in[2])):
+            # (B,H,W,C) -nchw-> reshape (B,C,HW) -> (B,HW,C)
+            target = [s_in[0], s_in[1] * s_in[2], s_in[3]]
+        elif (perm1 == [0, 2, 1] and perm2 == [0, 2, 3, 1] and len(s_in) == 3
+              and s_mid is not None and len(s_mid) == 4
+              and s_mid[:2] == (s_in[0], s_in[2])
+              and s_mid[2] * s_mid[3] == s_in[1]):
+            # (B,N,C) -> (B,C,N) -> reshape (B,C,H,W) -nhwc-> (B,H,W,C)
+            target = [s_mid[0], s_mid[2], s_mid[3], s_mid[1]]
+        if target is None:
+            continue
+        sname = graph.fresh_name(t2.outputs[0] + "__shape")
+        graph.initializers[sname] = np.asarray(target, np.int64)
+        new_nodes.append(Node("Reshape", [t1.inputs[0], sname],
+                              [t2.outputs[0]], name=f"clt_{t2.outputs[0]}"))
+        dead.update((id(t1), id(r), id(t2)))
+        changed += 1
+    if changed:
+        graph.nodes = [n for n in graph.nodes if id(n) not in dead] + new_nodes
+        graph.toposort()
+        graph.value_types = {}
+    return changed
+
+
 @register_pass("layout_nhwc")
 def layout_nhwc(graph: Graph) -> int:
     """Rewrite 4-D activation flow to NHWC. Requires value_types populated

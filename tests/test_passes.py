@@ -449,3 +449,88 @@ class TestGridSampleNHWC:
                    and n.attr("data_layout") == "NHWC" for n in g2.nodes)
         got = st.CompiledModel(g2)(x, grid)[0]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestCollapseLayoutTransposes:
+    """collapse_layout_transposes: the SD-style spatial<->token sandwiches
+    (Transpose/Reshape/Transpose around attention) must collapse to one
+    NHWC Reshape each, with bit-identical numerics."""
+
+    def _spatial_attn_graph(self, rng, B=2, C=8, H=6, W=5):
+        from smelter_tpu.ir.build import GraphBuilder
+
+        g = GraphBuilder("t", opset=17)
+        xi = g.input("x", (B, C, H, W))
+        h = g.conv(xi, rng.standard_normal((C, C, 1, 1)).astype(np.float32))
+        # tokens: (B,C,H,W) -> (B,C,HW) -> (B,HW,C)
+        t = g.node("Reshape", [h, g.init(np.array([B, C, H * W], np.int64))])
+        t = g.node("Transpose", [t], perm=[0, 2, 1])
+        t = g.node("MatMul", [t, g.init(
+            rng.standard_normal((C, C)).astype(np.float32))])
+        t = g.node("Softmax", [t], axis=-1)
+        # back to spatial
+        t = g.node("Transpose", [t], perm=[0, 2, 1])
+        t = g.node("Reshape", [t, g.init(np.array([B, C, H, W], np.int64))])
+        out = g.conv(t, rng.standard_normal((C, C, 1, 1)).astype(np.float32))
+        return g.finish([out])
+
+    def test_both_sandwiches_collapse(self):
+        import smelter_tpu as st
+        from smelter_tpu.passes.layout import collapse_layout_transposes
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 8, 6, 5)).astype(np.float32)
+        rng = np.random.default_rng(1)
+        want = st.CompiledModel(self._spatial_attn_graph(rng))(x)[0]
+        rng = np.random.default_rng(1)
+        g = self._spatial_attn_graph(rng)
+        run_passes(g, ["layout_nhwc"])
+        n = collapse_layout_transposes(g)
+        run_passes(g, ["dce"])
+        assert n == 2, f"expected both sandwiches collapsed, got {n}"
+        # only the graph-boundary transposes remain
+        assert sum(1 for _ in g.find_nodes("Transpose")) == 2
+        got = st.CompiledModel(g)(x)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_sd_unet_end_to_end(self):
+        import smelter_tpu as st
+        from smelter_tpu.models import sd_unet
+
+        g, tm, shape = sd_unet.build(batch=1, image_size=8, base=16, heads=2)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        m = st.compile(g)  # default pipeline includes the collapse pass
+        np.testing.assert_allclose(m(x)[0], want, rtol=1e-3, atol=2e-4)
+
+    def test_shared_intermediate_not_collapsed(self):
+        """If the mid Reshape output has a second consumer, the sandwich
+        must stay (the pass requires sole-consumer chains)."""
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.passes.layout import collapse_layout_transposes
+
+        rng = np.random.default_rng(0)
+        B, C, H, W = 1, 4, 3, 3
+
+        def build():
+            g = GraphBuilder("t", opset=17)
+            xi = g.input("x", (B, C, H, W))
+            h = g.conv(xi, rng.standard_normal((C, C, 1, 1)).astype(np.float32))
+            r = g.node("Reshape", [h, g.init(np.array([B, C, H * W], np.int64))])
+            t = g.node("Transpose", [r], perm=[0, 2, 1])
+            s = g.node("ReduceSum", [r], axes=[2], keepdims=0)  # 2nd consumer
+            u = g.node("ReduceSum", [t], axes=[1], keepdims=0)
+            out = g.node("Add", [s, u])
+            return g.finish([out])
+
+        x = rng.standard_normal((B, C, H, W)).astype(np.float32)
+        rng = np.random.default_rng(1)
+        want = st.CompiledModel(build())(x)[0]
+        rng = np.random.default_rng(1)
+        g = build()
+        run_passes(g, ["layout_nhwc"])
+        assert collapse_layout_transposes(g) == 0
+        np.testing.assert_allclose(st.CompiledModel(g)(x)[0], want,
+                                   rtol=1e-5, atol=1e-6)
