@@ -72,7 +72,9 @@ def _compile_best(args, st, g):
             if n == 0:
                 raise RuntimeError("no nodes statically quantized")
             if args.layout == "nhwc":
-                run_passes(gq, ["layout_nhwc", "collapse_layout_transposes"])
+                from smelter_tpu.passes.layout import NHWC_PIPELINE
+
+                run_passes(gq, NHWC_PIPELINE)
             run_passes(gq, ["dce"])
             return st.CompiledModel(gq, cfg)
         except Exception as e:  # noqa: BLE001 — the bench must still report

@@ -63,7 +63,9 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
     from .passes.pass_manager import run_passes
 
     if layout == "nhwc" and optimize and g.metadata.get("layout") != "nhwc":
-        run_passes(g, ["layout_nhwc", "collapse_layout_transposes"])
+        from .passes.layout import NHWC_PIPELINE
+
+        run_passes(g, NHWC_PIPELINE)
     if g.metadata.get("quant") == "int8":
         # NOTE: fuse_dequant_conv1x1 measured 7x SLOWER end-to-end on
         # MobileNetV2 (experiments/tpu_probe4.py): the reshape->matmul

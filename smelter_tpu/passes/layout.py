@@ -340,6 +340,12 @@ class _Rewriter:
         return "barrier"
 
 
+# The layout stage as callers should run it: the NHWC rewrite plus its
+# transpose-sandwich cleanup. api._prepare and bench.py both use this so
+# the bench can never measure a different graph than the product compiles.
+NHWC_PIPELINE = ["layout_nhwc", "collapse_layout_transposes"]
+
+
 def _ensure_types(graph: Graph) -> bool:
     if graph.value_types:
         return True
@@ -372,6 +378,14 @@ def collapse_layout_transposes(graph: Graph) -> int:
     asserted by the pass parity tests; shapes are read from inferred
     value_types, not the Reshape's shape operand, so Shape->Concat chains
     don't matter. Runs right after layout_nhwc (api._prepare)."""
+    # Cheap pre-scan: most CNN graphs have no candidate sandwich at all —
+    # skip the whole-graph type inference _ensure_types would trigger.
+    reshape_in = {n.inputs[0] for n in graph.nodes
+                  if n.op_type == "Reshape" and n.inputs}
+    if not any(n.op_type == "Transpose" and n.outputs[0] in reshape_in
+               and list(n.attr("perm", [])) in ([0, 3, 1, 2], [0, 2, 1])
+               for n in graph.nodes):
+        return 0
     if not _ensure_types(graph):
         return 0
     vt = graph.value_types
@@ -438,14 +452,8 @@ def collapse_layout_transposes(graph: Graph) -> int:
 def layout_nhwc(graph: Graph) -> int:
     """Rewrite 4-D activation flow to NHWC. Requires value_types populated
     (Executor.infer_value_types) for rank information."""
-    if not graph.value_types:
-        from ..ir.errors import SmelterError
-        from ..runtime.executor import Executor
-
-        try:
-            Executor(graph).infer_value_types()
-        except SmelterError:
-            return 0  # unresolved dims etc: leave the graph in NCHW
+    if not _ensure_types(graph):
+        return 0  # unresolved dims etc: leave the graph in NCHW
     if graph.metadata.get("layout") == "nhwc":
         return 0
     r = _Rewriter(graph)
