@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (registration side effects)
     nn,
     quant_ops,
     reduce_ops,
+    sequence_ops,
     signal_ops,
     tensor_ops,
 )

@@ -176,3 +176,45 @@ def roi_align_op(ctx: Ctx, node: Node):
 
     out = jax.vmap(one)(x[bidx], rois)
     ctx.set(node.outputs[0], out.astype(ctx.get(node.inputs[0]).dtype))
+
+
+@register("MaxRoiPool")
+def max_roi_pool(ctx: Ctx, node: Node):
+    """Fast-RCNN RoI max pooling: X (N,C,H,W), rois (R,5)
+    [batch_idx, x1, y1, x2, y2] -> (R, C, ph, pw). The original's
+    data-dependent bin slices become per-bin row/column MASKS over the
+    full map (static shapes; masked max per bin) — O(HW) per bin, fine at
+    detection-head sizes. Integer-quantized coords per the legacy spec
+    (round, end-inclusive, bins floor/ceil). Empty bins yield 0."""
+    x = ctx.get(node.inputs[0])
+    rois = ctx.get(node.inputs[1]).astype(jnp.float32)
+    ph, pw = (int(d) for d in node.attr("pooled_shape"))
+    scale = float(node.attr("spatial_scale", 1.0))
+    H, W = x.shape[2], x.shape[3]
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+
+    def axis_mask(start, size, bins, extent):
+        """(bins, extent) bool: position in [start+floor(i*b), start+ceil((i+1)*b))."""
+        bin_sz = size / bins
+        i = jnp.arange(bins, dtype=jnp.float32)
+        lo = jnp.clip(start + jnp.floor(i * bin_sz), 0, extent)
+        hi = jnp.clip(start + jnp.ceil((i + 1) * bin_sz), 0, extent)
+        pos = jnp.arange(extent, dtype=jnp.float32)
+        return (pos[None, :] >= lo[:, None]) & (pos[None, :] < hi[:, None])
+
+    def one(img, roi):  # img (C,H,W) float32
+        c = jnp.round(roi[1:] * scale)
+        x1, y1, x2, y2 = c[0], c[1], c[2], c[3]
+        roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
+        roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
+        my = axis_mask(y1, roi_h, ph, H)          # (ph, H)
+        mx = axis_mask(x1, roi_w, pw, W)          # (pw, W)
+        t = jnp.max(jnp.where(my[None, :, :, None], img[:, None, :, :], neg),
+                    axis=2)                        # (C, ph, W)
+        v = jnp.max(jnp.where(mx[None, None, :, :], t[:, :, None, :], neg),
+                    axis=3)                        # (C, ph, pw)
+        return jnp.where(v == neg, 0.0, v)
+
+    bidx = rois[:, 0].astype(jnp.int32)
+    out = jax.vmap(one)(x.astype(jnp.float32)[bidx], rois)
+    ctx.set(node.outputs[0], out.astype(x.dtype))

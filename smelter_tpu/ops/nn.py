@@ -305,6 +305,35 @@ def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
     ctx.set(node.outputs[1], full)
 
 
+@register("MaxUnpool", since=9)
+def max_unpool(ctx: Ctx, node: Node):
+    """Inverse of MaxPool-with-indices (SegNet-style decoders): scatter X's
+    values to the flat [N,C,*spatial] positions in I (the convention
+    _max_pool_with_indices emits), zeros elsewhere. Output spatial dims
+    from input[2] output_shape when given, else the closed-form inverse
+    (x-1)*stride + kernel - pads."""
+    x = ctx.get(node.inputs[0])
+    idx = ctx.get(node.inputs[1])
+    kernel = [int(k) for k in node.attr("kernel_shape")]
+    rank = len(kernel)
+    strides = [int(s) for s in node.attr("strides", [1] * rank)]
+    pads = [int(p) for p in node.attr("pads", [0] * (2 * rank))]
+    if len(node.inputs) > 2 and node.inputs[2]:
+        out_shape = tuple(int(d) for d in
+                          ctx.static(node.inputs[2]).reshape(-1))
+    else:
+        spatial = tuple(
+            (x.shape[2 + i] - 1) * strides[i] + kernel[i]
+            - pads[i] - pads[rank + i]
+            for i in range(rank))
+        out_shape = x.shape[:2] + spatial
+    total = 1
+    for d in out_shape:
+        total *= d
+    flat = jnp.zeros((total,), x.dtype).at[idx.reshape(-1)].set(x.reshape(-1))
+    ctx.set(node.outputs[0], flat.reshape(out_shape))
+
+
 def _window_counts(in_sizes, kernel, strides, dilations, pads) -> np.ndarray:
     """Per-output-window count of non-padding taps (separable per dim)."""
     per_dim = []

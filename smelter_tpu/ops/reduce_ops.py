@@ -48,6 +48,7 @@ _reduce("ReduceL2", lambda x, a, k: jnp.sqrt(jnp.sum(jnp.square(x), axis=a, keep
 _reduce("ReduceL1", lambda x, a, k: jnp.sum(jnp.abs(x), axis=a, keepdims=k))
 _reduce("ReduceSumSquare", lambda x, a, k: jnp.sum(jnp.square(x), axis=a, keepdims=k))
 _reduce("ReduceLogSumExp", lambda x, a, k: _logsumexp(x, a, k))
+_reduce("ReduceLogSum", lambda x, a, k: jnp.log(jnp.sum(x, axis=a, keepdims=k)))
 
 
 def _logsumexp(x, axes, keep):

@@ -420,6 +420,13 @@ def scatter_nd(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out)
 
 
+@register("Scatter", since=9)
+def scatter_deprecated(ctx: Ctx, node: Node):
+    """Scatter (deprecated at opset 11) is ScatterElements without the
+    reduction attribute — same axis/indices/updates semantics."""
+    scatter_elements(ctx, node)
+
+
 @register("ScatterElements", since=11)
 def scatter_elements(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])

@@ -253,6 +253,8 @@ class Executor:
         out = jax.eval_shape(fn, self.param_shapes(), *self.input_shapes())
         types = {}
         for name, s in out.items():
+            if not hasattr(s, "dtype"):
+                continue  # sequence-valued edge (tuple of tensors)
             try:
                 code = dt.numpy_to_onnx_dtype(np.dtype(s.dtype))
             except ValueError:

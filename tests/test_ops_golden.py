@@ -765,3 +765,72 @@ class TestRankGenerality:
                                    weight=torch.from_numpy(scale),
                                    bias=torch.from_numpy(bias), eps=1e-5))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestReduceLogSum:
+    def test_axes_attr(self, rng):
+        x = (np.abs(rng.standard_normal((2, 3, 4))) + 0.1).astype(np.float32)
+        got = run_op("ReduceLogSum", [x], dict(axes=[1], keepdims=1), opset=13)
+        np.testing.assert_allclose(
+            got, np.log(x.sum(axis=1, keepdims=True)), rtol=1e-5, atol=1e-6)
+
+
+class TestScatterDeprecated:
+    def test_matches_torch_scatter(self, rng):
+        x = rng.standard_normal((4, 5)).astype(np.float32)
+        idx = rng.integers(0, 4, (2, 5)).astype(np.int64)
+        upd = rng.standard_normal((2, 5)).astype(np.float32)
+        got = run_op("Scatter", [x, idx, upd], dict(axis=0), opset=9)
+        want = torch.from_numpy(x.copy()).scatter(
+            0, torch.from_numpy(idx), torch.from_numpy(upd))
+        np.testing.assert_allclose(got, t2n(want), rtol=1e-6, atol=1e-7)
+
+
+class TestMaxUnpool:
+    @pytest.mark.parametrize("k,s,with_shape", [(2, 2, False), (2, 2, True),
+                                                (3, 2, True)])
+    def test_roundtrip_vs_torch(self, rng, k, s, with_shape):
+        x = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+        b = GraphBuilder("unpool", opset=13)
+        xi = b.input("x", x.shape)
+        y, idx = b.node("MaxPool", [xi], outputs=2,
+                        kernel_shape=[k, k], strides=[s, s])
+        ins = [y, idx]
+        if with_shape:
+            ins.append(b.init(np.array([2, 3, 8, 8], np.int64)))
+        out = b.node("MaxUnpool", ins, kernel_shape=[k, k], strides=[s, s])
+        g = b.finish([out])
+        got = st.CompiledModel(g)(x)[0]
+        ty, tidx = F.max_pool2d(torch.from_numpy(x), k, s,
+                                return_indices=True)
+        want = F.max_unpool2d(ty, tidx, k, s,
+                              output_size=(8, 8) if with_shape else None)
+        np.testing.assert_allclose(got, t2n(want), rtol=1e-6, atol=1e-7)
+
+
+class TestMaxRoiPool:
+    def test_vs_numpy_reference(self, rng):
+        N, C, H, W = 2, 3, 10, 12
+        ph, pw, scale = 3, 4, 0.5
+        x = rng.standard_normal((N, C, H, W)).astype(np.float32)
+        rois = np.array([[0, 0, 0, 12, 14],
+                         [1, 4, 2, 18, 16],
+                         [0, 6, 6, 8, 8]], np.float32)
+        got = run_op("MaxRoiPool", [x, rois],
+                     dict(pooled_shape=[ph, pw], spatial_scale=scale))
+        want = np.zeros((len(rois), C, ph, pw), np.float32)
+        for r, roi in enumerate(rois):
+            b = int(roi[0])
+            x1, y1, x2, y2 = np.round(roi[1:] * scale)
+            rw = max(x2 - x1 + 1, 1)
+            rh = max(y2 - y1 + 1, 1)
+            for i in range(ph):
+                for j in range(pw):
+                    hs = int(np.clip(np.floor(i * rh / ph) + y1, 0, H))
+                    he = int(np.clip(np.ceil((i + 1) * rh / ph) + y1, 0, H))
+                    ws = int(np.clip(np.floor(j * rw / pw) + x1, 0, W))
+                    we = int(np.clip(np.ceil((j + 1) * rw / pw) + x1, 0, W))
+                    patch = x[b, :, hs:he, ws:we]
+                    want[r, :, i, j] = (patch.max(axis=(1, 2))
+                                        if patch.size else 0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
