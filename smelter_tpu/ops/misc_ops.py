@@ -17,6 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ir.errors import NotSupportedError
 from ..ir.graph import Node
 from ..utils import dtypes as dt
 from .registry import Ctx, register
@@ -313,3 +314,74 @@ def softmax_cross_entropy_loss(ctx: Ctx, node: Node):
             _nll_core(ctx, node, log_prob, target, weight).astype(scores.dtype))
     if len(node.outputs) > 1 and node.outputs[1]:
         ctx.set(node.outputs[1], log_prob.astype(scores.dtype))
+
+
+@register("TfIdfVectorizer", since=9)
+def tfidf_vectorizer(ctx: Ctx, node: Node):
+    """N-gram counting over integer token ids (the classic-ML text op;
+    string tensors are out of scope for this engine). The ngram pool,
+    gram-length sections, output columns, and weights are all attributes,
+    so the matcher is built host-side: for each pooled ngram and each skip
+    distance, a fixed set of strided position comparisons — static shapes
+    throughout. Matches onnxruntime's counting: every (start, skip)
+    combination is a distinct occurrence; skips apply only to n>=2 grams.
+
+    Modes: TF = raw counts; IDF = indicator * weight; TFIDF = count *
+    weight (weights default to 1)."""
+    x = ctx.get(node.inputs[0])
+    mode = node.attr("mode")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    min_n = int(node.attr("min_gram_length"))
+    max_n = int(node.attr("max_gram_length"))
+    max_skip = int(node.attr("max_skip_count", 0))
+    counts = [int(c) for c in node.attr("ngram_counts")]
+    indexes = [int(i) for i in node.attr("ngram_indexes")]
+    pool = node.attr("pool_int64s")
+    if pool is None:
+        raise NotSupportedError("TfIdfVectorizer pool_strings (string "
+                                "tensors are not supported; use int ids)")
+    pool = [int(v) for v in pool]
+    weights = node.attr("weights")
+
+    # decode the pool: section k (0-based) holds (k+1)-grams starting at
+    # flat offset counts[k]
+    ngrams = []  # (output_column, tuple(ids))
+    gi = 0
+    for sec in range(len(counts)):
+        n = sec + 1
+        start = counts[sec]
+        end = counts[sec + 1] if sec + 1 < len(counts) else len(pool)
+        for off in range(start, end, n):
+            ngrams.append((indexes[gi], tuple(pool[off:off + n])))
+            gi += 1
+
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    N, C = x.shape
+    out_dim = max(indexes) + 1
+    out = jnp.zeros((N, out_dim), jnp.float32)
+    for col, gram in ngrams:
+        n = len(gram)
+        if not min_n <= n <= max_n:
+            continue
+        skips = range(max_skip + 1) if n >= 2 else (0,)
+        total = jnp.zeros((N,), jnp.float32)
+        for s in skips:
+            step = s + 1
+            span = (n - 1) * step + 1
+            if span > C:
+                continue
+            m = jnp.ones((N, C - span + 1), bool)
+            for j, tok in enumerate(gram):
+                m = m & (x[:, j * step:j * step + C - span + 1] == tok)
+            total = total + m.sum(axis=1).astype(jnp.float32)
+        out = out.at[:, col].add(total)
+    if mode in ("IDF", "TFIDF"):
+        w = jnp.ones((out_dim,), jnp.float32)
+        if weights is not None:
+            w = jnp.zeros((out_dim,), jnp.float32).at[
+                jnp.asarray(indexes)].set(jnp.asarray(weights, jnp.float32))
+        out = (out > 0).astype(jnp.float32) * w if mode == "IDF" else out * w
+    ctx.set(node.outputs[0], out[0] if squeeze else out)

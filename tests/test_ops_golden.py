@@ -834,3 +834,31 @@ class TestMaxRoiPool:
                     want[r, :, i, j] = (patch.max(axis=(1, 2))
                                         if patch.size else 0.0)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+class TestTfIdfVectorizer:
+    ATTRS = dict(mode="TF", min_gram_length=1, max_gram_length=2,
+                 max_skip_count=0, ngram_counts=[0, 2],
+                 ngram_indexes=[0, 1, 2, 3],
+                 pool_int64s=[2, 3, 5, 6, 7, 8])
+
+    def test_tf_counts(self, rng):
+        x = np.array([[1, 2, 3, 5, 6, 7, 8, 6, 7],
+                      [5, 6, 5, 6, 8, 2, 2, 9, 9]], np.int32)
+        got = run_op("TfIdfVectorizer", [x], dict(self.ATTRS), opset=13)
+        np.testing.assert_array_equal(
+            got, np.array([[1, 1, 1, 1], [2, 0, 2, 0]], np.float32))
+
+    def test_skip_and_1d(self, rng):
+        x = np.array([5, 9, 6], np.int32)  # (5,6) matches only at skip=1
+        attrs = dict(self.ATTRS, max_skip_count=1, min_gram_length=2)
+        got = run_op("TfIdfVectorizer", [x], attrs, opset=13)
+        np.testing.assert_array_equal(got, np.array([0, 0, 1, 0], np.float32))
+
+    def test_tfidf_weights(self, rng):
+        x = np.array([[2, 2, 3, 5, 6]], np.int32)
+        attrs = dict(self.ATTRS, mode="TFIDF",
+                     weights=[1.0, 2.0, 0.5, 3.0])
+        got = run_op("TfIdfVectorizer", [x], attrs, opset=13)
+        np.testing.assert_array_equal(
+            got, np.array([[2.0, 2.0, 0.5, 0.0]], np.float32))
