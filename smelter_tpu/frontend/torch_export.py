@@ -162,9 +162,16 @@ class _Exporter:
             s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
             p = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
             d = m.dilation if isinstance(m.dilation, tuple) else (m.dilation,) * 2
-            return b.node("MaxPool", [x], kernel_shape=list(k), strides=list(s),
+            outs = b.node("MaxPool", [x], kernel_shape=list(k), strides=list(s),
                           pads=list(p) * 2, dilations=list(d),
-                          ceil_mode=int(m.ceil_mode))
+                          ceil_mode=int(m.ceil_mode),
+                          outputs=2 if m.return_indices else 1)
+            # indices follow ONNX [N,C,*spatial]-flat convention (consumed
+            # by the matching MaxUnpool export, not torch's per-plane flat)
+            return tuple(outs) if m.return_indices else outs
+        if isinstance(m, nn.MaxUnpool2d):
+            return self._max_unpool(m.kernel_size, m.stride, m.padding,
+                                    x, self.val(node.args[1]), node)
         if isinstance(m, nn.AvgPool2d):
             k = m.kernel_size if isinstance(m.kernel_size, tuple) else (m.kernel_size,) * 2
             s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
@@ -324,6 +331,19 @@ class _Exporter:
         return (o, None)
 
     # -- function/method converters --------------------------------------
+
+    def _max_unpool(self, kernel, stride, padding, x, idx, node):
+        """Shared MaxUnpool2d emit. The fx meta already knows the output
+        shape (torch resolved output_size), so it is passed explicitly —
+        no closed-form ambiguity for k>s cases."""
+        k = (kernel, kernel) if isinstance(kernel, int) else tuple(kernel)
+        s = stride or k
+        s = (s, s) if isinstance(s, int) else tuple(s)
+        p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+        out_shape = np.asarray(self.shape_of(node), np.int64)
+        return self.b.node(
+            "MaxUnpool", [x, idx, self.const(out_shape, "unpool_shape")],
+            kernel_shape=list(k), strides=list(s), pads=list(p) * 2)
 
     def _interpolate(self, x, node, size=None, scale_factor=None, mode="nearest",
                      align_corners=None):
@@ -488,16 +508,27 @@ class _Exporter:
                 self.val(a[0]), node,
                 size=kw.get("size"), scale_factor=kw.get("scale_factor"),
                 mode=kw.get("mode", "nearest"), align_corners=kw.get("align_corners"))
-        if f is F.max_pool2d:
+        if f is F.max_pool2d or f is F.max_pool2d_with_indices:
             k = a[1] if len(a) > 1 else kw["kernel_size"]
             k = (k, k) if isinstance(k, int) else tuple(k)
             st_ = kw.get("stride", a[2] if len(a) > 2 else None) or k
             st_ = (st_, st_) if isinstance(st_, int) else tuple(st_)
             pd = kw.get("padding", a[3] if len(a) > 3 else 0)
             pd = (pd, pd) if isinstance(pd, int) else tuple(pd)
-            return b.node("MaxPool", [self.val(a[0])], kernel_shape=list(k),
+            ret_idx = (f is F.max_pool2d_with_indices
+                       or bool(kw.get("return_indices",
+                                      a[6] if len(a) > 6 else False)))
+            outs = b.node("MaxPool", [self.val(a[0])], kernel_shape=list(k),
                           strides=list(st_), pads=list(pd) * 2,
-                          ceil_mode=int(kw.get("ceil_mode", False)))
+                          ceil_mode=int(kw.get("ceil_mode", False)),
+                          outputs=2 if ret_idx else 1)
+            return tuple(outs) if ret_idx else outs
+        if f is F.max_unpool2d:
+            k = a[2] if len(a) > 2 else kw["kernel_size"]
+            st_ = kw.get("stride", a[3] if len(a) > 3 else None)
+            pd = kw.get("padding", a[4] if len(a) > 4 else 0)
+            return self._max_unpool(k, st_, pd, self.val(a[0]),
+                                    self.val(a[1]), node)
         if f is F.avg_pool2d:
             k = a[1] if len(a) > 1 else kw["kernel_size"]
             k = (k, k) if isinstance(k, int) else tuple(k)

@@ -2,7 +2,7 @@
 torch reference + fx export to the IR. Sizes are parameterizable so tests
 can run scaled-down variants on CPU."""
 
-from . import audio_kws, bert_encoder, convnext, esrgan, sd_unet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
+from . import audio_kws, bert_encoder, convnext, esrgan, sd_unet, segnet, speech_encoder, mobilenet_v2, mobilenet_v3, resnet50, retina_fpn, text_lstm, unet, vit  # noqa: F401
 
 ZOO = {
     "mobilenet_v2": mobilenet_v2.build,
@@ -10,6 +10,7 @@ ZOO = {
     "resnet101": lambda **kw: resnet50.build(layers=(3, 4, 23, 3), **kw),
     "resnet152": lambda **kw: resnet50.build(layers=(3, 8, 36, 3), **kw),
     "unet": unet.build,
+    "segnet": segnet.build,
     "esrgan": esrgan.build,
     "vit_b16": vit.build,
     "vit_l16": lambda **kw: vit.build(dim=1024, depth=24, heads=16, **kw),
