@@ -159,16 +159,31 @@ def skip_layer_norm(ctx: Ctx, node: Node):
     gamma = ctx.get(node.inputs[2])
     beta = (ctx.get(node.inputs[3])
             if len(node.inputs) > 3 and node.inputs[3] else None)
-    h = x + skip
-    if len(node.inputs) > 4 and node.inputs[4]:
-        h = h + ctx.get(node.inputs[4]).astype(x.dtype)
     eps = float(node.attr("epsilon", 1e-12))
-    ctx.set(node.outputs[0], _last_axis_ln(h, gamma, beta, eps))
-    if len(node.outputs) > 3 and node.outputs[3]:
-        ctx.set(node.outputs[3], h)
     for extra in node.outputs[1:3]:
         if extra:
             raise NotSupportedError("SkipLayerNormalization mean/inv_std outputs")
+    has_bias = len(node.inputs) > 4 and bool(node.inputs[4])
+    fln = getattr(ctx.config, "fused_layernorm", "auto") if ctx.config else "auto"
+    use_pallas = bool(ctx.config is not None
+                      and getattr(ctx.config, "use_pallas", False))
+    if ((fln is True or use_pallas) and not has_bias
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.shape == skip.shape):
+        from ..kernels.layer_norm import residual_layer_norm
+
+        b = beta if beta is not None else jnp.zeros_like(gamma)
+        h, y = residual_layer_norm(x, skip, gamma, b, eps=eps)
+        ctx.set(node.outputs[0], y)
+        if len(node.outputs) > 3 and node.outputs[3]:
+            ctx.set(node.outputs[3], h)
+        return
+    h = x + skip
+    if has_bias:
+        h = h + ctx.get(node.inputs[4]).astype(x.dtype)
+    ctx.set(node.outputs[0], _last_axis_ln(h, gamma, beta, eps))
+    if len(node.outputs) > 3 and node.outputs[3]:
+        ctx.set(node.outputs[3], h)
 
 
 @register("SkipSimplifiedLayerNormalization")

@@ -301,3 +301,62 @@ def fuse_attention(graph: Graph) -> int:
         graph.remove_nodes(dead)
         graph.toposort()
     return changed
+
+
+@register_pass("fuse_residual_ln")
+def fuse_residual_ln(graph: Graph) -> int:
+    """Fuse the transformer residual+LN block: Add(x, y) feeding
+    LayerNormalization (last axis) becomes ONE SkipLayerNormalization node
+    emitting both the normalized output and the pre-norm sum (output 3) —
+    the same contrib form ORT's optimizer produces, so the Pallas
+    residual+LN kernel (kernels/layer_norm.py::residual_layer_norm) has a
+    single integration point. The default composite lowering computes the
+    identical x+y-then-LN, so the pass is numerics-preserving.
+
+    Conditions: both Add operands are same-shape activations (broadcasts
+    excluded — the sum output must be the full-rank residual carry), the
+    LN normalizes the trailing axis only, and has no stat outputs."""
+    from .layout import _ensure_types
+
+    if not _ensure_types(graph):
+        return 0
+    vt = graph.value_types
+    producers = graph.producers()
+    changed = 0
+    new_nodes: list[Node] = []
+    dead: set[int] = set()
+    for ln in graph.nodes:
+        if ln.op_type != "LayerNormalization" or id(ln) in dead:
+            continue
+        if any(ln.outputs[1:]):
+            continue
+        t_in = vt.get(ln.inputs[0])
+        if t_in is None:
+            continue
+        axis = ln.attr("axis", -1)
+        if axis not in (-1, len(t_in.shape) - 1):
+            continue
+        add = producers.get(ln.inputs[0])
+        if add is None or add.op_type != "Add" or id(add) in dead:
+            continue
+        a, b = add.inputs[0], add.inputs[1]
+        if a in graph.initializers or b in graph.initializers:
+            continue
+        ta, tb = vt.get(a), vt.get(b)
+        if ta is None or tb is None or ta.shape != tb.shape:
+            continue
+        beta = ln.inputs[2] if len(ln.inputs) > 2 and ln.inputs[2] else ""
+        fused = Node(
+            "SkipLayerNormalization",
+            [a, b, ln.inputs[1], beta],
+            [ln.outputs[0], "", "", add.outputs[0]],
+            attrs={"epsilon": float(ln.attr("epsilon", 1e-5))},
+            name=f"fsl_{ln.outputs[0]}", domain="com.microsoft")
+        new_nodes.append(fused)
+        dead.update((id(add), id(ln)))
+        changed += 1
+    if changed:
+        graph.nodes = [n for n in graph.nodes if id(n) not in dead] + new_nodes
+        graph.toposort()
+        graph.value_types = {}
+    return changed

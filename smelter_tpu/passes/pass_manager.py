@@ -50,6 +50,7 @@ DEFAULT_PIPELINE = [
     "fold_constants",
     "fuse_attention",
     "fuse_qkv_attention",
+    "fuse_residual_ln",
     "eliminate_nops",
     "dce",
 ]

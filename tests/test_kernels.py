@@ -249,3 +249,37 @@ class TestShortAttention:
         finally:
             sa.short_attention = orig
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestResidualLayerNorm:
+    @pytest.mark.parametrize("m,d", [(64, 128), (16, 768)])
+    def test_matches_composite(self, rng, m, d):
+        from smelter_tpu.kernels.layer_norm import (
+            layer_norm_reference, residual_layer_norm)
+
+        x = jnp.asarray(rng.standard_normal((m, d)), jnp.bfloat16)
+        sk = jnp.asarray(rng.standard_normal((m, d)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+        s, y = residual_layer_norm(x, sk, g, b, interpret=True)
+        want_s = (x.astype(jnp.float32) + sk.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+        assert (np.asarray(s, np.float32)
+                == np.asarray(want_s, np.float32)).all()
+        want_y = layer_norm_reference(want_s, g, b)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(want_y, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_3d_and_unaligned_fallback(self, rng):
+        from smelter_tpu.kernels.layer_norm import residual_layer_norm
+
+        x = jnp.asarray(rng.standard_normal((2, 5, 100)).astype(np.float32))
+        sk = jnp.asarray(rng.standard_normal((2, 5, 100)).astype(np.float32))
+        g = jnp.ones(100, jnp.float32)
+        b = jnp.zeros(100, jnp.float32)
+        s, y = residual_layer_norm(x, sk, g, b, interpret=True)
+        assert s.shape == y.shape == x.shape
+        np.testing.assert_allclose(np.asarray(s), np.asarray(x + sk),
+                                   rtol=1e-6, atol=1e-6)
+        assert abs(np.asarray(y).mean()) < 1e-5

@@ -534,3 +534,62 @@ class TestCollapseLayoutTransposes:
         assert collapse_layout_transposes(g) == 0
         np.testing.assert_allclose(st.CompiledModel(g)(x)[0], want,
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestFuseResidualLN:
+    """fuse_residual_ln: Add->LayerNormalization becomes one contrib
+    SkipLayerNormalization carrying both the normed and pre-norm-sum
+    edges; numerics preserved on both lowering paths."""
+
+    def test_vit_graph_fuses_and_matches(self):
+        from smelter_tpu.models import vit
+
+        g, tm, shape = vit.build(batch=2, image_size=32, patch=8, dim=64,
+                                 depth=2, heads=2)
+        x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        before = outputs_of(g, x)
+        run_passes(g)
+        n = sum(1 for nd in g.nodes
+                if nd.op_type == "SkipLayerNormalization")
+        assert n == 4  # 2 per block (post-attn, post-mlp); first LN unfused
+        np.testing.assert_allclose(outputs_of(g, x), before,
+                                   rtol=1e-4, atol=1e-5)
+        # Pallas kernel path (interpret off-TPU) — same numerics
+        got = st.CompiledModel(g, st.Config(fused_layernorm=True))(x)[0]
+        np.testing.assert_allclose(got, before, rtol=1e-4, atol=1e-5)
+
+    def test_sum_edge_still_feeds_consumers(self):
+        """The Add output consumed by a later node must keep its value via
+        the fused node's output 3."""
+        rng = np.random.default_rng(1)
+        D = 8
+        b = GraphBuilder("t", opset=17)
+        xi = b.input("x", (2, 3, D))
+        yi = b.input("y", (2, 3, D))
+        s = b.node("Add", [xi, yi])
+        ln = b.node("LayerNormalization", [s, b.init(np.ones(D, np.float32)),
+                                           b.init(np.zeros(D, np.float32))],
+                    axis=-1, epsilon=1e-5)
+        out = b.node("Add", [ln, s])  # second consumer of the sum edge
+        g = b.finish([out])
+        x = rng.standard_normal((2, 3, D)).astype(np.float32)
+        y = rng.standard_normal((2, 3, D)).astype(np.float32)
+        want = outputs_of(g, x, y)
+        from smelter_tpu.passes.fuse_attention import fuse_residual_ln
+        assert fuse_residual_ln(g) == 1
+        np.testing.assert_allclose(outputs_of(g, x, y), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_broadcast_add_not_fused(self):
+        """Add with a broadcast operand (e.g. bias) must stay unfused: the
+        sum output would not be the full-rank residual carry."""
+        b = GraphBuilder("t", opset=17)
+        xi = b.input("x", (2, 3, 8))
+        yi = b.input("y", (8,))  # broadcast operand
+        s = b.node("Add", [xi, yi])
+        ln = b.node("LayerNormalization",
+                    [s, b.init(np.ones(8, np.float32)),
+                     b.init(np.zeros(8, np.float32))], axis=-1)
+        g = b.finish([ln])
+        from smelter_tpu.passes.fuse_attention import fuse_residual_ln
+        assert fuse_residual_ln(g) == 0
