@@ -194,6 +194,10 @@ def import_model(data: bytes, base_dir: str | None = None) -> Graph:
     for osi in mp.opset_import:
         if osi.domain in ("", "ai.onnx"):
             opset = int(osi.version)
+    if mp.functions:
+        from .functions import inline_functions
+
+        inline_functions(mp)
     g = _graph_from_proto(mp.graph, opset=opset, base_dir=base_dir)
     g.producer = mp.producer_name
     g.metadata = {p.key: p.value for p in mp.metadata_props}
