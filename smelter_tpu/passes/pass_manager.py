@@ -46,6 +46,12 @@ DEFAULT_PIPELINE = [
     # 1024) — the split parts' small C_in pads worse on the 128-lane MXU
     # than the one concatenated GEMM.
     "subpixel_upsample_conv",
+    # stem_space_to_depth is registered but OFF by default: probe34c shows
+    # XLA already lowers the small-C_in stride-2 stem at the same cost as
+    # every alternative formulation (f32 NCHW 0.895 ms == transposed NHWC
+    # 0.849 == int8 0.846 == S2D 0.906 on the b128 ResNet stem) — the conv
+    # is input-layout-bound and the rewrite buys nothing end-to-end
+    # (probe34b: 12,266 vs 12,158 img/s, within run noise).
     "pack_conv_output",
     "fold_constants",
     "fuse_attention",
@@ -60,7 +66,7 @@ def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = 
     """Run the pipeline in place (returns the same graph for chaining)."""
     from . import (  # noqa: F401  (registration side effects)
         all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout,
-        mxu_packing)
+        mxu_packing, stem_s2d)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

@@ -593,3 +593,58 @@ class TestFuseResidualLN:
         g = b.finish([ln])
         from smelter_tpu.passes.fuse_attention import fuse_residual_ln
         assert fuse_residual_ln(g) == 0
+
+
+class TestStemSpaceToDepth:
+    """stem_space_to_depth: stride-2 small-C_in conv becomes S2D(2) +
+    stride-1 conv with 4x the input channels — arithmetic-identical."""
+
+    def _graph(self, k, p, cin=3, strides=(2, 2), group=1, h=32):
+        rng = np.random.default_rng(0)
+        b = GraphBuilder("stem", opset=17)
+        x = b.input("x", (2, cin, h, h))
+        w = rng.standard_normal((8, cin // group, k, k)).astype(np.float32)
+        bias = rng.standard_normal(8).astype(np.float32)
+        y = b.conv(x, w, bias, strides=strides, pads=(p, p, p, p),
+                   group=group)
+        y = b.node("Relu", [y])
+        return b.finish([y])
+
+    @pytest.mark.parametrize("k,p", [(7, 3), (3, 1), (5, 2), (4, 1)])
+    def test_rewrites_and_matches(self, rng, k, p):
+        from smelter_tpu.passes.stem_s2d import stem_space_to_depth
+
+        g = self._graph(k, p)
+        x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        want = outputs_of(g, x)
+        assert stem_space_to_depth(g) == 1
+        conv = next(n for n in g.nodes if n.op_type == "Conv")
+        assert conv.attrs["strides"] == [1, 1]
+        assert any(n.op_type == "SpaceToDepth" for n in g.nodes)
+        np.testing.assert_allclose(outputs_of(g, x), want,
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize(
+        "kwargs", [dict(k=7, p=3, cin=8),          # C_in too large
+                   dict(k=7, p=3, strides=(1, 1)),  # not stride 2
+                   dict(k=4, p=3, cin=4, group=4),  # grouped
+                   dict(k=7, p=3, h=31)])           # odd spatial size
+    def test_skips(self, kwargs):
+        from smelter_tpu.passes.stem_s2d import stem_space_to_depth
+
+        assert stem_space_to_depth(self._graph(**kwargs)) == 0
+
+    def test_opt_in_on_resnet(self, rng):
+        """OFF in the default pipeline (probe34c: no on-chip win); fires
+        and preserves numerics when invoked explicitly."""
+        from smelter_tpu.models import resnet50
+        from smelter_tpu.passes.stem_s2d import stem_space_to_depth
+
+        g, _tm, shape = resnet50.build(batch=2, image_size=64)
+        x = rng.standard_normal(shape).astype(np.float32)
+        want = outputs_of(g, x)
+        run_passes(g)
+        assert sum(1 for n in g.nodes if n.op_type == "SpaceToDepth") == 0
+        assert stem_space_to_depth(g) == 1
+        np.testing.assert_allclose(outputs_of(g, x), want,
+                                   rtol=1e-4, atol=1e-5)
