@@ -41,6 +41,44 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _chip_time(m, x, k_lo: int = 6, k_hi: int = 26, reps: int = 3) -> float:
+    """Per-step chip time in seconds, loop-amortized. Sequentially
+    dispatched calls do NOT hide the tunnel's per-dispatch overhead
+    (probe34e: engine ResNet 13.1 ms pipelined vs 8.1 ms amortized), so
+    chain K model invocations inside ONE dispatch via lax.fori_loop (each
+    iteration's input depends on the previous output — XLA cannot
+    parallelize them) and difference two K values to cancel the fixed
+    dispatch + boundary cost."""
+    import jax
+    import jax.numpy as jnp
+
+    out_sd = jax.eval_shape(m._fn, m.params, x)
+    leaf_sd = jax.tree_util.tree_leaves(out_sd)[0]
+
+    def chained(k):
+        @jax.jit
+        def run(p, xx):
+            def body(_, carry):
+                c0 = carry[(0,) * carry.ndim].astype(xx.dtype)
+                out = m._fn(p, xx + c0 * 0)
+                return jax.tree_util.tree_leaves(out)[0]
+            return jax.lax.fori_loop(
+                0, k, body, jnp.zeros(leaf_sd.shape, leaf_sd.dtype))
+        return run
+
+    def timed(fn):
+        _sync(fn(m.params, x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(fn(m.params, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(chained(k_lo)), timed(chained(k_hi))
+    return max(1e-9, (t_hi - t_lo) / (k_hi - k_lo))
+
+
 def _compile_best(args, st, g):
     """The engine's configured-best model. int8-static calibrates in a CPU
     subprocess (in-process calibration would read every activation back
@@ -112,38 +150,9 @@ def _bench_latency(args, st, g, shape) -> int:
     p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
 
     # Chip-side latency: on the dev tunnel a single dispatch is dominated
-    # by the ~29 ms RPC floor. Chain K sequential model invocations inside
-    # ONE dispatch (each iteration's input depends on the previous output,
-    # so XLA cannot parallelize them) and difference two K values to
-    # remove the fixed dispatch cost.
-    import jax.numpy as jnp
-
-    out_sd = jax.eval_shape(m._fn, m.params, x)
-    leaf_sd = jax.tree_util.tree_leaves(out_sd)[0]
-
-    def chained(k):
-        @jax.jit
-        def run(p, xx):
-            def body(_, carry):
-                c0 = carry[(0,) * carry.ndim].astype(xx.dtype)
-                out = m._fn(p, xx + c0 * 0)
-                return jax.tree_util.tree_leaves(out)[0]
-            return jax.lax.fori_loop(
-                0, k, body, jnp.zeros(leaf_sd.shape, leaf_sd.dtype))
-        return run
-
-    def timed(fn, reps=3):
-        _sync(fn(m.params, x))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _sync(fn(m.params, x))
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
-
+    # by the ~29 ms RPC floor; use the shared loop-amortized helper.
     k_lo, k_hi = 8, 64
-    t_lo, t_hi = timed(chained(k_lo)), timed(chained(k_hi))
-    chip_ms = max(0.0, (t_hi - t_lo) / (k_hi - k_lo))
+    chip_ms = _chip_time(m, x, k_lo=k_lo, k_hi=k_hi) * 1e3
 
     dev = jax.devices()[0]
     print(json.dumps({
@@ -250,22 +259,23 @@ def main() -> int:
         np.random.default_rng(0).standard_normal(shape).astype(np.float32))
 
     # Baseline path: plain fp32 XLA lowering of the raw imported graph
-    # (no passes, NCHW) — what a naive port would run.
+    # (no passes, NCHW) — what a naive port would run. Both paths use the
+    # loop-amortized chip-time methodology (see _chip_time).
     base = st.CompiledModel(g, st.Config(compute_dtype="float32"))
-    base_s = _time_fn(base._fn, (base.params, x), max(5, args.iters // 2))
+    base_s = _chip_time(base, x, reps=max(2, args.iters // 10))
     base_ips = args.batch / base_s
 
     # Engine-best path: full pipeline (BN fusion, folding, NHWC layout,
     # quantization, fused dequant) + compute dtype.
     best = _compile_best(args, st, g)
-    best_s = _time_fn(best._fn, (best.params, x), args.iters)
+    best_s = _chip_time(best, x, reps=max(3, args.iters // 8))
     best_ips = args.batch / best_s
 
     dev = jax.devices()[0]
     result = {
         "metric": f"{args.model} images/sec/chip "
                   f"(batch={args.batch}, {args.dtype}, quant={args.quant}, "
-                  f"{args.layout}, {dev.platform})",
+                  f"{args.layout}, loop-amortized, {dev.platform})",
         "value": round(best_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / base_ips, 3),

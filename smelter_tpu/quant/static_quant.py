@@ -84,9 +84,11 @@ def quantize_static(
     amax: dict[str, float],
     targets: tuple[str, ...] = QUANT_TARGETS,
     min_elements: int = 1024,
+    int8_carry: bool = True,
 ) -> int:
     """Rewrite eligible nodes to QLinear ops using calibrated scales.
-    Returns the number of nodes quantized."""
+    Returns the number of nodes quantized. int8_carry additionally
+    requantizes residual carries (see _requantize_carries)."""
     changed = 0
     # int8 view of an edge: name -> (q_edge_name, scale)
     int8_edges: dict[str, tuple[str, float]] = {}
@@ -215,5 +217,59 @@ def quantize_static(
     graph.toposort()
     graph.dead_code_eliminate()
     if changed:
+        if int8_carry:
+            _requantize_carries(
+                graph,
+                {e: (q, s_i, z_i) for e, (q, _s, s_i, z_i)
+                 in int8_edges.items()})
         graph.metadata["quant"] = "int8-static"
+    return changed
+
+
+# Elementwise float producers whose forked output is a residual-style
+# carry; anything else (norms, softmax, heads) keeps the float fork.
+_CARRY_PRODUCERS = ("Add", "Relu", "Clip", "LeakyRelu", "Mul")
+
+
+def _requantize_carries(graph: Graph,
+                        int8_twins: dict[str, tuple[str, str, str]]) -> int:
+    """Keep residual carries in int8: when a float edge with an int8 twin
+    (via an explicit QuantizeLinear or a quant-transparent twin op) also
+    feeds float consumers (the residual fork), rewire those consumers to
+    read DequantizeLinear(q_edge) instead.
+
+    Without this, every residual join materializes a full-size float
+    tensor read twice (probe34d/e: raw-lax int8 ResNet-50 with int8
+    carries runs 6.5 ms vs the engine's 8.1 — ~2 ms of pure HBM traffic).
+    With it, the dequant->add->relu->quant chain fuses into one
+    int8-in/int8-out XLA kernel, and the shortcut path sees exactly the
+    same int8-grid values the conv path already consumes (the TensorRT /
+    TFLite convention), so no extra quantization error vs the conv path.
+    """
+    producers = graph.producers()
+    consumers = graph.consumers()
+    out_names = {vi.name for vi in graph.outputs}
+    changed = 0
+    added: list[Node] = []
+    for e, (q_edge, s_i, z_i) in int8_twins.items():
+        if e in out_names or e in graph.initializers:
+            continue
+        prod = producers.get(e)
+        if prod is None or prod.op_type not in _CARRY_PRODUCERS:
+            continue
+        forks = [c for c in consumers.get(e, [])
+                 if not (c.op_type == "QuantizeLinear"
+                         and c.outputs[0] == q_edge)]
+        if not forks:
+            continue
+        dq_edge = graph.fresh_name(e + "_c8")
+        added.append(Node("DequantizeLinear", [q_edge, s_i, z_i],
+                          [dq_edge], name=dq_edge))
+        for c in forks:
+            c.inputs = [dq_edge if x == e else x for x in c.inputs]
+        changed += 1
+    if changed:
+        graph.nodes.extend(added)
+        graph.toposort()
+        graph.dead_code_eliminate()
     return changed

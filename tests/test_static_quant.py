@@ -95,3 +95,42 @@ class TestApiStaticQuant:
         g = small_conv_graph(rng, 1)
         with pytest.raises(ValueError, match="calibration_data"):
             st.compile(g, quant="int8-static")
+
+
+class TestInt8ResidualCarry:
+    """_requantize_carries: a float residual fork (edge feeding both a
+    QuantizeLinear and a later Add) is rewired so the carry rides int8
+    (probe34d/e: ~2 ms of bf16 HBM traffic on ResNet-50 b128)."""
+
+    def _residual_graph(self, rng):
+        b = GraphBuilder("res", opset=13)
+        x = b.input("x", (2, 8, 16, 16))
+        w1 = rng.standard_normal((8, 8, 3, 3)).astype(np.float32) * 0.1
+        w2 = rng.standard_normal((8, 8, 3, 3)).astype(np.float32) * 0.1
+        h = b.conv(x, w1, pads=(1, 1, 1, 1))
+        h = b.node("Relu", [h])            # carry edge: forks to conv + add
+        c = b.conv(h, w2, pads=(1, 1, 1, 1))
+        y = b.node("Add", [c, h])
+        y = b.node("Relu", [y])
+        return b.finish([y])
+
+    def test_rewires_and_bounded_error(self, rng):
+        g = self._residual_graph(rng)
+        calib = [(rng.standard_normal((2, 8, 16, 16)).astype(np.float32),)]
+        amax = calibrate(g, calib)
+        before = st.CompiledModel(g)(calib[0][0])[0]
+        quantize_static(g, amax, min_elements=1)
+        adds = [n for n in g.nodes if n.op_type == "Add"]
+        assert any("_c8" in i for n in adds for i in n.inputs), \
+            [n.inputs for n in adds]
+        after = st.CompiledModel(g)(calib[0][0])[0]
+        rel = np.abs(after - before).max() / np.abs(before).max()
+        assert rel < 0.06, rel
+
+    def test_opt_out_keeps_float_carry(self, rng):
+        g = self._residual_graph(rng)
+        calib = [(rng.standard_normal((2, 8, 16, 16)).astype(np.float32),)]
+        amax = calibrate(g, calib)
+        quantize_static(g, amax, min_elements=1, int8_carry=False)
+        adds = [n for n in g.nodes if n.op_type == "Add"]
+        assert not any("_c8" in i for n in adds for i in n.inputs)
