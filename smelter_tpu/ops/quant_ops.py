@@ -26,6 +26,14 @@ def _scale_shape(scale, x_ndim: int, axis: int):
     return scale.reshape(shape)
 
 
+def _blocked_param(p, x_shape, axis: int, block: int):
+    """Opset-21 blocked quantization: the scale/zero-point tensor has x's
+    rank with dim `axis` = ceil(x.shape[axis]/block); expand each block
+    entry `block` times along `axis` and trim to x's length."""
+    rep = jnp.repeat(jnp.asarray(p), block, axis=axis)
+    return jax.lax.slice_in_dim(rep, 0, x_shape[axis], axis=axis)
+
+
 @register("DequantizeLinear", since=10)
 def dequantize_linear(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
@@ -33,11 +41,19 @@ def dequantize_linear(ctx: Ctx, node: Node):
     axis = node.attr("axis", 1)
     if axis < 0:
         axis += x.ndim
-    s = _scale_shape(scale, x.ndim, axis)
+    block = int(node.attr("block_size", 0))
+    if block > 0:  # opset 21 blocked quantization
+        s = _blocked_param(scale, x.shape, axis, block)
+    else:
+        s = _scale_shape(scale, x.ndim, axis)
     y = x.astype(jnp.float32) * s.astype(jnp.float32)
     if len(node.inputs) > 2 and node.inputs[2]:
         zp = ctx.get(node.inputs[2])
-        y = y - _scale_shape(zp, x.ndim, axis).astype(jnp.float32) * s.astype(jnp.float32)
+        if block > 0:
+            zps = _blocked_param(zp, x.shape, axis, block)
+        else:
+            zps = _scale_shape(zp, x.ndim, axis)
+        y = y - zps.astype(jnp.float32) * s.astype(jnp.float32)
     ctx.set(node.outputs[0], y)
 
 
@@ -47,28 +63,36 @@ def quantize_linear(ctx: Ctx, node: Node):
     axis = node.attr("axis", 1)
     if axis < 0:
         axis += x.ndim
+    block = int(node.attr("block_size", 0))
+
+    def shaped(p, np_mode=False):
+        if block > 0:  # opset 21 blocked quantization
+            return _blocked_param(jnp.asarray(np.asarray(p, np.float32))
+                                  if np_mode else p, x.shape, axis, block)
+        if np_mode:
+            return jnp.asarray(_scale_shape(np.asarray(p, np.float32),
+                                            x.ndim, axis))
+        return _scale_shape(p, x.ndim, axis)
+
     # Static scale: fold the reciprocal at trace time (turns the VPU
     # division into a constant multiply; see _STATIC_POSITIONS).
     s_c = ctx.static(node.inputs[1], required=False)
     if s_c is not None:
-        inv = jnp.asarray(
-            _scale_shape(np.reciprocal(np.asarray(s_c, np.float64)), x.ndim,
-                         axis).astype(np.float32))
+        inv = shaped(np.reciprocal(np.asarray(s_c, np.float64)), np_mode=True)
         y = jnp.round(x.astype(jnp.float32) * inv)
     else:
-        s = _scale_shape(ctx.get(node.inputs[1]), x.ndim, axis).astype(jnp.float32)
-        y = jnp.round(x.astype(jnp.float32) / s)
+        y = jnp.round(x.astype(jnp.float32)
+                      / shaped(ctx.get(node.inputs[1])).astype(jnp.float32))
     if len(node.inputs) > 2 and node.inputs[2]:
         zp_c = ctx.static(node.inputs[2], required=False)
         if zp_c is not None:
             zp_c = np.asarray(zp_c)
             if np.any(zp_c):  # symmetric (zp=0) adds nothing
-                y = y + jnp.asarray(
-                    _scale_shape(zp_c, x.ndim, axis).astype(np.float32))
+                y = y + shaped(zp_c, np_mode=True)
             out_dtype = zp_c.dtype
         else:
             zp = ctx.get(node.inputs[2])
-            y = y + _scale_shape(zp, x.ndim, axis).astype(jnp.float32)
+            y = y + shaped(zp).astype(jnp.float32)
             out_dtype = zp.dtype
     else:
         out_dtype = jnp.int8

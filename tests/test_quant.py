@@ -217,3 +217,37 @@ class TestInt4:
         assert rel < 0.2, rel  # 3-bit magnitude: coarse but sane
         corr = np.corrcoef(after.ravel(), before.ravel())[0, 1]
         assert corr > 0.99
+
+
+class TestBlockedQDQ:
+    """Opset-21 blocked QuantizeLinear/DequantizeLinear (block_size attr):
+    scale/zero-point carry x's rank with dim axis = ceil(len/block)."""
+
+    def test_blocked_dequant(self, rng):
+        x = rng.integers(-100, 100, (6, 10)).astype(np.int8)
+        scale = rng.uniform(0.01, 0.1, (6, 3)).astype(np.float32)
+        zp = rng.integers(-5, 5, (6, 3)).astype(np.int8)
+        b = GraphBuilder("bq", opset=21)
+        xi = b.input("x", (6, 10), dtype=np.int8)
+        y = b.node("DequantizeLinear", [xi, b.init(scale), b.init(zp)],
+                   axis=1, block_size=4)
+        g = b.finish([y])
+        srep = np.repeat(scale, 4, 1)[:, :10]
+        zrep = np.repeat(zp, 4, 1)[:, :10]
+        want = (x.astype(np.float32) - zrep) * srep
+        np.testing.assert_allclose(st.CompiledModel(g)(x)[0], want,
+                                   rtol=1e-6)
+
+    def test_blocked_quant_roundtrip(self, rng):
+        scale = rng.uniform(0.01, 0.1, (6, 3)).astype(np.float32)
+        zp = rng.integers(-5, 5, (6, 3)).astype(np.int8)
+        srep = np.repeat(scale, 4, 1)[:, :10]
+        zrep = np.repeat(zp, 4, 1)[:, :10]
+        xf = rng.standard_normal((6, 10)).astype(np.float32)
+        b = GraphBuilder("bq2", opset=21)
+        xi = b.input("x", (6, 10))
+        q = b.node("QuantizeLinear", [xi, b.init(scale), b.init(zp)],
+                   axis=1, block_size=4)
+        g = b.finish([q])
+        want = np.clip(np.round(xf / srep) + zrep, -128, 127).astype(np.int8)
+        np.testing.assert_array_equal(st.CompiledModel(g)(xf)[0], want)
