@@ -26,27 +26,30 @@ def sync(x):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def timeit(fn, x, iters=4, warmup=1):
+def timeit(fn, params, x, iters=4, warmup=1):
     for _ in range(warmup):
-        sync(fn(x))
+        sync(fn(params, x))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(x)
+        out = fn(params, x)
     sync(out)
     return (time.perf_counter() - t0) / iters / LOOP
 
 
 def chain(step):
+    """step(params, x); params ride as jit ARGUMENTS — closing over them
+    would serialize 170 MB of weights into the remote-compile payload
+    (HTTP 413 on the tunnel)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(xx):
-        ysh = jax.eval_shape(step, xx)
+    def run(params, xx):
+        ysh = jax.eval_shape(step, params, xx)
 
         def body(i, carry):
             c0 = carry[(0,) * carry.ndim].astype(xx.dtype)
-            return step(xx + c0 * jnp.zeros((), xx.dtype))
+            return step(params, xx + c0 * jnp.zeros((), xx.dtype))
         return jax.lax.fori_loop(0, LOOP, body,
                                  jnp.zeros(ysh.shape, ysh.dtype))
     return run
@@ -107,21 +110,21 @@ def raw_vit(att_mode, n_pad=None):
         h = jax.nn.gelu(h @ p["fc1"] + p["fc1b"], approximate=True)
         return x + (h @ p["fc2"] + p["fc2b"])
 
-    def full(img):  # img f32 (B,3,224,224)
+    def full(prm, img):  # img f32 (B,3,224,224)
         x = img.reshape(B, 3, 14, P, 14, P)
         x = jnp.transpose(x, (0, 2, 4, 3, 5, 1)).reshape(B, 196, P * P * 3)
-        x = x.astype(bf) @ params["embed"]
+        x = x.astype(bf) @ prm["embed"]
         x = jnp.concatenate(
-            [jnp.broadcast_to(params["cls"], (B, 1, D)), x], 1)
-        x = x + params["pos"]
+            [jnp.broadcast_to(prm["cls"], (B, 1, D)), x], 1)
+        x = x + prm["pos"]
         if npad != N:
             x = jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
         for i in range(DEPTH):
-            x = block(x, params[f"b{i}"])
+            x = block(x, prm[f"b{i}"])
         return (x[:, 0].astype(jnp.float32) @
-                params["headw"].astype(jnp.float32))
+                prm["headw"].astype(jnp.float32))
 
-    return full
+    return full, params
 
 
 def main():
@@ -138,16 +141,17 @@ def main():
     g, _tm, shape = ZOO["vit_b16"](batch=B, image_size=224)
     m = st.compile(g, st.Config(compute_dtype="bfloat16"))
 
-    def engine_step(xx):
-        return m._fn(m.params, xx)[0]
+    def engine_step(p, xx):
+        return m._fn(p, xx)[0]
 
-    for name, step in (
-        ("A engine bf16    ", engine_step),
-        ("B raw dpa        ", raw_vit("dpa")),
-        ("C raw einsum     ", raw_vit("einsum")),
-        ("D raw dpa N=256  ", raw_vit("dpa", n_pad=256)),
-    ):
-        dt = timeit(chain(step), x0)
+    cases = [("A engine bf16    ", engine_step, m.params)]
+    for name, mode, pad in (("B raw dpa        ", "dpa", None),
+                            ("C raw einsum     ", "einsum", None),
+                            ("D raw dpa N=256  ", "dpa", 256)):
+        fn, prm = raw_vit(mode, n_pad=pad)
+        cases.append((name, fn, jax.device_put(prm)))
+    for name, step, prm in cases:
+        dt = timeit(chain(step), prm, x0)
         print(f"[{name}] {dt*1e3:7.2f} ms ({B/dt:,.0f} img/s)", flush=True)
     print("DONE", flush=True)
 

@@ -327,6 +327,44 @@ def max_unpool(ctx: Ctx, node: Node):
             - pads[i] - pads[rank + i]
             for i in range(rank))
         out_shape = x.shape[:2] + spatial
+    if list(strides) == list(kernel) and not any(pads):
+        # Non-overlapping windows (the SegNet case): each output window
+        # holds exactly one value at a window-local offset, so the scatter
+        # becomes a dense one-hot expansion — pure VPU elementwise +
+        # reshape, no scatter. A global flat scatter serializes on TPU
+        # (probe sweep r2: SegNet b16 at 52 img/s, 0.80x naive).
+        loc = []
+        rem = idx.reshape(x.shape).astype(jnp.int32)
+        for d in reversed(range(rank)):
+            loc.append(rem % out_shape[2 + d] % kernel[d])
+            rem = rem // out_shape[2 + d]
+        loc = loc[::-1]
+        y = x.reshape(x.shape + (1,) * rank)
+        for i in range(rank):
+            ar = jnp.arange(kernel[i], dtype=jnp.int32).reshape(
+                (kernel[i],) + (1,) * (rank - 1 - i))
+            oh = loc[i].reshape(loc[i].shape + (1,) * rank) == ar
+            y = y * oh.astype(x.dtype)
+        perm = [0, 1]
+        for i in range(rank):
+            perm += [2 + i, 2 + rank + i]
+        y = jnp.transpose(y, perm).reshape(
+            x.shape[:2] + tuple(x.shape[2 + i] * kernel[i]
+                                for i in range(rank)))
+        # output_shape may ask for one extra (never-indexed) row/col per
+        # dim (odd pre-pool sizes) — zero-pad; crop defensively if smaller
+        pad_cfg = []
+        crop = False
+        for i in range(rank):
+            d = out_shape[2 + i] - y.shape[2 + i]
+            pad_cfg.append((0, max(0, d)))
+            crop = crop or d < 0
+        if any(p != (0, 0) for p in pad_cfg):
+            y = jnp.pad(y, [(0, 0), (0, 0)] + pad_cfg)
+        if crop:
+            y = y[tuple(slice(None, out_shape[i]) for i in range(len(out_shape)))]
+        ctx.set(node.outputs[0], y)
+        return
     total = 1
     for d in out_shape:
         total *= d

@@ -807,6 +807,25 @@ class TestMaxUnpool:
                               output_size=(8, 8) if with_shape else None)
         np.testing.assert_allclose(got, t2n(want), rtol=1e-6, atol=1e-7)
 
+    def test_odd_output_shape_pads_unindexed_edge(self, rng):
+        """output_shape one larger than kernel*pooled (odd pre-pool size):
+        the dense non-overlapping path must zero-pad the never-indexed
+        last row/col."""
+        x = rng.standard_normal((1, 2, 9, 9)).astype(np.float32)
+        b = GraphBuilder("unpool_odd", opset=13)
+        xi = b.input("x", x.shape)
+        y, idx = b.node("MaxPool", [xi], outputs=2,
+                        kernel_shape=[2, 2], strides=[2, 2])
+        out = b.node("MaxUnpool",
+                     [y, idx, b.init(np.array([1, 2, 9, 9], np.int64))],
+                     kernel_shape=[2, 2], strides=[2, 2])
+        g = b.finish([out])
+        got = st.CompiledModel(g)(x)[0]
+        ty, tidx = F.max_pool2d(torch.from_numpy(x), 2, 2,
+                                return_indices=True)
+        want = F.max_unpool2d(ty, tidx, 2, 2, output_size=(9, 9))
+        np.testing.assert_allclose(got, t2n(want), rtol=1e-6, atol=1e-7)
+
 
 class TestMaxRoiPool:
     def test_vs_numpy_reference(self, rng):
