@@ -243,6 +243,60 @@ def max_pool(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
+def _nearest_expand(t, kernel):
+    """Broadcast-reshape nearest upsample of the trailing spatial dims by
+    integer factors `kernel` (the fastest nearest formulation, probe20)."""
+    rank = len(kernel)
+    lead = t.shape[:t.ndim - rank]
+    sp = t.shape[t.ndim - rank:]
+    t = t.reshape(lead + tuple(d for s in sp for d in (s, 1)))
+    t = jnp.broadcast_to(
+        t, lead + tuple(d for i, s in enumerate(sp)
+                        for d in (s, kernel[i])))
+    return t.reshape(lead + tuple(sp[i] * kernel[i] for i in range(rank)))
+
+
+def _flat_spatial_pos(cov, full_spatial, idt):
+    """Row-major flat index into `full_spatial` for every coordinate of the
+    covered region `cov` (cov[i] <= full_spatial[i]); shape cov."""
+    flat = jnp.arange(cov[0], dtype=idt)
+    for i in range(1, len(cov)):
+        flat = flat[..., None] * full_spatial[i] + jnp.arange(cov[i],
+                                                              dtype=idt)
+    return flat
+
+
+def _max_pool_indices_nonoverlap(ctx: Ctx, node: Node, x, rank, kernel, neg):
+    """kernel==stride, no pads (the SegNet encoder case): max via native
+    reduce_window, indices via nearest-upsample compare + reduce_window min
+    — no tap-stack strided slices, no argmax gather (probe37: the tap-stack
+    form cost 11.4 ms where this one is reduce_window-bound)."""
+    in_spatial = x.shape[2:]
+    out_spatial = tuple(in_spatial[i] // kernel[i] for i in range(rank))
+    cov = tuple(out_spatial[i] * kernel[i] for i in range(rank))
+    xc = x[(slice(None), slice(None)) + tuple(slice(0, c) for c in cov)]
+    wd = (1, 1) + tuple(kernel)
+    y = lax.reduce_window(xc, neg, lax.max, window_dimensions=wd,
+                          window_strides=wd, padding="VALID")
+    idt = jax.dtypes.canonicalize_dtype(jnp.int64)
+    big = jnp.asarray(jnp.iinfo(idt).max, idt)
+    # first-max in row-major tap order == min flat position among maxima
+    mask = xc == _nearest_expand(y, kernel)
+    pos = _flat_spatial_pos(cov, in_spatial, idt)
+    cand = jnp.where(mask, pos, big)
+    spatial_idx = lax.reduce_window(cand, big, lax.min,
+                                    window_dimensions=wd, window_strides=wd,
+                                    padding="VALID")
+    hw = 1
+    for s in in_spatial:
+        hw *= s
+    n_idx = jnp.arange(x.shape[0], dtype=idt).reshape((-1, 1) + (1,) * rank)
+    c_idx = jnp.arange(x.shape[1], dtype=idt).reshape((1, -1) + (1,) * rank)
+    full = (n_idx * x.shape[1] + c_idx) * hw + spatial_idx
+    ctx.set(node.outputs[0], y)
+    ctx.set(node.outputs[1], full)
+
+
 def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
                            dilations, pads, layout):
     """MaxPool's second output: int64 indices flattened into the input
@@ -259,6 +313,10 @@ def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
     neg = jnp.asarray(jnp.finfo(x.dtype).min
                       if jnp.issubdtype(x.dtype, jnp.floating)
                       else jnp.iinfo(x.dtype).min, x.dtype)
+    if (tuple(strides) == tuple(kernel)
+            and all(lo == 0 and hi == 0 for lo, hi in pads)
+            and all(d == 1 for d in dilations)):
+        return _max_pool_indices_nonoverlap(ctx, node, x, rank, kernel, neg)
     in_spatial = x.shape[2:]
     out_spatial = tuple(
         P.conv_out_size(in_spatial[i], kernel[i], strides[i], dilations[i],
@@ -328,29 +386,27 @@ def max_unpool(ctx: Ctx, node: Node):
             for i in range(rank))
         out_shape = x.shape[:2] + spatial
     if list(strides) == list(kernel) and not any(pads):
-        # Non-overlapping windows (the SegNet case): each output window
-        # holds exactly one value at a window-local offset, so the scatter
-        # becomes a dense one-hot expansion — pure VPU elementwise +
-        # reshape, no scatter. A global flat scatter serializes on TPU
-        # (probe sweep r2: SegNet b16 at 52 img/s, 0.80x naive).
-        loc = []
-        rem = idx.reshape(x.shape).astype(jnp.int32)
-        for d in reversed(range(rank)):
-            loc.append(rem % out_shape[2 + d] % kernel[d])
-            rem = rem // out_shape[2 + d]
-        loc = loc[::-1]
-        y = x.reshape(x.shape + (1,) * rank)
-        for i in range(rank):
-            ar = jnp.arange(kernel[i], dtype=jnp.int32).reshape(
-                (kernel[i],) + (1,) * (rank - 1 - i))
-            oh = loc[i].reshape(loc[i].shape + (1,) * rank) == ar
-            y = y * oh.astype(x.dtype)
-        perm = [0, 1]
-        for i in range(rank):
-            perm += [2 + i, 2 + rank + i]
-        y = jnp.transpose(y, perm).reshape(
-            x.shape[:2] + tuple(x.shape[2 + i] * kernel[i]
-                                for i in range(rank)))
+        # Non-overlapping windows (the SegNet case): each input value lands
+        # at exactly one position of its k-window, so the scatter becomes
+        # nearest-upsample x AND idx, then keep the position whose global
+        # flat index equals idx — pure elementwise, no scatter, no one-hot
+        # interleave transpose (probe37: the one-hot form cost 109 ms/pair
+        # where this one is bandwidth-bound; a global flat scatter
+        # serializes outright — SegNet b16 at 52 img/s).
+        up_spatial = tuple(x.shape[2 + i] * kernel[i] for i in range(rank))
+        idt = jax.dtypes.canonicalize_dtype(jnp.int64)
+        xu = _nearest_expand(x, kernel)
+        iu = _nearest_expand(idx.reshape(x.shape).astype(idt), kernel)
+        hw = 1
+        for s in out_shape[2:]:
+            hw *= s
+        pos = _flat_spatial_pos(up_spatial, out_shape[2:], idt)
+        n_idx = jnp.arange(x.shape[0], dtype=idt).reshape(
+            (-1, 1) + (1,) * rank)
+        c_idx = jnp.arange(x.shape[1], dtype=idt).reshape(
+            (1, -1) + (1,) * rank)
+        gpos = (n_idx * x.shape[1] + c_idx) * hw + pos
+        y = jnp.where(iu == gpos, xu, jnp.zeros((), x.dtype))
         # output_shape may ask for one extra (never-indexed) row/col per
         # dim (odd pre-pool sizes) — zero-pad; crop defensively if smaller
         pad_cfg = []
