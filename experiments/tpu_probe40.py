@@ -53,7 +53,7 @@ def main():
     from jax import lax
 
     from smelter_tpu.kernels.pixel_conv import (
-        pixel_conv_patch, pixel_conv_rowdot)
+        pixel_conv_blockdot, pixel_conv_patch, pixel_conv_rowdot)
     from smelter_tpu.passes.mxu_packing import _packed_weights
 
     print("devices:", jax.devices(), flush=True)
@@ -117,16 +117,35 @@ def main():
 
                 tr = timeit(chain(f_r), x_nhcw)
                 got = np.asarray(f_r(x_nhcw), np.float32).transpose(
-                    0, 2, 1, 3)
+                    0, 1, 3, 2)
                 dr = float(np.abs(got - ref).max())
                 print(f"            rowdot r{rows:<3d} {tr*1e6:8.1f} us "
                       f"{flops/tr/1e12:6.1f} TF   dmax {dr:.3e}",
                       flush=True)
             except Exception as e:
                 print(f"            rowdot r{rows}: {type(e).__name__}: "
-                      f"{str(e)[:120]}", flush=True)
+                      f"{str(e)[:400]}", flush=True)
 
-        for rows in (4, 8):
+        for rows in (8, 16, 32):
+            if ((rows + 2) * cin * w + 3 * cin * rows * w) * 2 > 8 * 2**20:
+                continue
+            try:
+                def f_k(xx, r=rows):
+                    return pixel_conv_blockdot(xx, jw, jb, alpha=ALPHA,
+                                               rows=r)
+
+                tk = timeit(chain(f_k), x_nhcw)
+                got = np.asarray(f_k(x_nhcw), np.float32).transpose(
+                    0, 1, 3, 2)
+                dk = float(np.abs(got - ref).max())
+                print(f"            blockdot r{rows:<2d} {tk*1e6:8.1f} us "
+                      f"{flops/tk/1e12:6.1f} TF   dmax {dk:.3e}",
+                      flush=True)
+            except Exception as e:
+                print(f"            blockdot r{rows}: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+        for rows in (4,):
             if 9 * cin * rows * w * 2 + (rows + 2) * cin * w * 2 > 8 * 2**20:
                 continue
             try:
@@ -143,7 +162,7 @@ def main():
                       flush=True)
             except Exception as e:
                 print(f"            patch r{rows}: {type(e).__name__}: "
-                      f"{str(e)[:120]}", flush=True)
+                      f"{str(e)[:400]}", flush=True)
     print("DONE", flush=True)
 
 

@@ -48,61 +48,72 @@ def _lane_iota(shape, axis=-1):
 # -- variant 1: per-row dots on [rows, C, W] blocks ------------------------
 
 
-def _rowdot_kernel(x_hbm, w_ref, b_ref, o_ref, *, rows: int, cin: int,
-                   cout: int, width: int, h: int, alpha, out_dtype):
-    b = pl.program_id(0)
-    rb = pl.program_id(1)
-    r0 = rb * rows
+def _rowdot_kernel(x_hbm, w_ref, b_ref, o_ref, xs2, sems, *, rows: int,
+                   cin: int, cout: int, width: int, h: int, alpha,
+                   out_dtype):
+    s = pl.program_id(0)
+    nrb = h // rows
+    total = x_hbm.shape[0] * nrb
 
-    def body(xs, sem, sem_t, sem_b):
-        # main rows [r0, r0+rows) -> xs[1:1+rows]
-        cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(r0, rows)],
-                                   xs.at[pl.ds(1, rows)], sem)
-        cp.start()
-        # halo rows (clamped source index; masked to zero at the edges)
-        top = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
-            xs.at[pl.ds(0, 1)], sem_t)
-        bot = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(jnp.minimum(r0 + rows, h - 1), 1)],
-            xs.at[pl.ds(rows + 1, 1)], sem_b)
-        top.start()
-        bot.start()
+    # Double-buffered halo'd row blocks (xs2/sems are pallas_call
+    # scratch, persistent across grid steps): at step s the block was
+    # prefetched during step s-1; issue step s+1 before computing.
+    def copies(slot, step):
+        b = step // nrb
+        r0 = (step % nrb) * rows
+        return (
+            pltpu.make_async_copy(x_hbm.at[b, pl.ds(r0, rows)],
+                                  xs2.at[slot, pl.ds(1, rows)],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+                xs2.at[slot, pl.ds(0, 1)], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.minimum(r0 + rows, h - 1), 1)],
+                xs2.at[slot, pl.ds(rows + 1, 1)], sems.at[slot, 2]),
+        )
+
+    cur = s % 2
+    nxt = (s + 1) % 2
+
+    @pl.when(s == 0)
+    def _():
+        for cp in copies(cur, s):
+            cp.start()
+
+    @pl.when(s + 1 < total)
+    def _():
+        for cp in copies(nxt, s + 1):
+            cp.start()
+
+    for cp in copies(cur, s):
         cp.wait()
-        top.wait()
-        bot.wait()
+    r0 = (s % nrb) * rows
+    xs = xs2.at[cur]
 
-        @pl.when(r0 == 0)
-        def _():
-            xs[0] = jnp.zeros((cin, width), xs.dtype)
+    @pl.when(r0 == 0)
+    def _():
+        xs[0] = jnp.zeros((cin, width), xs2.dtype)
 
-        @pl.when(r0 + rows == h)
-        def _():
-            xs[rows + 1] = jnp.zeros((cin, width), xs.dtype)
+    @pl.when(r0 + rows == h)
+    def _():
+        xs[rows + 1] = jnp.zeros((cin, width), xs2.dtype)
 
-        bias = b_ref[:].astype(jnp.float32)  # (cout, 1)
-        for r in range(rows):
-            x3 = xs[pl.ds(r, 3)].reshape(3 * cin, width)
-            t = jnp.dot(w_ref[:].astype(x3.dtype), x3,
-                        preferred_element_type=jnp.float32)
-            # t rows [dx*cout:(dx+1)*cout]; out[w] = sum_dx t_dx[w + dx - 1]
-            lane = _lane_iota((cout, width))
-            left = pltpu.roll(t[0:cout], 1, 1)
-            left = jnp.where(lane == 0, 0.0, left)
-            right = pltpu.roll(t[2 * cout:3 * cout], width - 1, 1)
-            right = jnp.where(lane == width - 1, 0.0, right)
-            acc = t[cout:2 * cout] + left + right + bias
-            if alpha is not None:
-                acc = jnp.where(acc >= 0, acc, alpha * acc)
-            o_ref[0, r] = acc.astype(out_dtype)
-
-    pl.run_scoped(
-        body,
-        xs=pltpu.VMEM((rows + 2, cin, width), x_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA(()),
-        sem_t=pltpu.SemaphoreType.DMA(()),
-        sem_b=pltpu.SemaphoreType.DMA(()),
-    )
+    bias = b_ref[:].astype(jnp.float32)  # (cout, 1)
+    for r in range(rows):
+        x3 = xs[pl.ds(r, 3)].reshape(3 * cin, width)
+        t = jnp.dot(w_ref[:].astype(x3.dtype), x3,
+                    preferred_element_type=jnp.float32)
+        # t rows [dx*cout:(dx+1)*cout]; out[w] = sum_dx t_dx[w + dx - 1]
+        lane = _lane_iota((cout, width))
+        left = pltpu.roll(t[0:cout], 1, 1)
+        left = jnp.where(lane == 0, 0.0, left)
+        right = pltpu.roll(t[2 * cout:3 * cout], width - 1, 1)
+        right = jnp.where(lane == width - 1, 0.0, right)
+        acc = t[cout:2 * cout] + left + right + bias
+        if alpha is not None:
+            acc = jnp.where(acc >= 0, acc, alpha * acc)
+        o_ref[0, r] = acc.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "rows", "interpret"))
@@ -124,6 +135,113 @@ def pixel_conv_rowdot(x, w, bias, *, alpha=None, rows: int = 8,
     w2 = w2.reshape(3 * cout, 3 * cin)
     kernel = functools.partial(
         _rowdot_kernel, rows=rows, cin=cin, cout=cout, width=width, h=h,
+        alpha=alpha, out_dtype=x.dtype)
+    nrb = h // rows
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz * nrb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * cout, 3 * cin), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cout, width),
+                               lambda s, n=nrb: (s // n, s % n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 2, cin, width), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((bsz, h, cout, width), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * width * 9 * cin * cout,
+            bytes_accessed=int(x.size * x.dtype.itemsize
+                               + bsz * h * cout * width * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w2.astype(x.dtype), bias.reshape(cout, 1))
+
+
+# -- variant 1b: one block-wide dot per row block --------------------------
+
+
+def _blockdot_kernel(x_hbm, w_ref, b_ref, o_ref, *, rows: int, cin: int,
+                     cout: int, width: int, h: int, alpha, out_dtype):
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    r0 = rb * rows
+    rw = rows * width
+
+    def body(xs, rhs, sem, sem_t, sem_b):
+        cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(r0, rows)],
+                                   xs.at[pl.ds(1, rows)], sem)
+        cp.start()
+        top = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+            xs.at[pl.ds(0, 1)], sem_t)
+        bot = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(jnp.minimum(r0 + rows, h - 1), 1)],
+            xs.at[pl.ds(rows + 1, 1)], sem_b)
+        top.start()
+        bot.start()
+        cp.wait()
+        top.wait()
+        bot.wait()
+
+        @pl.when(r0 == 0)
+        def _():
+            xs[0] = jnp.zeros((cin, width), xs.dtype)
+
+        @pl.when(r0 + rows == h)
+        def _():
+            xs[rows + 1] = jnp.zeros((cin, width), xs.dtype)
+
+        # rhs[:, r*W:(r+1)*W] = rows [r, r+3) flattened — a sublane view
+        for r in range(rows):
+            rhs[:, r * width:(r + 1) * width] = (
+                xs[pl.ds(r, 3)].reshape(3 * cin, width))
+        t = jnp.dot(w_ref[:].astype(rhs.dtype), rhs[:],
+                    preferred_element_type=jnp.float32)
+        lane = _lane_iota((cout, rw))
+        left = pltpu.roll(t[0:cout], 1, 1)
+        left = jnp.where(lane % width == 0, 0.0, left)
+        right = pltpu.roll(t[2 * cout:3 * cout], rw - 1, 1)
+        right = jnp.where(lane % width == width - 1, 0.0, right)
+        acc = t[cout:2 * cout] + left + right + b_ref[:].astype(jnp.float32)
+        if alpha is not None:
+            acc = jnp.where(acc >= 0, acc, alpha * acc)
+        acc = acc.astype(out_dtype)
+        for r in range(rows):
+            o_ref[0, r] = acc[:, r * width:(r + 1) * width]
+
+    pl.run_scoped(
+        body,
+        xs=pltpu.VMEM((rows + 2, cin, width), x_hbm.dtype),
+        rhs=pltpu.VMEM((3 * cin, rw), x_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA(()),
+        sem_t=pltpu.SemaphoreType.DMA(()),
+        sem_b=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "rows", "interpret"))
+def pixel_conv_blockdot(x, w, bias, *, alpha=None, rows: int = 16,
+                        interpret: bool | None = None):
+    """Same contract as pixel_conv_rowdot but one [3*C_out, 3*C_in] x
+    [3*C_in, rows*W] MXU dot per row block (fewer, bigger dots)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, h, cin, width = x.shape
+    cout = w.shape[0]
+    rows = min(rows, h)
+    assert h % rows == 0, "H must divide into row blocks"
+    w2 = jnp.transpose(w, (3, 0, 1, 2))
+    w2 = jnp.transpose(w2, (0, 1, 3, 2)).reshape(3 * cout, 3 * cin)
+    kernel = functools.partial(
+        _blockdot_kernel, rows=rows, cin=cin, cout=cout, width=width, h=h,
         alpha=alpha, out_dtype=x.dtype)
     return pl.pallas_call(
         kernel,

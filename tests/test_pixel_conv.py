@@ -52,3 +52,16 @@ def test_rowdot_single_block():
                             alpha=0.2, rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1, 3), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("alpha", [None, 0.2])
+@pytest.mark.parametrize("cin,cout", [(16, 8), (32, 16)])
+def test_blockdot(cin, cout, alpha):
+    from smelter_tpu.kernels.pixel_conv import pixel_conv_blockdot
+    b, h, w = 2, 16, 128
+    x, wt, bias, ref = _case(b, h, w, cin, cout, alpha, seed=7)
+    got = pixel_conv_blockdot(jnp.asarray(x.transpose(0, 2, 1, 3)),
+                              jnp.asarray(wt), jnp.asarray(bias),
+                              alpha=alpha, rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1, 3), ref,
+                               rtol=1e-5, atol=1e-5)
