@@ -83,6 +83,26 @@ def conv(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
+@register("PixelConv")
+def pixel_conv(ctx: Ctx, node: Node):
+    """Pixel-major 3x3/s1/p1 conv on NHCW activations (inserted by
+    passes/pixel_regions.py): the Pallas kernel puts W on the MXU lanes so
+    small C_out pays no lane padding — 2.5x on ESRGAN RRDB trunks
+    (kernels/pixel_conv.py, experiments/tpu_probe43.py). Optional fused
+    LeakyRelu/Relu epilogue via the alpha attr."""
+    from ..kernels.pixel_conv import pixel_conv_rowdot
+
+    x = ctx.get(node.inputs[0])            # (B, H, C_in, W)
+    w = ctx.get(node.inputs[1])            # (C_out, C_in, 3, 3)
+    b = ctx.get(node.inputs[2])
+    alpha = node.attrs.get("alpha")
+    rows = 16 if x.shape[1] % 16 == 0 else 8
+    y = pixel_conv_rowdot(x, w, b,
+                          alpha=None if alpha is None else float(alpha),
+                          rows=rows)
+    ctx.set(node.outputs[0], y)
+
+
 @register("ConvTranspose")
 def conv_transpose(ctx: Ctx, node: Node):
     """ONNX ConvTranspose: weight layout (C_in, C_out/group, *k).

@@ -46,6 +46,11 @@ DEFAULT_PIPELINE = [
     # 1024) — the split parts' small C_in pads worse on the 128-lane MXU
     # than the one concatenated GEMM.
     "subpixel_upsample_conv",
+    # pixel_conv_regions routes small-C_out 3x3 convs to the pixel-major
+    # Pallas kernel and keeps decoder trunks in its NHCW layout (2.5x on
+    # ESRGAN RRDB trunks, probe43); it runs before pack_conv_output so
+    # packing only takes the convs it cannot.
+    "pixel_conv_regions",
     # stem_space_to_depth is registered but OFF by default: probe34c shows
     # XLA already lowers the small-C_in stride-2 stem at the same cost as
     # every alternative formulation (f32 NCHW 0.895 ms == transposed NHWC
@@ -66,7 +71,7 @@ def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = 
     """Run the pipeline in place (returns the same graph for chaining)."""
     from . import (  # noqa: F401  (registration side effects)
         all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout,
-        mxu_packing, stem_s2d)
+        mxu_packing, pixel_regions, stem_s2d)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

@@ -1,0 +1,97 @@
+"""pixel_conv_regions pass: numerics-preserving rewrite of small-C_out
+3x3 convs to the pixel-major Pallas kernel with NHCW trunk regions
+(passes/pixel_regions.py). Kernel runs in interpret mode on CPU."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import smelter_tpu as st
+import smelter_tpu.passes.pixel_regions  # noqa: F401 (pass registration)
+from smelter_tpu.ir.build import GraphBuilder
+from smelter_tpu.passes.pass_manager import get_pass
+
+
+def _dense_block_graph(b=1, nf=16, gc=16, hw=128):
+    """ESRGAN-style dense block: convs + LeakyRelu + concats + residual."""
+    rng = np.random.default_rng(0)
+    bld = GraphBuilder("db", opset=13)
+    x = bld.input("x", (b, nf, hw, hw))
+    feats, outs = x, []
+    for j in range(4):
+        cin = nf + j * gc
+        cout = gc if j < 3 else nf
+        w = bld.init((rng.standard_normal((cout, cin, 3, 3)) /
+                      (3 * np.sqrt(cin))).astype(np.float32))
+        bias = bld.init(rng.standard_normal((cout,)).astype(np.float32) * .1)
+        y = bld.node("Conv", [feats, w, bias], kernel_shape=[3, 3],
+                     strides=[1, 1], pads=[1, 1, 1, 1])
+        if j < 3:
+            y = bld.node("LeakyRelu", [y], alpha=0.2)
+            outs.append(y)
+            feats = bld.node("Concat", [x] + outs, axis=1)
+    scale = bld.init(np.asarray(0.2, np.float32))
+    out = bld.node("Add", [x, bld.node("Mul", [y, scale])])
+    return bld.finish([out]), (b, nf, hw, hw)
+
+
+class TestPixelRegions:
+    def test_fires_and_preserves_numerics(self):
+        g, shape = _dense_block_graph()
+        x = np.random.default_rng(1).standard_normal(shape).astype(
+            np.float32)
+        want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(x)[0])
+        n = get_pass("pixel_conv_regions")(g)
+        assert n == 4  # all four convs taken
+        ops = [nd.op_type for nd in g.nodes]
+        assert ops.count("PixelConv") == 4
+        assert "Conv" not in ops
+        assert "LeakyRelu" not in ops  # fused into the kernel epilogue
+        # one entry transpose (memoized across x's uses) + one exit
+        assert ops.count("Transpose") == 2
+        # concats follow the trunk into NHCW with the axis remapped
+        assert all(nd.attr("axis") == 2 for nd in g.find_nodes("Concat"))
+        got = np.asarray(st.CompiledModel(g, st.Config())(x)[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_gate_skips_unaligned(self):
+        # W=120 not a lane multiple; C_in=12 not a sublane multiple
+        rng = np.random.default_rng(0)
+        bld = GraphBuilder("g", opset=13)
+        x = bld.input("x", (1, 12, 16, 120))
+        w = bld.init(rng.standard_normal((8, 12, 3, 3)).astype(np.float32))
+        bld.node("Conv", [x, w], kernel_shape=[3, 3], strides=[1, 1],
+                 pads=[1, 1, 1, 1])
+        g = bld.finish()
+        assert get_pass("pixel_conv_regions")(g) == 0
+
+    def test_relu_fusion_and_missing_bias(self):
+        rng = np.random.default_rng(2)
+        bld = GraphBuilder("g", opset=13)
+        x = bld.input("x", (1, 16, 8, 128))
+        w = bld.init((rng.standard_normal((16, 16, 3, 3)) / 12)
+                     .astype(np.float32))
+        y = bld.node("Conv", [x, w], kernel_shape=[3, 3], strides=[1, 1],
+                     pads=[1, 1, 1, 1])
+        y = bld.node("Relu", [y])
+        g = bld.finish([y])
+        xv = rng.standard_normal((1, 16, 8, 128)).astype(np.float32)
+        want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(xv)[0])
+        assert get_pass("pixel_conv_regions")(g) == 1
+        node = next(g.find_nodes("PixelConv"))
+        assert node.attr("alpha") == 0.0 and len(node.inputs) == 3
+        got = np.asarray(st.CompiledModel(g, st.Config())(xv)[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_default_pipeline_parity_esrgan_shape(self):
+        # through st.compile (full default pipeline incl. layout_nhwc after)
+        g, shape = _dense_block_graph(nf=16, gc=16, hw=128)
+        x = np.random.default_rng(3).standard_normal(shape).astype(
+            np.float32)
+        want = np.asarray(
+            st.CompiledModel(copy.deepcopy(g), st.Config())(x)[0])
+        m = st.compile(copy.deepcopy(g), st.Config())
+        assert any(nd.op_type == "PixelConv" for nd in m.graph.nodes)
+        got = np.asarray(m(x)[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
