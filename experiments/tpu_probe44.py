@@ -10,7 +10,7 @@ import time
 
 import numpy as np
 
-LOOP = 10
+LOOP = 20
 
 
 def sync(x):
@@ -53,8 +53,12 @@ def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
 
+    import sys
+    todo = sys.argv[1:] or ["esrgan", "unet", "segnet"]
     for model, batch, size in [("esrgan", 8, 128), ("unet", 16, 256),
                                ("segnet", 16, 256)]:
+        if model not in todo:
+            continue
         g, _tm, shape = ZOO[model](batch=batch, image_size=size)
         x0 = jax.device_put(rng.standard_normal(shape).astype(np.float32))
         for label, cfg, quant in [

@@ -193,16 +193,68 @@ class _Rewriter:
         return "barrier"
 
 
+def _trunk_filter(graph: Graph, eligible: list[Node]) -> set[int]:
+    """Keep only convs whose NHCW region amortizes its boundary
+    transposes: regions of >= 4 connected eligible convs (connected
+    through agnostic ops — the ESRGAN trunk case), or any conv on W >=
+    384 maps where XLA's direct conv collapses (probe40: 17.6 TF @512 vs
+    the kernel's 47, a 2.1x win even with both transposes included,
+    probe43). Isolated/paired convs at W <= 256 lose end-to-end: the
+    boundary transposes cost more than the ~1.4x per-conv win (probe44:
+    U-Net 1,194 vs 1,488 and SegNet 1,212 vs 2,007 without this gate)."""
+    vt = graph.value_types
+    ids = {id(n): n for n in eligible}
+    parent = {i: i for i in ids}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    cons = graph.consumers()
+    agn = _AGNOSTIC_UNARY | _AGNOSTIC_BINARY | {"Concat"}
+    for conv in eligible:
+        seen: set[str] = set()
+        frontier = list(conv.outputs)
+        hops = 0
+        while frontier and hops < 64:
+            edge = frontier.pop()
+            if edge in seen:
+                continue
+            seen.add(edge)
+            for user in cons.get(edge, ()):
+                hops += 1
+                if id(user) in ids:
+                    union(id(conv), id(user))
+                elif user.op_type in agn:
+                    frontier.extend(user.outputs)
+    sizes: dict[int, int] = {}
+    for i in ids:
+        sizes[find(i)] = sizes.get(find(i), 0) + 1
+    keep: set[int] = set()
+    for i, node in ids.items():
+        t = vt.get(node.inputs[0])
+        wdt = t.shape[3]
+        if sizes[find(i)] >= 4 or wdt >= 384:
+            keep.add(i)
+    return keep
+
+
 @register_pass("pixel_conv_regions")
 def pixel_conv_regions(graph: Graph) -> int:
     """Route eligible convs to the pixel-major Pallas kernel, keeping
     connected trunks in NHCW (see module docstring)."""
     if not _ensure_types(graph):
         return 0
-    pixel: set[int] = set()
-    for conv in graph.find_nodes("Conv"):
-        if _eligible(graph, conv):
-            pixel.add(id(conv))
+    eligible = [conv for conv in graph.find_nodes("Conv")
+                if _eligible(graph, conv)]
+    pixel = _trunk_filter(graph, eligible)
     if not pixel:
         return 0
     # fuse a sole-consumer LeakyRelu/Relu into the kernel epilogue

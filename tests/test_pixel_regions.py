@@ -55,6 +55,18 @@ class TestPixelRegions:
         got = np.asarray(st.CompiledModel(g, st.Config())(x)[0])
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_gate_skips_isolated_small_maps(self):
+        # a lone eligible conv at W=128 is skipped: boundary transposes
+        # cost more than the per-conv win (probe44)
+        rng = np.random.default_rng(4)
+        bld = GraphBuilder("g", opset=13)
+        x = bld.input("x", (1, 16, 8, 128))
+        w = bld.init(rng.standard_normal((16, 16, 3, 3)).astype(np.float32))
+        bld.node("Conv", [x, w], kernel_shape=[3, 3], strides=[1, 1],
+                 pads=[1, 1, 1, 1])
+        g = bld.finish()
+        assert get_pass("pixel_conv_regions")(g) == 0
+
     def test_gate_skips_unaligned(self):
         # W=120 not a lane multiple; C_in=12 not a sublane multiple
         rng = np.random.default_rng(0)
@@ -69,14 +81,15 @@ class TestPixelRegions:
     def test_relu_fusion_and_missing_bias(self):
         rng = np.random.default_rng(2)
         bld = GraphBuilder("g", opset=13)
-        x = bld.input("x", (1, 16, 8, 128))
+        # single conv: kept only on W >= 384 maps (trunk gate)
+        x = bld.input("x", (1, 16, 8, 512))
         w = bld.init((rng.standard_normal((16, 16, 3, 3)) / 12)
                      .astype(np.float32))
         y = bld.node("Conv", [x, w], kernel_shape=[3, 3], strides=[1, 1],
                      pads=[1, 1, 1, 1])
         y = bld.node("Relu", [y])
         g = bld.finish([y])
-        xv = rng.standard_normal((1, 16, 8, 128)).astype(np.float32)
+        xv = rng.standard_normal((1, 16, 8, 512)).astype(np.float32)
         want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(xv)[0])
         assert get_pass("pixel_conv_regions")(g) == 1
         node = next(g.find_nodes("PixelConv"))
