@@ -103,6 +103,21 @@ def pixel_conv(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
+@register("PixelNearestUp")
+def pixel_nearest_up(ctx: Ctx, node: Node):
+    """Integer-scale nearest upsample on NHCW activations (inserted by
+    passes/pixel_regions.py so ESRGAN-style trunks stay in the pixel-conv
+    layout through their upsample tail). Broadcast-reshape on dims 1 (H)
+    and 3 (W) — the fastest nearest formulation (probe20)."""
+    x = ctx.get(node.inputs[0])                 # (B, H, C, W)
+    sh = int(node.attr("sh", 2))
+    sw = int(node.attr("sw", 2))
+    b, h, c, w = x.shape
+    y = jnp.broadcast_to(x.reshape(b, h, 1, c, w, 1),
+                         (b, h, sh, c, w, sw))
+    ctx.set(node.outputs[0], y.reshape(b, h * sh, c, w * sw))
+
+
 @register("ConvTranspose")
 def conv_transpose(ctx: Ctx, node: Node):
     """ONNX ConvTranspose: weight layout (C_in, C_out/group, *k).

@@ -66,6 +66,56 @@ def _eligible(graph: Graph, node: Node) -> bool:
             and cin * wdt <= _MAX_CIN_X_W)
 
 
+def _nearest2x(graph: Graph, node: Node) -> tuple[int, int] | None:
+    """(sh, sw) if node is an integer-scale nearest upsample whose mapping
+    equals broadcast-repeat (true for floor/round_prefer_floor under
+    asymmetric/half_pixel at integer scales), else None."""
+    if node.op_type not in ("Resize", "Upsample"):
+        return None
+    if _as_str(node.attr("mode", "nearest")) != "nearest":
+        return None
+    if node.op_type == "Resize":
+        coord = _as_str(node.attr("coordinate_transformation_mode",
+                                  "half_pixel"))
+        nm = _as_str(node.attr("nearest_mode", "round_prefer_floor"))
+        if coord not in ("asymmetric", "half_pixel", "pytorch_half_pixel"):
+            return None
+        if nm not in ("floor", "round_prefer_floor"):
+            return None
+        sizes = (graph.constant(node.inputs[3])
+                 if len(node.inputs) > 3 and node.inputs[3] else None)
+        if sizes is not None and sizes.size:
+            t = graph.value_types.get(node.inputs[0])
+            if t is None or t.shape is None or len(t.shape) != 4 \
+                    or not all(isinstance(d, int) for d in t.shape):
+                return None
+            sizes = sizes.reshape(-1).astype(np.int64)
+            if sizes.shape != (4,) or any(
+                    int(sizes[i]) != t.shape[i] for i in (0, 1)):
+                return None
+            if sizes[2] % t.shape[2] or sizes[3] % t.shape[3]:
+                return None
+            return (int(sizes[2]) // t.shape[2],
+                    int(sizes[3]) // t.shape[3])
+        scales_edge = (node.inputs[2] if len(node.inputs) > 2
+                       and node.inputs[2] else
+                       node.inputs[1] if len(node.inputs) > 1 else "")
+        sc = graph.constant(scales_edge) if scales_edge else None
+    elif node.attr("scales") is not None:
+        sc = np.asarray(node.attr("scales"), np.float64)
+    else:
+        sc = (graph.constant(node.inputs[1])
+              if len(node.inputs) > 1 and node.inputs[1] else None)
+    if sc is None:
+        return None
+    sc = np.asarray(sc, np.float64).reshape(-1)
+    if (sc.shape != (4,) or sc[0] != 1 or sc[1] != 1
+            or sc[2] != int(sc[2]) or sc[3] != int(sc[3])
+            or sc[2] < 1 or sc[3] < 1):
+        return None
+    return int(sc[2]), int(sc[3])
+
+
 def _permute_init(arr: np.ndarray) -> np.ndarray:
     """Broadcast-constant NCHW -> NHCW: pad rank to 4, swap C and H."""
     a = arr
@@ -127,6 +177,16 @@ class _Rewriter:
                     Node("PixelConv", [x, node.inputs[1], bias], [out_edge],
                          attrs, name=f"px_{node.name or out_edge}"))
                 self.pref[out_edge] = "nhcw"
+                continue
+            up = _nearest2x(g, node)
+            if up is not None and self.pref.get(node.inputs[0]) == "nhcw":
+                # integer-nearest upsample rides the NHCW trunk
+                self.out_nodes.append(
+                    Node("PixelNearestUp", [node.inputs[0]],
+                         [node.outputs[0]], {"sh": up[0], "sw": up[1]},
+                         name=f"px_{node.name or node.outputs[0]}"))
+                self.pref[node.outputs[0]] = "nhcw"
+                changed += 1
                 continue
             kind = self._classify(node)
             if kind == "agnostic" and any(
@@ -232,7 +292,8 @@ def _trunk_filter(graph: Graph, eligible: list[Node]) -> set[int]:
                 hops += 1
                 if id(user) in ids:
                     union(id(conv), id(user))
-                elif user.op_type in agn:
+                elif (user.op_type in agn
+                      or _nearest2x(graph, user) is not None):
                     frontier.extend(user.outputs)
     sizes: dict[int, int] = {}
     for i in ids:

@@ -108,3 +108,42 @@ class TestPixelRegions:
         assert any(nd.op_type == "PixelConv" for nd in m.graph.nodes)
         got = np.asarray(m(x)[0])
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_nearest_upsample_rides_the_trunk(self):
+        # dense block (4 convs) -> nearest 2x -> conv: the resize joins the
+        # NHCW region (PixelNearestUp) and the tail conv connects to it
+        rng = np.random.default_rng(5)
+        bld = GraphBuilder("g", opset=13)
+        x = bld.input("x", (1, 16, 16, 128))
+        feats, outs = x, []
+        for j in range(4):
+            cin, cout = 16 + j * 16, (16 if j < 3 else 16)
+            w = bld.init((rng.standard_normal((cout, cin, 3, 3)) /
+                          (3 * np.sqrt(cin))).astype(np.float32))
+            y = bld.node("Conv", [feats, w], kernel_shape=[3, 3],
+                         strides=[1, 1], pads=[1, 1, 1, 1])
+            y = bld.node("LeakyRelu", [y], alpha=0.2)
+            if j < 3:
+                outs.append(y)
+                feats = bld.node("Concat", [x] + outs, axis=1)
+        roi = bld.init(np.zeros((0,), np.float32), "roi")
+        sc = bld.init(np.array([1, 1, 2, 2], np.float32), "sc")
+        up = bld.node("Resize", [y, roi, sc], mode="nearest",
+                      coordinate_transformation_mode="asymmetric",
+                      nearest_mode="floor")
+        w5 = bld.init((rng.standard_normal((16, 16, 3, 3)) / 12)
+                      .astype(np.float32))
+        out = bld.node("Conv", [up, w5], kernel_shape=[3, 3],
+                       strides=[1, 1], pads=[1, 1, 1, 1])
+        g = bld.finish([out])
+        import copy
+        xv = rng.standard_normal((1, 16, 16, 128)).astype(np.float32)
+        want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(xv)[0])
+        get_pass("pixel_conv_regions")(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert ops.count("PixelConv") == 5  # tail conv joins via the resize
+        assert ops.count("PixelNearestUp") == 1
+        assert "Resize" not in ops
+        assert ops.count("Transpose") == 2  # one entry, one exit
+        got = np.asarray(st.CompiledModel(g, st.Config())(xv)[0])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
