@@ -165,6 +165,137 @@ def pixel_conv_rowdot(x, w, bias, *, alpha=None, rows: int = 8,
     )(x, w2.astype(x.dtype), bias.reshape(cout, 1))
 
 
+# -- int8 variant: int8 activations + weights on the int8 MXU --------------
+
+
+def _rowdot_q_kernel(x_hbm, w_ref, s_ref, b_ref, o_ref, xs2, sems, *,
+                     rows: int, cin: int, cout: int, width: int, h: int,
+                     alpha, inv_sy: float, requant: bool):
+    s = pl.program_id(0)
+    nrb = h // rows
+    total = x_hbm.shape[0] * nrb
+
+    def copies(slot, step):
+        b = step // nrb
+        r0 = (step % nrb) * rows
+        return (
+            pltpu.make_async_copy(x_hbm.at[b, pl.ds(r0, rows)],
+                                  xs2.at[slot, pl.ds(1, rows)],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+                xs2.at[slot, pl.ds(0, 1)], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.minimum(r0 + rows, h - 1), 1)],
+                xs2.at[slot, pl.ds(rows + 1, 1)], sems.at[slot, 2]),
+        )
+
+    cur = s % 2
+    nxt = (s + 1) % 2
+
+    @pl.when(s == 0)
+    def _():
+        for cp in copies(cur, s):
+            cp.start()
+
+    @pl.when(s + 1 < total)
+    def _():
+        for cp in copies(nxt, s + 1):
+            cp.start()
+
+    for cp in copies(cur, s):
+        cp.wait()
+    r0 = (s % nrb) * rows
+    xs = xs2.at[cur]
+
+    @pl.when(r0 == 0)
+    def _():
+        xs[0] = jnp.zeros((cin, width), xs2.dtype)
+
+    @pl.when(r0 + rows == h)
+    def _():
+        xs[rows + 1] = jnp.zeros((cin, width), xs2.dtype)
+
+    scale = s_ref[:].astype(jnp.float32)   # (cout, 1): sx * sw[o]
+    bias = b_ref[:].astype(jnp.float32)    # (cout, 1)
+    for r in range(rows):
+        x3 = xs[pl.ds(r, 3)].reshape(3 * cin, width)
+        t = jax.lax.dot_general(
+            w_ref[:], x3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        lane = _lane_iota((cout, width))
+        left = pltpu.roll(t[0:cout], 1, 1)
+        left = jnp.where(lane == 0, 0, left)
+        right = pltpu.roll(t[2 * cout:3 * cout], width - 1, 1)
+        right = jnp.where(lane == width - 1, 0, right)
+        acc = ((t[cout:2 * cout] + left + right).astype(jnp.float32)
+               * scale + bias)
+        if alpha is not None:
+            acc = jnp.where(acc >= 0, acc, alpha * acc)
+        if requant:
+            q = jnp.round(acc * inv_sy)
+            o_ref[0, r] = jnp.clip(q, -127, 127).astype(jnp.int8)
+        else:
+            o_ref[0, r] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "rows", "inv_sy",
+                                             "requant", "out_dtype",
+                                             "interpret"))
+def pixel_conv_rowdot_q(x, w_q, scales, bias, *, alpha=None,
+                        inv_sy: float = 1.0, requant: bool = True,
+                        out_dtype=jnp.bfloat16, rows: int = 8,
+                        interpret: bool | None = None):
+    """int8-in/int8-out pixel conv: x (B, H, C_in, W) int8; w_q (C_out,
+    C_in, 3, 3) int8; scales (C_out,) = sx * sw per output channel; bias
+    (C_out,) float. The dot runs int8 x int8 -> int32 on the MXU (394
+    TOP/s envelope) and the dequant -> bias -> LeakyReLU -> requant
+    epilogue stays in-register — activations cross HBM as int8, halving
+    the bandwidth of the bf16 kernel. requant=False returns out_dtype
+    floats (for the last conv of a chain)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, h, cin, width = x.shape
+    cout = w_q.shape[0]
+    rows = min(rows, h)
+    assert h % rows == 0, "H must divide into row blocks"
+    w2 = jnp.transpose(w_q, (3, 0, 1, 2))
+    w2 = jnp.transpose(w2, (0, 1, 3, 2)).reshape(3 * cout, 3 * cin)
+    odt = jnp.int8 if requant else jnp.dtype(out_dtype)
+    kernel = functools.partial(
+        _rowdot_q_kernel, rows=rows, cin=cin, cout=cout, width=width, h=h,
+        alpha=alpha, inv_sy=float(inv_sy), requant=requant)
+    nrb = h // rows
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz * nrb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * cout, 3 * cin), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cout, width),
+                               lambda s, n=nrb: (s // n, s % n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 2, cin, width), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((bsz, h, cout, width), odt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * width * 9 * cin * cout,
+            bytes_accessed=int(x.size + bsz * h * cout * width),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w2, scales.reshape(cout, 1).astype(jnp.float32),
+      bias.reshape(cout, 1).astype(jnp.float32))
+
+
 # -- variant 1b: one block-wide dot per row block --------------------------
 
 

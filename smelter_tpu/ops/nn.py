@@ -717,21 +717,33 @@ def upsample(ctx: Ctx, node: Node):
     else:
         scales = np.asarray(node.attr("scales"), np.float64)
     mode = _as_str(node.attr("mode", "nearest"))
-    # scales keep ONNX's NCHW ordering even when activations are NHWC
-    sp0 = 1 if _layout(node) == "NHWC" else 2
+    # scales keep ONNX's NCHW ordering even when activations are NHWC/NHCW
+    axes = _spatial_axes(node, x.ndim)
     sc = scales[2:]
-    out_sizes = tuple(int(np.floor(s * d)) for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
+    out_sizes = tuple(int(np.floor(s * x.shape[a]))
+                      for s, a in zip(sc, axes))
     align = True
     if ctx.config is not None:
         align = getattr(ctx.config, "upsample_align_corners", True)
     if mode == "nearest":
         y = resize_spatial(x, out_sizes, mode="nearest", coord_mode="asymmetric",
-                           nearest_mode="floor", spatial_start=sp0)
+                           nearest_mode="floor", spatial_axes=axes)
     else:
         coord = "align_corners" if align else "asymmetric"
         y = resize_spatial(x, out_sizes, mode="linear", coord_mode=coord,
-                           spatial_start=sp0)
+                           spatial_axes=axes)
     ctx.set(node.outputs[0], y)
+
+
+def _spatial_axes(node: Node, ndim: int) -> tuple[int, ...]:
+    """Spatial axes under the node's data_layout: NCHW contiguous from 2,
+    NHWC from 1, NHCW (pixel-conv regions) = (1, 3) for rank 4."""
+    layout = _layout(node)
+    if layout == "NHWC":
+        return tuple(range(1, ndim - 1))
+    if layout == "NHCW":
+        return (1, 3)
+    return tuple(range(2, ndim))
 
 
 @register("Resize", since=10)
@@ -741,8 +753,7 @@ def resize(ctx: Ctx, node: Node):
     coord = _as_str(node.attr("coordinate_transformation_mode", "half_pixel"))
     nearest_mode = _as_str(node.attr("nearest_mode", "round_prefer_floor"))
 
-    nhwc = _layout(node) == "NHWC"
-    sp0 = 1 if nhwc else 2
+    axes = _spatial_axes(node, x.ndim)
     roi = None
     if coord == "tf_crop_and_resize":
         # roi input: [start_0..start_{r-1}, end_0..end_{r-1}] over ALL axes
@@ -767,13 +778,13 @@ def resize(ctx: Ctx, node: Node):
         if roi is not None:
             # ONNX: with tf_crop_and_resize, scales apply to the roi extent
             out_sizes = tuple(
-                int(np.floor(s * (e - b) * d))
-                for s, (b, e), d in zip(sc, roi, x.shape[sp0:sp0 + len(sc)]))
+                int(np.floor(s * (e - b) * x.shape[a]))
+                for s, (b, e), a in zip(sc, roi, axes))
         else:
-            out_sizes = tuple(int(np.floor(s * d))
-                              for s, d in zip(sc, x.shape[sp0:sp0 + len(sc)]))
+            out_sizes = tuple(int(np.floor(s * x.shape[a]))
+                              for s, a in zip(sc, axes))
     y = resize_spatial(x, out_sizes, mode=mode, coord_mode=coord,
-                       nearest_mode=nearest_mode, spatial_start=sp0, roi=roi,
+                       nearest_mode=nearest_mode, spatial_axes=axes, roi=roi,
                        extrapolation_value=float(
                            node.attr("extrapolation_value", 0.0)))
     ctx.set(node.outputs[0], y)

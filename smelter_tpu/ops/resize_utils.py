@@ -111,6 +111,7 @@ def resize_spatial(
     cubic_a: float = -0.75,
     roi: list[tuple[float, float]] | None = None,
     extrapolation_value: float = 0.0,
+    spatial_axes: tuple[int, ...] | None = None,
 ):
     """Resize spatial dims of `x` (axes [spatial_start, spatial_start+len(
     out_sizes))) to `out_sizes`. mode: nearest | linear | cubic (Keys kernel,
@@ -118,14 +119,18 @@ def resize_spatial(
     per-dim (start, end)) drives tf_crop_and_resize; coordinates mapping
     outside the input produce `extrapolation_value`."""
     # spatial dims are axes [spatial_start, spatial_start + len(out_sizes))
-    # (NHWC keeps channels after the spatial block)
-    in_sizes = x.shape[spatial_start:spatial_start + len(out_sizes)]
+    # (NHWC keeps channels after the spatial block), or the explicit
+    # `spatial_axes` (NHCW pixel-conv regions interleave C between H and W)
+    if spatial_axes is None:
+        spatial_axes = tuple(range(spatial_start,
+                                   spatial_start + len(out_sizes)))
+    in_sizes = tuple(x.shape[a] for a in spatial_axes)
     assert len(in_sizes) == len(out_sizes)
     out = x
     crop = coord_mode == "tf_crop_and_resize"
     oob_masks: list[tuple[int, np.ndarray]] = []
     for d, (in_s, out_s) in enumerate(zip(in_sizes, out_sizes)):
-        axis = spatial_start + d
+        axis = spatial_axes[d]
         roi_d = roi[d] if roi is not None else None
         if in_s == out_s and not (crop and roi_d not in (None, (0.0, 1.0))):
             continue

@@ -268,6 +268,10 @@ class _Rewriter:
     def _classify(self, node: Node) -> str:
         op = node.op_type
         in0 = node.inputs[0] if node.inputs else ""
+        if node.attr("data_layout") == "NHCW":
+            # claimed by the pixel-conv region pass (passes/pixel_regions
+            # .py) — its edges are NHCW; leave them alone
+            return "barrier"
         if op in _CONVERT:
             if op == "MaxPool" and len(node.outputs) > 1 and node.outputs[1]:
                 return "barrier"  # indices are flat NCHW offsets

@@ -38,6 +38,11 @@ _AXIS_ATTR = {"Concat", "Softmax", "LogSoftmax"}
 # VMEM gate: double-buffered (rows+2, C_in, W) bf16 blocks at rows=8.
 _MAX_CIN_X_W = 96 * 1024
 _MAX_COUT = 64
+# Region amortization gate: probe44 measured a 5-conv U-Net decoder
+# region LOSING (1,245 vs 1,421 img/s) — the skip-connection boundary
+# transposes ate the ~1.3x per-conv win — while the ~62-conv ESRGAN
+# trunk wins 2.2x. W>=384 singletons always win (XLA collapses there).
+_MIN_REGION = 8
 
 
 def _eligible(graph: Graph, node: Node) -> bool:
@@ -116,6 +121,23 @@ def _nearest2x(graph: Graph, node: Node) -> tuple[int, int] | None:
     return int(sc[2]), int(sc[3])
 
 
+def _resize_rideable(graph: Graph, node: Node) -> bool:
+    """Non-integer / linear / cubic Resize or Upsample that the NHCW-aware
+    lowering can run in-region (ops/nn.py::_spatial_axes): 4-D, no
+    tf_crop_and_resize, no opset-18 axes/antialias attrs."""
+    if node.op_type not in ("Resize", "Upsample"):
+        return False
+    t = graph.value_types.get(node.inputs[0])
+    if t is None or t.shape is None or len(t.shape) != 4:
+        return False
+    if _as_str(node.attr("coordinate_transformation_mode",
+                         "half_pixel")) == "tf_crop_and_resize":
+        return False
+    if node.attr("axes") is not None or node.attr("antialias"):
+        return False
+    return True
+
+
 def _permute_init(arr: np.ndarray) -> np.ndarray:
     """Broadcast-constant NCHW -> NHCW: pad rank to 4, swap C and H."""
     a = arr
@@ -178,16 +200,27 @@ class _Rewriter:
                          attrs, name=f"px_{node.name or out_edge}"))
                 self.pref[out_edge] = "nhcw"
                 continue
-            up = _nearest2x(g, node)
-            if up is not None and self.pref.get(node.inputs[0]) == "nhcw":
-                # integer-nearest upsample rides the NHCW trunk
-                self.out_nodes.append(
-                    Node("PixelNearestUp", [node.inputs[0]],
-                         [node.outputs[0]], {"sh": up[0], "sw": up[1]},
-                         name=f"px_{node.name or node.outputs[0]}"))
-                self.pref[node.outputs[0]] = "nhcw"
-                changed += 1
-                continue
+            if self.pref.get(node.inputs[0] if node.inputs else "") == "nhcw":
+                up = _nearest2x(g, node)
+                if up is not None:
+                    # integer-nearest upsample rides the NHCW trunk as a
+                    # broadcast-reshape (the fastest nearest form, probe20)
+                    self.out_nodes.append(
+                        Node("PixelNearestUp", [node.inputs[0]],
+                             [node.outputs[0]], {"sh": up[0], "sw": up[1]},
+                             name=f"px_{node.name or node.outputs[0]}"))
+                    self.pref[node.outputs[0]] = "nhcw"
+                    changed += 1
+                    continue
+                if _resize_rideable(g, node):
+                    # linear/cubic/fractional resize: the lowering handles
+                    # NHCW via explicit spatial axes (1, 3)
+                    node.attrs["data_layout"] = "NHCW"
+                    for o in node.outputs:
+                        self.pref[o] = "nhcw"
+                    self.out_nodes.append(node)
+                    changed += 1
+                    continue
             kind = self._classify(node)
             if kind == "agnostic" and any(
                     self.pref.get(n) == "nhcw" for n in node.inputs if n):
@@ -255,13 +288,14 @@ class _Rewriter:
 
 def _trunk_filter(graph: Graph, eligible: list[Node]) -> set[int]:
     """Keep only convs whose NHCW region amortizes its boundary
-    transposes: regions of >= 4 connected eligible convs (connected
-    through agnostic ops — the ESRGAN trunk case), or any conv on W >=
-    384 maps where XLA's direct conv collapses (probe40: 17.6 TF @512 vs
-    the kernel's 47, a 2.1x win even with both transposes included,
-    probe43). Isolated/paired convs at W <= 256 lose end-to-end: the
-    boundary transposes cost more than the ~1.4x per-conv win (probe44:
-    U-Net 1,194 vs 1,488 and SegNet 1,212 vs 2,007 without this gate)."""
+    transposes: regions of >= _MIN_REGION connected eligible convs
+    (connected through agnostic ops / rideable resizes — the ESRGAN trunk
+    case), or any conv on W >= 384 maps where XLA's direct conv collapses
+    (probe40: 17.6 TF @512 vs the kernel's 47, a 2.1x win even with both
+    transposes included, probe43). Small regions at W <= 256 lose
+    end-to-end: boundary transposes cost more than the ~1.3-1.4x per-conv
+    win (probe44: ungated, U-Net 1,194 and SegNet 1,212; at threshold 4
+    U-Net's 5-conv decoder region still lost, 1,245 vs 1,421)."""
     vt = graph.value_types
     ids = {id(n): n for n in eligible}
     parent = {i: i for i in ids}
@@ -293,7 +327,8 @@ def _trunk_filter(graph: Graph, eligible: list[Node]) -> set[int]:
                 if id(user) in ids:
                     union(id(conv), id(user))
                 elif (user.op_type in agn
-                      or _nearest2x(graph, user) is not None):
+                      or _nearest2x(graph, user) is not None
+                      or _resize_rideable(graph, user)):
                     frontier.extend(user.outputs)
     sizes: dict[int, int] = {}
     for i in ids:
@@ -302,7 +337,7 @@ def _trunk_filter(graph: Graph, eligible: list[Node]) -> set[int]:
     for i, node in ids.items():
         t = vt.get(node.inputs[0])
         wdt = t.shape[3]
-        if sizes[find(i)] >= 4 or wdt >= 384:
+        if sizes[find(i)] >= _MIN_REGION or wdt >= 384:
             keep.add(i)
     return keep
 

@@ -65,3 +65,43 @@ def test_blockdot(cin, cout, alpha):
                               alpha=alpha, rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1, 3), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+class TestPixelConvQ:
+    def _case(self, requant, alpha):
+        from smelter_tpu.kernels.pixel_conv import pixel_conv_rowdot_q
+        rng = np.random.default_rng(11)
+        b, h, w, cin, cout = 2, 16, 128, 16, 8
+        xq = rng.integers(-127, 128, (b, h, cin, w), dtype=np.int8)
+        wq = rng.integers(-127, 128, (cout, cin, 3, 3), dtype=np.int8)
+        sx, sw = 0.02, rng.uniform(0.001, 0.01, cout).astype(np.float32)
+        bias = rng.standard_normal(cout).astype(np.float32)
+        sy = 0.05
+        got = pixel_conv_rowdot_q(
+            jnp.asarray(xq), jnp.asarray(wq), jnp.asarray(sx * sw),
+            jnp.asarray(bias), alpha=alpha, inv_sy=1.0 / sy,
+            requant=requant, out_dtype=jnp.float32, rows=8, interpret=True)
+        # reference: dequant -> f32 conv -> bias -> leaky -> (requant)
+        from smelter_tpu.kernels.pixel_conv import pixel_conv_reference
+        xf = xq.astype(np.float32).transpose(0, 2, 1, 3) * sx
+        wf = wq.astype(np.float32) * sw.reshape(-1, 1, 1, 1)
+        ref = np.asarray(pixel_conv_reference(
+            jnp.asarray(xf), jnp.asarray(wf), jnp.asarray(bias),
+            alpha=alpha))
+        ref = ref.transpose(0, 2, 1, 3)  # -> (B, H, C_out, W)
+        if requant:
+            want = np.clip(np.round(ref / sy), -127, 127).astype(np.int8)
+            got = np.asarray(got)
+            # rounding at the .5 boundary may differ by 1 ulp
+            assert (np.abs(got.astype(np.int32)
+                           - want.astype(np.int32)) <= 1).all()
+            assert (got == want).mean() > 0.999
+        else:
+            np.testing.assert_allclose(np.asarray(got), ref,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_requant_int8_out(self):
+        self._case(True, 0.2)
+
+    def test_float_out(self):
+        self._case(False, None)

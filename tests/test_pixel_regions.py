@@ -13,27 +13,31 @@ from smelter_tpu.ir.build import GraphBuilder
 from smelter_tpu.passes.pass_manager import get_pass
 
 
-def _dense_block_graph(b=1, nf=16, gc=16, hw=128):
-    """ESRGAN-style dense block: convs + LeakyRelu + concats + residual."""
+def _dense_block_graph(b=1, nf=16, gc=16, hw=128, blocks=2):
+    """ESRGAN-style dense blocks (2 x 4 convs meets the >= 8-conv region
+    gate): convs + LeakyRelu + concats + residuals."""
     rng = np.random.default_rng(0)
     bld = GraphBuilder("db", opset=13)
-    x = bld.input("x", (b, nf, hw, hw))
-    feats, outs = x, []
-    for j in range(4):
-        cin = nf + j * gc
-        cout = gc if j < 3 else nf
-        w = bld.init((rng.standard_normal((cout, cin, 3, 3)) /
-                      (3 * np.sqrt(cin))).astype(np.float32))
-        bias = bld.init(rng.standard_normal((cout,)).astype(np.float32) * .1)
-        y = bld.node("Conv", [feats, w, bias], kernel_shape=[3, 3],
-                     strides=[1, 1], pads=[1, 1, 1, 1])
-        if j < 3:
-            y = bld.node("LeakyRelu", [y], alpha=0.2)
-            outs.append(y)
-            feats = bld.node("Concat", [x] + outs, axis=1)
+    x0 = bld.input("x", (b, nf, hw, hw))
     scale = bld.init(np.asarray(0.2, np.float32))
-    out = bld.node("Add", [x, bld.node("Mul", [y, scale])])
-    return bld.finish([out]), (b, nf, hw, hw)
+    x = x0
+    for _ in range(blocks):
+        feats, outs = x, []
+        for j in range(4):
+            cin = nf + j * gc
+            cout = gc if j < 3 else nf
+            w = bld.init((rng.standard_normal((cout, cin, 3, 3)) /
+                          (3 * np.sqrt(cin))).astype(np.float32))
+            bias = bld.init(rng.standard_normal((cout,))
+                            .astype(np.float32) * .1)
+            y = bld.node("Conv", [feats, w, bias], kernel_shape=[3, 3],
+                         strides=[1, 1], pads=[1, 1, 1, 1])
+            if j < 3:
+                y = bld.node("LeakyRelu", [y], alpha=0.2)
+                outs.append(y)
+                feats = bld.node("Concat", [x] + outs, axis=1)
+        x = bld.node("Add", [x, bld.node("Mul", [y, scale])])
+    return bld.finish([x]), (b, nf, hw, hw)
 
 
 class TestPixelRegions:
@@ -43,9 +47,9 @@ class TestPixelRegions:
             np.float32)
         want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(x)[0])
         n = get_pass("pixel_conv_regions")(g)
-        assert n == 4  # all four convs taken
+        assert n == 8  # all eight convs taken
         ops = [nd.op_type for nd in g.nodes]
-        assert ops.count("PixelConv") == 4
+        assert ops.count("PixelConv") == 8
         assert "Conv" not in ops
         assert "LeakyRelu" not in ops  # fused into the kernel epilogue
         # one entry transpose (memoized across x's uses) + one exit
@@ -116,8 +120,8 @@ class TestPixelRegions:
         bld = GraphBuilder("g", opset=13)
         x = bld.input("x", (1, 16, 16, 128))
         feats, outs = x, []
-        for j in range(4):
-            cin, cout = 16 + j * 16, (16 if j < 3 else 16)
+        for j in range(8):
+            cin, cout = (16 + j * 16 if j <= 3 else 16), 16
             w = bld.init((rng.standard_normal((cout, cin, 3, 3)) /
                           (3 * np.sqrt(cin))).astype(np.float32))
             y = bld.node("Conv", [feats, w], kernel_shape=[3, 3],
@@ -126,6 +130,8 @@ class TestPixelRegions:
             if j < 3:
                 outs.append(y)
                 feats = bld.node("Concat", [x] + outs, axis=1)
+            else:
+                feats = y
         roi = bld.init(np.zeros((0,), np.float32), "roi")
         sc = bld.init(np.array([1, 1, 2, 2], np.float32), "sc")
         up = bld.node("Resize", [y, roi, sc], mode="nearest",
@@ -141,7 +147,7 @@ class TestPixelRegions:
         want = np.asarray(st.CompiledModel(copy.deepcopy(g), st.Config())(xv)[0])
         get_pass("pixel_conv_regions")(g)
         ops = [nd.op_type for nd in g.nodes]
-        assert ops.count("PixelConv") == 5  # tail conv joins via the resize
+        assert ops.count("PixelConv") == 9  # tail conv joins via the resize
         assert ops.count("PixelNearestUp") == 1
         assert "Resize" not in ops
         assert ops.count("Transpose") == 2  # one entry, one exit
