@@ -46,6 +46,20 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
 
             amax = calibrate(g, calibration_data)
             quantize_static(g, amax)
+    elif quant == "int8-pixel":
+        # Calibrated int8 over the NHCW pixel-conv trunks only (ESRGAN-
+        # class decoders): int8 MXU + half the trunk's HBM bytes, while
+        # everything outside the regions stays float — the measured best
+        # envelope for huge-activation SR graphs (probe45, BENCHMARKS.md).
+        if g.metadata.get("quant") != quant:
+            if calibration_data is None:
+                raise ValueError(
+                    "quant='int8-pixel' needs calibration_data: a list of "
+                    "graph-input tuples, e.g. [(batch1,), (batch2,)]")
+            from .quant import calibrate, quantize_pixel_regions
+
+            amax = calibrate(g, calibration_data)
+            quantize_pixel_regions(g, amax)
     elif quant == "int8-conv":
         # Conv-family weights only: the right int8 envelope for transformer
         # graphs, where matmul weights are amortized over many rows and

@@ -103,6 +103,35 @@ def pixel_conv(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
+@register("PixelConvQ")
+def pixel_conv_q(ctx: Ctx, node: Node):
+    """int8 pixel-major 3x3/s1/p1 conv on NHCW int8 activations (inserted
+    by quant/pixel_quant.py from calibrated scales): int8 x int8 -> int32
+    on the MXU, dequant -> bias -> LeakyReLU -> requant epilogue
+    in-register, activations cross HBM as int8 — half the bf16 trunk's
+    bytes (kernels/pixel_conv.py::pixel_conv_rowdot_q, probe45: 1.37x over
+    the bf16 kernel on an RRDB trunk). requant=0 returns floats (last conv
+    of a chain). Inputs: x_q, w_q, scales (= s_x * s_w[c_out]), bias."""
+    from ..kernels.pixel_conv import pixel_conv_rowdot_q
+
+    x = ctx.get(node.inputs[0])            # (B, H, C_in, W) int8
+    wq = ctx.get(node.inputs[1])           # (C_out, C_in, 3, 3) int8
+    sc = ctx.get(node.inputs[2])           # (C_out,) f32
+    b = ctx.get(node.inputs[3])
+    alpha = node.attrs.get("alpha")
+    cfg = ctx.config
+    out_dtype = jnp.dtype(cfg.compute_dtype if cfg is not None
+                          else "float32")
+    rows = 16 if x.shape[1] % 16 == 0 else 8
+    y = pixel_conv_rowdot_q(
+        x, wq, sc, b,
+        alpha=None if alpha is None else float(alpha),
+        inv_sy=float(node.attr("inv_sy", 1.0)),
+        requant=bool(node.attr("requant", 1)),
+        out_dtype=out_dtype, rows=rows)
+    ctx.set(node.outputs[0], y)
+
+
 @register("PixelNearestUp")
 def pixel_nearest_up(ctx: Ctx, node: Node):
     """Integer-scale nearest upsample on NHCW activations (inserted by

@@ -13,3 +13,5 @@ FP32 (tests/test_quant.py).
 from .weight_quant import dequantize_array, quantize_array, quantize_weights  # noqa: F401
 
 from .static_quant import calibrate, quantize_static  # noqa: F401
+
+from .pixel_quant import quantize_pixel_regions  # noqa: F401

@@ -183,6 +183,8 @@ class Executor:
         _SCALE_POS = {
             "DequantizeLinear": (1, 2),
             "FusedDequantMatMul": (2,),
+            # scales (2) and bias (3) feed the kernel's f32 epilogue
+            "PixelConvQ": (2, 3),
         }
         for node in graph.nodes:
             if node.op_type.startswith("Q"):
