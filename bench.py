@@ -59,8 +59,25 @@ def _chip_time(m, x, k_lo: int = 6, k_hi: int = 26, reps: int = 3) -> float:
         @jax.jit
         def run(p, xx):
             def body(_, carry):
-                c0 = carry[(0,) * carry.ndim].astype(xx.dtype)
-                out = m._fn(p, xx + c0 * 0)
+                # Tie each iteration's input to the previous output with a
+                # dependence no XLA pass can sever. The obvious candidates
+                # both fail: `xx + c0 * 0` folds the moment any fast-math
+                # pass allows float x*0->0, and `optimization_barrier` is
+                # erased by the barrier expander and looked through by
+                # while-loop LICM (verified: the dot+tanh of a test body
+                # were hoisted clean out of the loop). Instead, bitcast the
+                # carry scalar to int32 and compare against a sentinel bit
+                # pattern: the zero is a RUNTIME value (integer compare is
+                # untouched by fast-math, and no simplifier can prove a
+                # runtime int != constant), so `xx + zero` stays loop-
+                # carried. At runtime zero == 0.0 unless the output's
+                # [0]*ndim element bitcasts exactly to the sentinel (~2^-32,
+                # and even then the effect is xx+1 — same compute timed).
+                c0 = carry[(0,) * carry.ndim].astype(jnp.float32)
+                bits = jax.lax.bitcast_convert_type(c0, jnp.int32)
+                zero = jnp.where(bits == jnp.int32(0x7DEAD001),
+                                 jnp.float32(1), jnp.float32(0))
+                out = m._fn(p, xx + zero.astype(xx.dtype))
                 return jax.tree_util.tree_leaves(out)[0]
             return jax.lax.fori_loop(
                 0, k, body, jnp.zeros(leaf_sd.shape, leaf_sd.dtype))

@@ -8,6 +8,12 @@ reference, then prints WORKER_OK."""
 import os
 import sys
 
+# Script-invoked subprocess gets sys.path[0]=tests/, not the repo root;
+# bootstrap so `import smelter_tpu` works regardless of install state.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def main() -> int:
     port, pid = sys.argv[1], int(sys.argv[2])

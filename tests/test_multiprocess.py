@@ -24,6 +24,10 @@ def test_two_process_dp_tp_forward():
     worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # Belt and braces with the worker's own sys.path bootstrap: the package
+    # may not be pip-installed in every environment this runs in.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen([sys.executable, worker, str(port), str(pid)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
