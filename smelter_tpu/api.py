@@ -96,8 +96,19 @@ def compile(model: str | os.PathLike | Graph, config: Config | None = None,
     """Load (path or Graph), optimize, optionally quantize, jit-compile.
     layout="nhwc" (default) rewrites 4-D CNN flow to the TPU-preferred
     channels-last layout; pass "nchw" to keep ONNX order.
-    quant: None | "fp16" | "int8" (weight-only) | "int8-static" (full int8,
-    requires calibration_data: list of graph-input tuples)."""
+    quant:
+      None          — keep float weights.
+      "fp16"        — fp16 weight-only.
+      "int8"        — int8 weight-only, per-channel scales.
+      "int8-conv"   — int8 weight-only on Conv/ConvTranspose ONLY (the
+                      right envelope for transformer graphs, where matmul
+                      dequant costs more than the bandwidth it saves).
+      "int8-static" — full static int8 (activations + weights, folded
+                      requant epilogues); requires calibration_data: a
+                      list of graph-input tuples, e.g. [(batch1,), ...].
+      "int8-pixel"  — calibrated int8 over NHCW pixel-conv regions only
+                      (ESRGAN-class decoders; everything outside the
+                      regions stays float); requires calibration_data."""
     return CompiledModel(
         _prepare(model, quant, optimize, layout, calibration_data), config)
 

@@ -102,21 +102,45 @@ def quantize_pixel_regions(graph: Graph, amax: dict[str, float]) -> int:
                     uf.union(id(node), src[e])
             src[node.outputs[0]] = id(node)
 
-    # -- per-region shared activation scale ------------------------------
-    region_edges: dict[int, set[str]] = {}
     region_convs: dict[int, list[Node]] = {}
     for i, node in node_of.items():
-        r = uf.find(i)
-        es = region_edges.setdefault(r, set())
-        es.add(node.outputs[0])
-        es.update(e for e in node.inputs
-                  if e and e not in graph.initializers)
         if i in conv_ids:
-            region_convs.setdefault(r, []).append(node)
-    scale: dict[int, float] = {}
-    for r, edges in region_edges.items():
-        if not region_convs.get(r):
+            region_convs.setdefault(uf.find(i), []).append(node)
+    has_convs = set(region_convs)
+
+    # -- which edges must exist in int8 (reverse reachability) -----------
+    # Structural (scale-independent): regions are disjoint connected
+    # components and a conv/bridge's producers always union into the same
+    # region, so neededness never leaks across regions.
+    needed: set[str] = set()
+    for node in reversed(graph.nodes):
+        if id(node) in conv_ids and uf.find(id(node)) in has_convs:
+            needed.add(node.inputs[0])
+        elif (node.op_type in _BRIDGES and id(node) in node_of
+              and uf.find(id(node)) in has_convs
+              and node.outputs[0] in needed):
+            needed.update(e for e in node.inputs if e)
+
+    # -- per-region shared activation scale ------------------------------
+    # Max over the edges that actually live on the int8 grid: conv inputs
+    # plus inputs of bridges whose output is needed. A requant=0 conv
+    # output never exists in int8, so its amax must neither coarsen the
+    # region's grid nor (when uncalibrated) skip the region; a requant=1
+    # output is some downstream conv/bridge's input and is already counted
+    # there.
+    scale_edges: dict[int, set[str]] = {}
+    for i, node in node_of.items():
+        r = uf.find(i)
+        if r not in has_convs:
             continue
+        es = scale_edges.setdefault(r, set())
+        if i in conv_ids:
+            es.add(node.inputs[0])
+        elif node.outputs[0] in needed:
+            es.update(e for e in node.inputs
+                      if e and e not in graph.initializers)
+    scale: dict[int, float] = {}
+    for r, edges in scale_edges.items():
         ms = [amax.get(e) for e in edges]
         if any(m is None or m <= 0.0 for m in ms):
             continue  # uncalibrated region: skip, never guess
@@ -127,18 +151,13 @@ def quantize_pixel_regions(graph: Graph, amax: dict[str, float]) -> int:
     if not q_convs:
         return 0
 
-    # -- which edges must exist in int8 (reverse reachability) -----------
-    needed: set[str] = set()
-    for node in reversed(graph.nodes):
-        if id(node) in q_convs:
-            needed.add(node.inputs[0])
-        elif (node.op_type in _BRIDGES and id(node) in node_of
-              and uf.find(id(node)) in scale
-              and node.outputs[0] in needed):
-            needed.update(e for e in node.inputs if e)
-
     # -- rewrite ----------------------------------------------------------
-    int8_map: dict[str, str] = {}   # float edge -> int8 twin edge
+    # int8_map is keyed by (edge, scale), NOT edge alone: a float entry
+    # edge shared by convs in two disjoint regions must get one
+    # QuantizeLinear PER region scale — memoizing by name alone would
+    # reuse region 1's int8 grid while region 2 dequantizes at its own
+    # scale, silently scaling results by s2/s1.
+    int8_map: dict[tuple[str, float], str] = {}
     new_nodes: list[Node] = []
     changed = 0
 
@@ -148,14 +167,14 @@ def quantize_pixel_regions(graph: Graph, amax: dict[str, float]) -> int:
         return name
 
     def ensure_q(edge: str, s: float) -> str:
-        if edge in int8_map:
-            return int8_map[edge]
+        if (edge, s) in int8_map:
+            return int8_map[(edge, s)]
         q = graph.fresh_name(edge + "_q8")
         s_i = add_init(edge + "_xs", np.float32(s))
         z_i = add_init(edge + "_xz", np.int8(0))
         new_nodes.append(Node("QuantizeLinear", [edge, s_i, z_i], [q],
                               name=q))
-        int8_map[edge] = q
+        int8_map[(edge, s)] = q
         return q
 
     for node in graph.nodes:
@@ -178,7 +197,7 @@ def quantize_pixel_regions(graph: Graph, amax: dict[str, float]) -> int:
                                       [xq, w_i, sc_i, node.inputs[2]],
                                       [qo], attrs,
                                       name=f"pq_{node.name or out}"))
-                int8_map[out] = qo
+                int8_map[(out, s)] = qo
                 ys_i = add_init(out + "_ys", np.float32(s))
                 yz_i = add_init(out + "_yz", np.int8(0))
                 new_nodes.append(Node("DequantizeLinear",
@@ -201,7 +220,7 @@ def quantize_pixel_regions(graph: Graph, amax: dict[str, float]) -> int:
             new_nodes.append(Node(node.op_type, qins, [qo],
                                   dict(node.attrs),
                                   name=f"q_{node.name or qo}"))
-            int8_map[node.outputs[0]] = qo
+            int8_map[(node.outputs[0], s)] = qo
             new_nodes.append(node)  # float twin; DCE removes if unused
             continue
         new_nodes.append(node)
