@@ -80,7 +80,8 @@ def _kernel(x_ref, w_ref, sr_ref, sc_ref, o_ref, acc_ref, *, n_k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype",
+                     "parallel_dims"),
 )
 def _int8_matmul_impl(
     x_q: jax.Array,       # (M, K) int8
@@ -93,6 +94,7 @@ def _int8_matmul_impl(
     block_k: int = 1024,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    parallel_dims: bool = True,
 ) -> jax.Array:
     M, K = x_q.shape
     K2, N = w_q.shape
@@ -123,11 +125,154 @@ def _int8_matmul_impl(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+            if parallel_dims else None),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(x_q, w_q, row_scales, col_scales.reshape(1, N))
+
+
+def _fused_kernel(sr_ref, x_hbm, w_ref, sc_ref, o_ref,
+                  xq_panel, acc_ref, xbuf, dma_sems, *,
+                  n_k: int, bm: int, bk: int, out_dtype):
+    """Fused per-row-quant int8 matmul body. Grid (i, j, k), k fastest.
+
+    j == 0 sweep: double-buffered manual DMA of the bf16 x tile
+    (i, k) HBM->VMEM, quantize in-register at the prefetched per-row
+    scale, store into the int8 panel (bm, K) AND dot. j > 0 sweeps dot
+    straight from the panel — x crosses HBM exactly once per i-panel,
+    as bf16, with no x_q materialization in HBM at all (the round-2
+    composite paid a separate 3-bytes/elem quantize pass plus an
+    n_j-times reload of x_q; VERDICT r2 item 2)."""
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j == 0)
+    def _():
+        # warm-up DMA for k == 0 (one ~bm*bk*2-byte bubble per i-panel)
+        @pl.when(k == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * bm, bm), pl.ds(0, bk)],
+                xbuf.at[0], dma_sems.at[0]).start()
+
+        # prefetch k+1 while quantizing/dotting k
+        @pl.when(k + 1 < n_k)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * bm, bm), pl.ds((k + 1) * bk, bk)],
+                xbuf.at[(k + 1) % 2], dma_sems.at[(k + 1) % 2]).start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * bm, bm), pl.ds(k * bk, bk)],
+            xbuf.at[k % 2], dma_sems.at[k % 2]).wait()
+        # same formulation as quantize_rows: round(x / s), clip, cast
+        xf = xbuf[k % 2].astype(jnp.float32)
+        q = jnp.clip(jnp.round(xf / sr_ref[:]), -127, 127).astype(jnp.int8)
+        xq_panel[:, pl.ds(k * bk, bk)] = q
+
+    acc_ref[:] += jnp.dot(xq_panel[:, pl.ds(k * bk, bk)], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sr_ref[:].astype(jnp.float32)
+                    * sc_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
+)
+def _int8_matmul_fused_impl(
+    x: jax.Array,           # (M, K) bf16/f32 — stays float in HBM
+    w_q: jax.Array,         # (K, N) int8
+    row_scales: jax.Array,  # (M, 1) f32
+    col_scales: jax.Array,  # (N,) f32
+    *,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    K2, N = w_q.shape
+    assert K == K2 and col_scales.shape == (N,) and row_scales.shape == (M, 1)
+    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    # manual x DMA reads raw HBM slices: require aligned M/K (serving
+    # shapes are); callers fall back to the two-pass kernel otherwise
+    assert M % bm == 0 and K % bk == 0, (M, K, bm, bk)
+    grid = (M // bm, _cdiv(N, bn), K // bk)
+
+    kernel = functools.partial(
+        _fused_kernel, n_k=grid[2], bm=bm, bk=bk,
+        out_dtype=jnp.dtype(out_dtype))
+    flops = 2 * M * N * K
+    bytes_accessed = (x.size * x.dtype.itemsize + w_q.size * (M // bm)
+                      + M * 4 + N * 4
+                      + M * N * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, K), jnp.int8),           # quantized panel
+            pltpu.VMEM((bm, bn), jnp.int32),         # accumulator
+            pltpu.VMEM((2, bm, bk), x.dtype),        # DMA landing slots
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(row_scales, x, w_q, col_scales.reshape(1, N))
+
+
+def dequant_matmul_int8_fused(x, w_q, scales, *, block_m: int = 512,
+                              block_n: int = 1024, block_k: int = 1024,
+                              out_dtype=None, interpret: bool | None = None):
+    """Fused-quant composite (VERDICT r2 item 2): per-row scales from one
+    cheap absmax pass (reads x, writes M floats), then ONE kernel that
+    quantizes the LHS during its K-loop DMA pipeline and applies the f32
+    epilogue on the output tile. HBM traffic for the activation matrix is
+    1 float read total, vs the two-pass composite's read+write(int8)+
+    n_j*reload. Falls back to the two-pass path on unaligned shapes."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, K = x.shape
+    bm, bk = min(block_m, M), min(block_k, K)
+    if M % bm or K % bk:
+        return dequant_matmul_int8(x, w_q, scales, block_m=block_m,
+                                   block_n=block_n, block_k=block_k,
+                                   out_dtype=out_dtype, interpret=interpret)
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s_row = (jnp.maximum(ax, 1e-30) / 127.0).astype(jnp.float32)
+    return _int8_matmul_fused_impl(
+        x, w_q, s_row, scales, block_m=block_m, block_n=block_n,
+        block_k=block_k, out_dtype=out_dtype, interpret=interpret)
 
 
 def int8_matmul(x_q, w_q, row_scales, col_scales, *, block_m: int = 1024,
