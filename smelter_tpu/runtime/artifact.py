@@ -96,6 +96,17 @@ def save_artifact(path: str | os.PathLike, graph: Graph,
                 payload = serialize_executable.serialize(compiled)
                 (path / f"exec_{key}.xla").write_bytes(pickle.dumps(payload))
                 entry["aot"] = True
+                # deserialize_and_load defaults execution_devices to ALL
+                # local devices; an executable compiled for 1 device then
+                # demands N input shards at execution and is rejected.
+                # Record the compile-time device count so load pins the
+                # execution devices to match.
+                try:
+                    sh = jax.tree_util.tree_leaves(
+                        compiled.input_shardings[0])[0]
+                    entry["device_count"] = len(sh.device_set)
+                except Exception:  # noqa: BLE001
+                    entry["device_count"] = 1
             except Exception as e:  # noqa: BLE001 — backend may not support it
                 warnings.warn(
                     f"executable serialization unavailable on {platform} "
@@ -149,14 +160,20 @@ class ArtifactModel:
         version_ok = meta.get("jax_version") == jax.__version__
         self._exe_path = path / f"exec_{key}.bin"
         xla_path = path / f"exec_{key}.xla"
-        if version_ok and xla_path.exists():
+        n_exec = meta.get("executables", {}).get(key, {}).get(
+            "device_count", 1)
+        if version_ok and xla_path.exists() and len(jax.devices()) >= n_exec:
             try:
                 import pickle
 
                 from jax.experimental import serialize_executable
 
                 payload = pickle.loads(xla_path.read_bytes())
-                self._fn = serialize_executable.deserialize_and_load(*payload)
+                # pin execution devices to the compile-time count — the
+                # default (all local devices) makes a 1-device executable
+                # demand N input shards and reject at execution
+                self._fn = serialize_executable.deserialize_and_load(
+                    *payload, execution_devices=jax.devices()[:n_exec])
                 self.load_kind = "aot"
             except Exception:  # noqa: BLE001 — fall through to StableHLO
                 self._fn = None
