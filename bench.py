@@ -18,17 +18,9 @@ import numpy as np
 
 
 def _sync(out) -> None:
-    """Force true device completion. Over the axon tunnel,
-    block_until_ready returns before remote execution finishes — only a
-    host readback observes completion (execution is in-order, so reading
-    any element of the last output waits for all queued work). Slice a
-    single element ON DEVICE first: np.asarray of the full array would
-    time the tunnel transfer, not the model."""
-    import jax
+    from smelter_tpu.runtime.benchtime import sync
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    scalar = leaf[(0,) * getattr(leaf, "ndim", 0)]
-    np.asarray(scalar)
+    sync(out)
 
 
 def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
@@ -42,58 +34,11 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
 
 
 def _chip_time(m, x, k_lo: int = 6, k_hi: int = 26, reps: int = 3) -> float:
-    """Per-step chip time in seconds, loop-amortized. Sequentially
-    dispatched calls do NOT hide the tunnel's per-dispatch overhead
-    (probe34e: engine ResNet 13.1 ms pipelined vs 8.1 ms amortized), so
-    chain K model invocations inside ONE dispatch via lax.fori_loop (each
-    iteration's input depends on the previous output — XLA cannot
-    parallelize them) and difference two K values to cancel the fixed
-    dispatch + boundary cost."""
-    import jax
-    import jax.numpy as jnp
+    """Per-step chip time in seconds, loop-amortized + K-differenced
+    (methodology + carry-dependence rationale in runtime/benchtime.py)."""
+    from smelter_tpu.runtime.benchtime import chip_time
 
-    out_sd = jax.eval_shape(m._fn, m.params, x)
-    leaf_sd = jax.tree_util.tree_leaves(out_sd)[0]
-
-    def chained(k):
-        @jax.jit
-        def run(p, xx):
-            def body(_, carry):
-                # Tie each iteration's input to the previous output with a
-                # dependence no XLA pass can sever. The obvious candidates
-                # both fail: `xx + c0 * 0` folds the moment any fast-math
-                # pass allows float x*0->0, and `optimization_barrier` is
-                # erased by the barrier expander and looked through by
-                # while-loop LICM (verified: the dot+tanh of a test body
-                # were hoisted clean out of the loop). Instead, bitcast the
-                # carry scalar to int32 and compare against a sentinel bit
-                # pattern: the zero is a RUNTIME value (integer compare is
-                # untouched by fast-math, and no simplifier can prove a
-                # runtime int != constant), so `xx + zero` stays loop-
-                # carried. At runtime zero == 0.0 unless the output's
-                # [0]*ndim element bitcasts exactly to the sentinel (~2^-32,
-                # and even then the effect is xx+1 — same compute timed).
-                c0 = carry[(0,) * carry.ndim].astype(jnp.float32)
-                bits = jax.lax.bitcast_convert_type(c0, jnp.int32)
-                zero = jnp.where(bits == jnp.int32(0x7DEAD001),
-                                 jnp.float32(1), jnp.float32(0))
-                out = m._fn(p, xx + zero.astype(xx.dtype))
-                return jax.tree_util.tree_leaves(out)[0]
-            return jax.lax.fori_loop(
-                0, k, body, jnp.zeros(leaf_sd.shape, leaf_sd.dtype))
-        return run
-
-    def timed(fn):
-        _sync(fn(m.params, x))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _sync(fn(m.params, x))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_lo, t_hi = timed(chained(k_lo)), timed(chained(k_hi))
-    return max(1e-9, (t_hi - t_lo) / (k_hi - k_lo))
+    return chip_time(m._fn, m.params, x, k_lo=k_lo, k_hi=k_hi, reps=reps)
 
 
 def _compile_best(args, st, g):

@@ -22,6 +22,16 @@ Numerics: activations carry one extra rounding step vs the weight-only
 kernel (bf16-exact activations); max elementwise activation error is
 0.5 * s_row. Accuracy gates live in tests/test_kernels.py (exact integer
 parity) and the model-level argmax checks in tests/test_quant.py.
+
+Round-3 measurements (probes 47-51, K-differenced contention-robust
+timing at M8192/K4096/N4096 — docs/BENCHMARKS.md "SOL gate: CLOSED"):
+e2e composite 334 TOP/s on the XLA lowering (the int8_activations
+default) / 324 on this Pallas kernel (bm512 bn512 bk2048), vs 437 for
+the bare pre-quantized dot; the gap is exactly the quantize pass (93 us,
+bandwidth-bound) + f32 epilogue. The two hand-fused variants below
+(`_int8_matmul_fused_impl` manual-DMA panel, `_int8_matmul_fused2_impl`
+quantize-on-revisit) measured 231 / 276 — Mosaic's own pipelining beats
+both hand schedules; they stay as negative-result records, unwired.
 """
 
 from __future__ import annotations
@@ -89,12 +99,12 @@ def _int8_matmul_impl(
     row_scales: jax.Array,  # (M, 1) f32
     col_scales: jax.Array,  # (N,) f32
     *,
-    block_m: int = 1024,
-    block_n: int = 1024,
-    block_k: int = 1024,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 2048,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
-    parallel_dims: bool = True,
+    parallel_dims: bool = False,
 ) -> jax.Array:
     M, K = x_q.shape
     K2, N = w_q.shape
@@ -250,6 +260,114 @@ def _int8_matmul_fused_impl(
     )(row_scales, x, w_q, col_scales.reshape(1, N))
 
 
+def _fused2_kernel(sr_ref, x_ref, w_ref, sc_ref, o_ref, xq_ref, acc_ref,
+                   *, n_k: int, bn: int, out_dtype):
+    """Quantize-on-revisit body. Grid (i, k, j) with j FASTEST: the x
+    tile block (i, k) is constant across the j sweep, so Pallas skips the
+    re-DMA on revisit — x crosses HBM once per (i, k), is quantized once
+    (at j == 0) into a VMEM int8 scratch, and every j dots from that
+    scratch. The accumulator holds the full (bm, N) i32 row-panel so each
+    j's partial survives the k sweep."""
+    _, k, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, pl.ds(j * bn, bn)] = jnp.zeros_like(
+            acc_ref[:, pl.ds(j * bn, bn)])
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        xq_ref[:] = jnp.clip(jnp.round(xf / sr_ref[:]),
+                             -127, 127).astype(jnp.int8)
+
+    acc_ref[:, pl.ds(j * bn, bn)] += jnp.dot(
+        xq_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:, pl.ds(j * bn, bn)].astype(jnp.float32)
+                    * sr_ref[:].astype(jnp.float32)
+                    * sc_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
+)
+def _int8_matmul_fused2_impl(
+    x: jax.Array,           # (M, K) bf16/f32
+    w_q: jax.Array,         # (K, N) int8
+    row_scales: jax.Array,  # (M, 1) f32
+    col_scales: jax.Array,  # (N,) f32
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    K2, N = w_q.shape
+    assert K == K2 and col_scales.shape == (N,) and row_scales.shape == (M, 1)
+    bm = min(block_m, _round_up(M, 32))
+    bn = min(block_n, _round_up(N, 128))
+    bk = min(block_k, _round_up(K, 128))
+    grid = (_cdiv(M, bm), _cdiv(K, bk), _cdiv(N, bn))
+    n_pad = _cdiv(N, bn) * bn
+
+    kernel = functools.partial(_fused2_kernel, n_k=grid[1], bn=bn,
+                               out_dtype=jnp.dtype(out_dtype))
+    flops = 2 * M * N * K
+    bytes_accessed = (x.size * x.dtype.itemsize + w_q.size * grid[0]
+                      + M * 4 + N * 4
+                      + M * N * jnp.dtype(out_dtype).itemsize)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda i, k, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, k, j: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, k, j: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, k, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, k, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bk), jnp.int8),      # quantized x tile
+            pltpu.VMEM((bm, n_pad), jnp.int32),  # full-row accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(row_scales, x, w_q, col_scales.reshape(1, N))
+
+
+def dequant_matmul_int8_fused2(x, w_q, scales, *, block_m: int = 256,
+                               block_n: int = 1024, block_k: int = 1024,
+                               out_dtype=None, interpret: bool | None = None):
+    """Quantize-on-revisit composite: one cheap absmax pass for the
+    per-row scales, then a single kernel where x is read once (bf16),
+    quantized once per tile, and reused across all N blocks."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s_row = (jnp.maximum(ax, 1e-30) / 127.0).astype(jnp.float32)
+    return _int8_matmul_fused2_impl(
+        x, w_q, s_row, scales, block_m=block_m, block_n=block_n,
+        block_k=block_k, out_dtype=out_dtype, interpret=interpret)
+
+
 def dequant_matmul_int8_fused(x, w_q, scales, *, block_m: int = 512,
                               block_n: int = 1024, block_k: int = 1024,
                               out_dtype=None, interpret: bool | None = None):
@@ -275,8 +393,8 @@ def dequant_matmul_int8_fused(x, w_q, scales, *, block_m: int = 512,
         block_k=block_k, out_dtype=out_dtype, interpret=interpret)
 
 
-def int8_matmul(x_q, w_q, row_scales, col_scales, *, block_m: int = 1024,
-                block_n: int = 1024, block_k: int = 1024,
+def int8_matmul(x_q, w_q, row_scales, col_scales, *, block_m: int = 512,
+                block_n: int = 512, block_k: int = 2048,
                 out_dtype=jnp.bfloat16, interpret: bool | None = None):
     """Pure int8 MXU matmul: (M,K)i8 @ (K,N)i8 -> i32 acc, scaled epilogue.
     Auto-selects interpret mode off-TPU (Mosaic compiles only for TPU)."""
@@ -287,8 +405,8 @@ def int8_matmul(x_q, w_q, row_scales, col_scales, *, block_m: int = 1024,
                              out_dtype=out_dtype, interpret=interpret)
 
 
-def dequant_matmul_int8(x, w_q, scales, *, block_m: int = 1024,
-                        block_n: int = 1024, block_k: int = 1024,
+def dequant_matmul_int8(x, w_q, scales, *, block_m: int = 512,
+                        block_n: int = 512, block_k: int = 2048,
                         out_dtype=None, interpret: bool | None = None):
     """Drop-in alternative to kernels.dequant_matmul: float activations,
     int8 weights with per-N scales. Quantizes activations per-row (XLA

@@ -75,11 +75,18 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
                 in_bytes += graph.initializers[i].nbytes
         out_bytes = o_n * o_t.np_dtype.itemsize
         flops = float(o_n)  # default: one op per output element
-        if node.op_type in ("Conv", "ConvTranspose"):
-            w = graph.initializers.get(node.inputs[1])
-            w_shape = w.shape if w is not None else vt[node.inputs[1]].shape
-            cin_per_g = w_shape[1 if node.op_type == "Conv" else 1]
-            k = _numel(w_shape[2:])
+        if node.op_type in ("Conv", "ConvTranspose", "QLinearConv",
+                            "ConvInteger", "PixelConv", "PixelConvQ"):
+            w_in = node.inputs[3] if node.op_type == "QLinearConv" else \
+                node.inputs[1]
+            w = graph.initializers.get(w_in)
+            w_shape = w.shape if w is not None else vt[w_in].shape
+            if node.attr("data_layout", "") == "NHWC" and len(w_shape) == 4:
+                # layout pass stores conv weights HWIO (passes/layout.py)
+                cin_per_g, k = w_shape[2], _numel(w_shape[:2])
+            else:
+                # OIHW (ONNX Conv, PixelConv trunk kernels keep O first)
+                cin_per_g, k = w_shape[1], _numel(w_shape[2:])
             flops = 2.0 * o_n * cin_per_g * k
         elif node.op_type in ("MatMul", "Gemm", "FusedDequantMatMul",
                               "FusedMatMul"):

@@ -1,0 +1,147 @@
+"""Roofline report per zoo model (VERDICT r2 item 5 / BASELINE.json:5).
+
+For each requested model, compile the engine-best graph, evaluate the
+static cost model (runtime/profiler.py), and print the binding resource
+(MXU-bf16 / MXU-int8 / HBM), the speed-of-light img/s for that bound,
+and — with --measure on a TPU — the achieved img/s and % of bound.
+
+Bound construction (honest-by-construction):
+  t_mxu  = sum over matmul-class ops of flops / peak(dtype-of-op)
+           (int8-MXU ops at 394 TOP/s, everything else bf16 at 197)
+  t_hbm  = (graph inputs + outputs + weights, each crossing HBM once)
+           / 819 GB/s — a LOWER bound on traffic (intermediates assumed
+           fused), so achieved% is a true fraction of an ideal that no
+           schedule can beat.
+  SOL    = max(t_mxu, t_hbm); bound = whichever is larger.
+
+Usage:
+  JAX_PLATFORMS=cpu python -m smelter_tpu.tools.roofline --model resnet50 \
+      --batch 128 --quant int8            # static bound only
+  python -m smelter_tpu.tools.roofline --model resnet50 --batch 128 \
+      --quant int8 --measure              # on-TPU achieved vs bound
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+# ops that execute on the int8 MXU after the engine's quantization passes
+_INT8_MXU_OPS = {"QLinearConv", "QLinearMatMul", "ConvInteger",
+                 "MatMulInteger", "PixelConvQ"}
+_MXU_OPS = _INT8_MXU_OPS | {
+    "Conv", "ConvTranspose", "MatMul", "Gemm", "FusedMatMul",
+    "FusedDequantMatMul", "MatMulNBits", "PixelConv", "Attention",
+    "FusedAttention", "FusedQKVAttention", "MultiHeadAttention",
+    "GroupQueryAttention", "LSTM", "GRU", "RNN",
+}
+
+
+def model_roofline(graph, config=None) -> dict:
+    """Static bound for a compiled (post-pass) graph."""
+    from ..runtime.executor import Executor
+    from ..runtime.profiler import TPU_V5E, op_cost_table
+
+    ex = Executor(graph, config)
+    ex.infer_value_types()
+    table = op_cost_table(graph)
+    t_bf16 = t_int8 = 0.0
+    for c in table:
+        if c.op_type not in _MXU_OPS:
+            continue
+        if c.op_type in _INT8_MXU_OPS:
+            t_int8 += c.flops / TPU_V5E["flops_int8"]
+        else:
+            t_bf16 += c.flops / TPU_V5E["flops_bf16"]
+    t_mxu = t_bf16 + t_int8
+
+    io_bytes = 0
+    vt = graph.value_types
+    for v in list(graph.inputs) + list(graph.outputs):
+        t = vt.get(v.name)
+        if t is not None:
+            io_bytes += int(np.prod([int(d) for d in t.shape])) * 2  # bf16
+    w_bytes = sum(a.nbytes for a in graph.initializers.values())
+    t_hbm = (io_bytes + w_bytes) / TPU_V5E["hbm_gbps"]
+
+    sol = max(t_mxu, t_hbm)
+    return {
+        "t_mxu_s": t_mxu,
+        "t_hbm_s": t_hbm,
+        "sol_s": sol,
+        "bound": "MXU" if t_mxu >= t_hbm else "HBM",
+        "mxu_int8_frac": (t_int8 / t_mxu) if t_mxu else 0.0,
+        "flops": sum(c.flops for c in table if c.op_type in _MXU_OPS),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--quant", default="none",
+                   choices=["none", "fp16", "int8", "int8-conv",
+                            "int8-static", "int8-pixel"])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--layout", default="nhwc", choices=["nchw", "nhwc"])
+    p.add_argument("--measure", action="store_true",
+                   help="time the model on the current backend and print "
+                        "achieved vs bound")
+    args = p.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import smelter_tpu as st
+    from smelter_tpu.models import ZOO
+
+    if args.model not in ZOO:
+        p.error(f"unknown model {args.model!r}")
+    g, _tm, shape = ZOO[args.model](batch=args.batch,
+                                    image_size=args.image_size)
+
+    quant = None if args.quant == "none" else args.quant
+    cfg = st.Config(compute_dtype=args.dtype)
+    calib = None
+    if quant in ("int8-static", "int8-pixel"):
+        # offline calibration on a small random batch (CPU path does this
+        # via a subprocess in bench.py; the roofline tool is offline)
+        x_c = np.random.default_rng(0).standard_normal(
+            (2,) + tuple(shape[1:])).astype(np.float32)
+        calib = [(x_c,)]
+    m = st.compile(g, cfg, quant=quant, layout=args.layout,
+                   calibration_data=calib)
+
+    rl = model_roofline(m.graph, cfg)
+    sol_ips = args.batch / rl["sol_s"]
+    result = {
+        "model": args.model,
+        "batch": args.batch,
+        "quant": args.quant,
+        "bound": rl["bound"],
+        "t_mxu_ms": round(rl["t_mxu_s"] * 1e3, 3),
+        "t_hbm_ms": round(rl["t_hbm_s"] * 1e3, 3),
+        "sol_img_s": round(sol_ips, 1),
+        "mxu_int8_frac": round(rl["mxu_int8_frac"], 3),
+    }
+    if args.measure:
+        from smelter_tpu.runtime.benchtime import chip_time
+
+        x = jax.device_put(np.random.default_rng(0)
+                           .standard_normal(shape).astype(np.float32))
+        dt = chip_time(m._fn, m.params, x)
+        result["measured_img_s"] = round(args.batch / dt, 1)
+        result["achieved_pct_of_bound"] = round(100 * rl["sol_s"] / dt, 1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
