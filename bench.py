@@ -47,7 +47,7 @@ def _compile_best(args, st, g):
     through the tunnel) and falls back to int8 weight-only on failure."""
     quant = None if args.quant == "none" else args.quant
     cfg = st.Config(compute_dtype=args.dtype)
-    if quant == "int8-static":
+    if quant in ("int8-static", "int8-pixel"):
         try:
             import json
             import subprocess
@@ -64,13 +64,14 @@ def _compile_best(args, st, g):
             with open(amax_path) as f:
                 amax = json.load(f)
             from smelter_tpu.passes.pass_manager import run_passes
-            from smelter_tpu.quant import quantize_static
+            from smelter_tpu.quant import quantize_pixel_regions, quantize_static
 
             gq = st.import_model(st.export_model(g))
             run_passes(gq)
-            n = quantize_static(gq, amax)
+            n = (quantize_pixel_regions(gq, amax) if quant == "int8-pixel"
+                 else quantize_static(gq, amax))
             if n == 0:
-                raise RuntimeError("no nodes statically quantized")
+                raise RuntimeError(f"no nodes quantized by {quant}")
             if args.layout == "nhwc":
                 from smelter_tpu.passes.layout import NHWC_PIPELINE
 
@@ -180,7 +181,8 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="int8-static",
-                   choices=["none", "fp16", "int8", "int8-conv", "int8-static"],
+                   choices=["none", "fp16", "int8", "int8-conv", "int8-static",
+                            "int8-pixel"],
                    help="int8-static (default; folded requant epilogues beat "
                         "weight-only: 11592 vs 10500 img/s ResNet b128, "
                         "probe13) calibrates via a CPU subprocess and falls "

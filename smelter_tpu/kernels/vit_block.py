@@ -1,0 +1,185 @@
+"""Whole-block ViT attention Pallas kernel (VERDICT r2 item 4).
+
+Round-2 found every PARTIAL transformer kernel (fused LN probe15/16,
+short-N attention probe17, residual+LN probe33) winning its microbench
+then losing end-to-end to XLA fusion barriers. The logical endpoint is a
+kernel with NO barrier left to lose to: LayerNorm -> QKV projection ->
+per-head softmax(QK^T)V -> output projection -> +residual, all inside
+one VMEM-resident pallas_call per encoder block, grid over the batch.
+
+Layout choices (for N=197, hd=64, d=768 — the ViT-B/16 geometry):
+- grid (B,): one image per step. All weights use constant index maps, so
+  Pallas loads them into VMEM once and every later step revisits them
+  (~4.5 MB resident; the per-step x tile is 2*N*D ~ 300 KB).
+- QKV weights are pre-split per head-PAIR: (H/2, D, 2*hd) with the two
+  heads side by side on lanes — each projection is a full-width
+  (N, D) @ (D, 128) MXU matmul, and the pair's attention output packs
+  back at a 128-aligned lane offset. Per-head 64-lane slices appear only
+  inside the attention dots (inherent to hd=64).
+- scores/softmax in f32 for stability (ONNX parity: fp32 softmax).
+
+Falls back cleanly: the lowering keeps XLA's dot_product_attention path
+unless Config.use_pallas requests this kernel; measured numbers in
+docs/BENCHMARKS.md decide the default.
+
+Reference scope: none (the reference has no attention op at all —
+SURVEY.md §5.7); this chases the BASELINE ViT-B/16 config.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                  o_ref, *, n_pairs: int, hd: int, scale: float,
+                  eps: float = 1e-5, residual: bool = True):
+    x = x_ref[0].astype(jnp.float32)            # (N, D)
+
+    # LayerNorm over D
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps)
+          * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
+    xn = xn.astype(x_ref.dtype)
+
+    outs = []
+    for p in range(n_pairs):
+        # 3 full-width projections for the head pair: (N, D) @ (D, 2*hd)
+        q = (jnp.dot(xn, wqkv_ref[3 * p], preferred_element_type=jnp.float32)
+             + bqkv_ref[0, 3 * p].astype(jnp.float32))
+        k = (jnp.dot(xn, wqkv_ref[3 * p + 1],
+                     preferred_element_type=jnp.float32)
+             + bqkv_ref[0, 3 * p + 1].astype(jnp.float32))
+        v = (jnp.dot(xn, wqkv_ref[3 * p + 2],
+                     preferred_element_type=jnp.float32)
+             + bqkv_ref[0, 3 * p + 2].astype(jnp.float32))
+        q = q.astype(x_ref.dtype)
+        k = k.astype(x_ref.dtype)
+        v = v.astype(x_ref.dtype)
+        halves = []
+        for h in range(2):
+            qs = q[:, h * hd:(h + 1) * hd]
+            ks = k[:, h * hd:(h + 1) * hd]
+            vs = v[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (N, N)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            pmat = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                x_ref.dtype)
+            halves.append(jnp.dot(pmat, vs,
+                                  preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(halves, axis=1))  # (N, 2*hd)
+    attn = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)  # (N, D)
+
+    proj = (jnp.dot(attn, wp_ref[...], preferred_element_type=jnp.float32)
+            + bp_ref[0].astype(jnp.float32))
+    o_ref[0] = ((x + proj) if residual else proj).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "interpret", "scale", "eps", "residual"))
+def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
+                    *, heads: int, interpret: bool = False,
+                    scale: float | None = None, eps: float = 1e-5,
+                    residual: bool = True):
+    B, N, D = x.shape
+    n_pairs = heads // 2
+    hd = D // heads
+    kernel = functools.partial(_block_kernel, n_pairs=n_pairs, hd=hd,
+                               scale=scale if scale else 1.0 / (hd ** 0.5),
+                               eps=eps, residual=residual)
+    flops = B * (3 * 2 * N * D * D + 4 * N * N * D + 2 * N * D * D)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * n_pairs, D, 2 * hd), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * n_pairs, 2 * hd), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + wqkv_packed.size * 2 + w_proj.size * 2,
+            transcendentals=B * heads * N * N,
+        ),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, D), ln_b.reshape(1, D), wqkv_packed, bqkv_packed,
+      w_proj, b_proj.reshape(1, D))
+
+
+def pack_qkv_weights(w_qkv, b_qkv, heads: int):
+    """(D, 3D) packed [q|k|v] + (3D,) bias -> per-head-pair blocks:
+    weights (3*H/2, D, 2*hd) ordered [q_p0, k_p0, v_p0, q_p1, ...],
+    bias (1, 3*H/2, 2*hd)."""
+    D = w_qkv.shape[0]
+    hd = D // heads
+    n_pairs = heads // 2
+    wq, wk, wv = (w_qkv[:, i * D:(i + 1) * D] for i in range(3))
+    bq, bk, bv = (b_qkv[i * D:(i + 1) * D] for i in range(3))
+    ws, bs = [], []
+    for p in range(n_pairs):
+        sl = slice(2 * p * hd, (2 * p + 2) * hd)
+        ws += [wq[:, sl], wk[:, sl], wv[:, sl]]
+        bs += [bq[sl], bk[sl], bv[sl]]
+    import numpy as np
+
+    return (np.stack(ws, 0), np.stack(bs, 0)[None])
+
+
+def vit_attention_block(x, ln_g, ln_b, w_qkv, b_qkv, w_proj, b_proj,
+                        heads: int, interpret: bool | None = None):
+    """Full fused pre-LN attention block: x + Proj(MHA(LN(x))).
+    x (B, N, D); w_qkv (D, 3D) packed [q|k|v]; w_proj (D, D)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wp, bp = pack_qkv_weights(jnp.asarray(w_qkv), jnp.asarray(b_qkv), heads)
+    return _vit_block_impl(x, ln_g, ln_b, jnp.asarray(wp), jnp.asarray(bp),
+                           w_proj, b_proj, heads=heads, interpret=interpret)
+
+
+def vit_attention_block_reference(x, ln_g, ln_b, w_qkv, b_qkv, w_proj,
+                                  b_proj, heads: int):
+    """jnp reference for parity tests."""
+    B, N, D = x.shape
+    hd = D // heads
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b).astype(x.dtype)
+    qkv = (xn @ w_qkv.astype(x.dtype)
+           + b_qkv.astype(jnp.float32).astype(x.dtype))
+    q, k, v = (qkv[..., i * D:(i + 1) * D] for i in range(3))
+
+    def split(t):
+        return t.reshape(B, N, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / (hd ** 0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    a = a.transpose(0, 2, 1, 3).reshape(B, N, D).astype(x.dtype)
+    return x + (a @ w_proj.astype(x.dtype)
+                + b_proj.astype(jnp.float32).astype(x.dtype)).astype(x.dtype)

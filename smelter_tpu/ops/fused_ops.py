@@ -122,6 +122,34 @@ def fused_qkv_attention(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out.reshape(b, n, d).astype(x.dtype))
 
 
+@register("VitAttnBlock")
+def vit_attn_block(ctx: Ctx, node: Node):
+    """Whole pre-LN attention block in ONE VMEM-resident Pallas kernel:
+    LN -> per-head-pair QKV projections -> softmax(QK^T)V -> output
+    projection (+bias). Created by passes/vit_block.py; measured 2.5x
+    XLA's fused block at the ViT-B/16 geometry (probe52). Residual stays
+    outside (the downstream Add/SkipLayerNormalization fuses it)."""
+    import jax
+
+    from ..kernels.vit_block import _vit_block_impl
+
+    x = ctx.get(node.inputs[0])
+    g = ctx.get(node.inputs[1]).reshape(-1).astype("float32")
+    b = ctx.get(node.inputs[2]).reshape(-1).astype("float32")
+    wpk = ctx.get(node.inputs[3]).astype(x.dtype)
+    bpk = ctx.get(node.inputs[4]).astype("float32")
+    wp = ctx.get(node.inputs[5]).astype(x.dtype)
+    bp = ctx.get(node.inputs[6]).reshape(-1).astype("float32")
+    interpret = jax.default_backend() != "tpu"
+    out = _vit_block_impl(
+        x, g, b, wpk, bpk, wp, bp,
+        heads=int(node.attr("num_heads")),
+        scale=float(node.attr("scale", 1.0)),
+        eps=float(node.attr("epsilon", 1e-5)),
+        residual=False, interpret=interpret)
+    ctx.set(node.outputs[0], out)
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

@@ -61,6 +61,10 @@ DEFAULT_PIPELINE = [
     "fold_constants",
     "fuse_attention",
     "fuse_qkv_attention",
+    # whole-block attention kernel (LN->QKV->attn->proj in one pallas
+    # call): 2.5x XLA's block at ViT-B geometry (probe52); gated inside
+    # the pass to even heads with 128-lane head pairs
+    "fuse_vit_block",
     "fuse_residual_ln",
     "eliminate_nops",
     "dce",
@@ -71,7 +75,7 @@ def run_passes(graph: Graph, pipeline: list[str] | None = None, verbose: bool = 
     """Run the pipeline in place (returns the same graph for chaining)."""
     from . import (  # noqa: F401  (registration side effects)
         all_passes, decoder_fusion, fuse_attention, fuse_dequant, layout,
-        mxu_packing, pixel_regions, stem_s2d)
+        mxu_packing, pixel_regions, stem_s2d, vit_block)
 
     for name in pipeline or DEFAULT_PIPELINE:
         n = _PASSES[name](graph)

@@ -79,14 +79,15 @@ def psnr(ref: np.ndarray, test: np.ndarray, peak: float | None = None) -> float:
 
 
 def compare_psnr(graph, eval_x, *, quant: str = "int8", gate_db: float = 40.0,
-                 batch: int = 4, config=None) -> dict:
+                 batch: int = 4, config=None, calibration_data=None) -> dict:
     """PSNR of the quantized model's output against the fp32 model's, for
     regression-style graphs (super-resolution etc.)."""
     import smelter_tpu as st
 
     ref = st.compile(st.import_model(st.export_model(graph)), config)
     qm = st.compile(st.import_model(st.export_model(graph)), config,
-                    quant=quant)
+                    quant=quant, calibration_data=calibration_data)
+    engaged = qm.graph.metadata.get("quant") == quant
     vals = []
     for i in range(0, len(eval_x), batch):
         xb = eval_x[i:i + batch]
@@ -94,14 +95,20 @@ def compare_psnr(graph, eval_x, *, quant: str = "int8", gate_db: float = 40.0,
     worst = float(min(vals))
     return {"psnr_db_worst": worst,
             "psnr_db_mean": float(np.mean(vals)),
-            "gate_db": gate_db, "passed": worst >= gate_db}
+            "gate_db": gate_db,
+            # a gate that compares a model against itself proves nothing:
+            # report whether the requested quantization actually rewrote
+            # the graph, and fail the gate if it did not
+            "quant_engaged": engaged,
+            "passed": worst >= gate_db and engaged}
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="accuracy", description=__doc__)
     p.add_argument("model", help="model path (.onnx) or zoo name (zoo:resnet50)")
     p.add_argument("--quant", default="int8",
-                   choices=["fp16", "int8", "int8-static"])
+                   choices=["fp16", "int8", "int8-conv", "int8-static",
+                            "int8-pixel"])
     p.add_argument("--mode", default="top1", choices=["top1", "psnr"])
     p.add_argument("--eval", default=None, metavar="NPZ",
                    help="eval set: arrays 'x' (N,...) and 'y' (N,) labels "
@@ -113,6 +120,9 @@ def main(argv=None) -> int:
                    help="top-1 delta gate in percent (default 0.1) or "
                         "minimum PSNR in dB for --mode psnr (default 40)")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=None,
+                   help="zoo models: input resolution (int8-pixel regions "
+                        "need lane-aligned widths, e.g. 128)")
     p.add_argument("--calib", default=None, metavar="NPZ",
                    help="calibration npz for --quant int8-static "
                         "(defaults to the eval inputs)")
@@ -134,7 +144,8 @@ def main(argv=None) -> int:
         if name not in zoo_mod.ZOO:
             print(f"accuracy: unknown zoo model {name!r}", file=sys.stderr)
             return 2
-        g, _tm, shape = zoo_mod.ZOO[name](batch=args.batch)
+        kw = {"image_size": args.image_size} if args.image_size else {}
+        g, _tm, shape = zoo_mod.ZOO[name](batch=args.batch, **kw)
     else:
         g = st.load_model(args.model)
         shape = None
@@ -166,7 +177,7 @@ def main(argv=None) -> int:
         y = y[:n_keep]
 
     calib = None
-    if args.quant == "int8-static":
+    if args.quant in ("int8-static", "int8-pixel"):
         if args.calib:
             cd = np.load(args.calib)
             calib = [(cd[k],) for k in sorted(cd.files)]
@@ -177,10 +188,12 @@ def main(argv=None) -> int:
     if args.mode == "psnr":
         gate = args.gate if args.gate != 0.1 else 40.0
         r = compare_psnr(g, x, quant=args.quant, gate_db=gate,
-                         batch=args.batch, config=config)
+                         batch=args.batch, config=config,
+                         calibration_data=calib)
+        eng = "" if r["quant_engaged"] else " [quant DID NOT ENGAGE]"
         print(f"psnr worst={r['psnr_db_worst']:.2f} dB "
               f"mean={r['psnr_db_mean']:.2f} dB gate={r['gate_db']} dB "
-              f"-> {'PASS' if r['passed'] else 'FAIL'}")
+              f"-> {'PASS' if r['passed'] else 'FAIL'}{eng}")
         return 0 if r["passed"] else 1
 
     if y is None:

@@ -1,0 +1,58 @@
+"""fuse_vit_block pass: whole-block attention fusion fires on ViT/BERT
+graphs, preserves numerics (repo convention: every rewrite has a
+before/after parity test), and gates off unsupported head geometries."""
+
+import copy
+
+import numpy as np
+
+import smelter_tpu as st
+from smelter_tpu.passes.pass_manager import DEFAULT_PIPELINE, run_passes
+
+_PIPE_NO = [p for p in DEFAULT_PIPELINE if p != "fuse_vit_block"]
+
+
+def _parity(g, x, expect_blocks):
+    g_ref = copy.deepcopy(g)
+    run_passes(g_ref, _PIPE_NO)
+    want = np.asarray(
+        st.CompiledModel(g_ref, st.Config(compute_dtype="float32"))(x)[0])
+    run_passes(g)
+    nblk = sum(1 for nd in g.nodes if nd.op_type == "VitAttnBlock")
+    assert nblk == expect_blocks, (nblk, expect_blocks)
+    got = np.asarray(
+        st.CompiledModel(g, st.Config(compute_dtype="float32"))(x)[0])
+    rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert rel < 1e-3, rel
+
+
+class TestFuseVitBlock:
+    def test_vit_all_blocks_fused_and_parity(self, rng):
+        from smelter_tpu.models import vit
+
+        g, _tm, shape = vit.build(batch=1, image_size=224, depth=2)
+        x = rng.standard_normal(shape).astype(np.float32) * 0.5
+        _parity(g, x, expect_blocks=2)
+
+    def test_bert_contrib_graph_untouched(self, rng):
+        """The ORT-contrib BERT graph (post-LN `Attention` op, QKV packed
+        inside the op) is a different pattern — the pass must leave it
+        alone rather than half-match it."""
+        from smelter_tpu.models import bert_encoder
+
+        g = bert_encoder.build(batch=2)[0]
+        run_passes(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert "VitAttnBlock" not in ops
+        assert "Attention" in ops
+
+    def test_gate_skips_odd_head_geometry(self, rng):
+        # hd != 64 (2*hd != 128 lanes) must keep the XLA path
+        from smelter_tpu.models import vit
+
+        g, _tm, shape = vit.build(batch=1, image_size=224, depth=1,
+                                  dim=192, heads=6)  # hd = 32
+        run_passes(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert "VitAttnBlock" not in ops
+        assert "FusedQKVAttention" in ops
