@@ -1,0 +1,87 @@
+"""Whole-block transformer MLP Pallas kernel (companion to vit_block.py).
+
+x + FC2(gelu(FC1(LN(x)))) in one VMEM-resident pallas_call, grid over
+batch, both FC weights revisit-cached in VMEM (~9.4 MB at ViT-B). The
+attention block won 2.5x by eliminating XLA's fusion barriers (probe52);
+the MLP's barriers are smaller (LN materializes once, gelu rides the
+GEMM epilogue), so this kernel must EARN its default-on in probe54 —
+wire only if it beats the XLA formulation end-to-end.
+
+Reference scope: none (no attention/MLP ops in the reference)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, eps: float, approximate: bool, residual: bool):
+    x = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps)
+          * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
+    xn = xn.astype(x_ref.dtype)
+    h = (jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+         + b1_ref[0].astype(jnp.float32))
+    h = jax.nn.gelu(h, approximate=approximate).astype(x_ref.dtype)
+    y = (jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+         + b2_ref[0].astype(jnp.float32))
+    o_ref[0] = ((x + y) if residual else y).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "eps", "approximate", "residual"))
+def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, *, eps: float = 1e-5,
+              approximate: bool = False, residual: bool = True,
+              interpret: bool | None = None):
+    """x (B, N, D); w1 (D, F); w2 (F, D)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, D = x.shape
+    F = w1.shape[1]
+    kernel = functools.partial(_mlp_kernel, eps=eps,
+                               approximate=approximate, residual=residual)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=B * 4 * N * D * F,
+            bytes_accessed=2 * x.size * x.dtype.itemsize + 4 * D * F,
+            transcendentals=B * N * F,
+        ),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, D), ln_b.reshape(1, D), w1, b1.reshape(1, F),
+      w2, b2.reshape(1, D))
+
+
+def mlp_block_reference(x, ln_g, ln_b, w1, b1, w2, b2, *, eps: float = 1e-5,
+                        approximate: bool = False, residual: bool = True):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * ln_g + ln_b).astype(x.dtype)
+    h = (xn @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=approximate).astype(x.dtype)
+    y = (h @ w2.astype(x.dtype)).astype(jnp.float32) + b2
+    return ((x.astype(jnp.float32) + y) if residual else y).astype(x.dtype)
