@@ -30,7 +30,23 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     xn = xn.astype(x_ref.dtype)
     h = (jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
          + b1_ref[0].astype(jnp.float32))
-    h = jax.nn.gelu(h, approximate=approximate).astype(x_ref.dtype)
+    # jax.nn.gelu's exact form uses erfc and Mosaic lowers neither erfc
+    # nor erf; spell the exact form with the Abramowitz-Stegun 7.1.26
+    # polynomial (|err| < 1.5e-7 — below bf16 resolution) over exp, which
+    # does lower. The approximate form is the usual tanh formula.
+    if approximate:
+        h = 0.5 * h * (1.0 + jnp.tanh(
+            0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    else:
+        z = h * 0.7071067811865476
+        az = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * az)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        erf_abs = 1.0 - poly * jnp.exp(-az * az)
+        erf = jnp.sign(z) * erf_abs
+        h = 0.5 * h * (1.0 + erf)
+    h = h.astype(x_ref.dtype)
     y = (jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
          + b2_ref[0].astype(jnp.float32))
     o_ref[0] = ((x + y) if residual else y).astype(o_ref.dtype)

@@ -37,17 +37,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                  o_ref, *, n_pairs: int, hd: int, scale: float,
-                  eps: float = 1e-5, residual: bool = True):
+                  *rest, n_pairs: int, hd: int, scale: float,
+                  eps: float = 1e-5, residual: bool = True,
+                  pre_ln: bool = True, mask_kind: str = "none",
+                  mask_filter: float = -10000.0, n_tokens: int = 0):
+    if mask_kind == "keep2d":
+        mask_ref, o_ref = rest
+        # ORT key-padding mask (B, S) 1/0: additive (1-m)*filter on keys
+        madd = ((1.0 - mask_ref[0].astype(jnp.float32))
+                * mask_filter)[None, :]          # (1, N) over keys
+    elif mask_kind == "len1d":
+        # ORT right-pad valid-length form (B,): keys >= len get filter
+        mask_ref, o_ref = rest
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_tokens), 1)
+        madd = jnp.where(pos < mask_ref[0, 0].astype(jnp.int32),
+                         0.0, mask_filter)
+    else:
+        (o_ref,) = rest
     x = x_ref[0].astype(jnp.float32)            # (N, D)
 
-    # LayerNorm over D
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + eps)
-          * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
-    xn = xn.astype(x_ref.dtype)
+    if pre_ln:
+        # LayerNorm over D
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps)
+              * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
+        xn = xn.astype(x_ref.dtype)
+    else:
+        # post-LN architectures (ORT-contrib BERT): projections read x
+        # raw; the downstream SkipLayerNormalization owns residual + LN
+        xn = x_ref[0]
 
     outs = []
     for p in range(n_pairs):
@@ -71,6 +91,8 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
             s = jax.lax.dot_general(
                 qs, ks, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (N, N)
+            if mask_kind != "none":
+                s = s + madd
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             pmat = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
@@ -87,17 +109,23 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "interpret", "scale", "eps", "residual"))
+    static_argnames=("heads", "interpret", "scale", "eps", "residual",
+                     "pre_ln", "mask_filter"))
 def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
-                    *, heads: int, interpret: bool = False,
+                    mask=None, *, heads: int, interpret: bool = False,
                     scale: float | None = None, eps: float = 1e-5,
-                    residual: bool = True):
+                    residual: bool = True, pre_ln: bool = True,
+                    mask_filter: float = -10000.0):
     B, N, D = x.shape
     n_pairs = heads // 2
     hd = D // heads
     kernel = functools.partial(_block_kernel, n_pairs=n_pairs, hd=hd,
                                scale=scale if scale else 1.0 / (hd ** 0.5),
-                               eps=eps, residual=residual)
+                               eps=eps, residual=residual, pre_ln=pre_ln,
+                               mask_kind=("none" if mask is None else
+                                          "len1d" if mask.ndim == 1 else
+                                          "keep2d"),
+                               mask_filter=mask_filter, n_tokens=N)
     flops = B * (3 * 2 * N * D * D + 4 * N * N * D + 2 * N * D * D)
     return pl.pallas_call(
         kernel,
@@ -113,7 +141,11 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + ([] if mask is None else
+             [pl.BlockSpec((1, 1), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)] if mask.ndim == 1 else
+             [pl.BlockSpec((1, N), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
@@ -125,7 +157,10 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
         ),
         interpret=interpret,
     )(x, ln_g.reshape(1, D), ln_b.reshape(1, D), wqkv_packed, bqkv_packed,
-      w_proj, b_proj.reshape(1, D))
+      w_proj, b_proj.reshape(1, D),
+      *([] if mask is None else
+        [mask.reshape(-1, 1).astype(jnp.float32)] if mask.ndim == 1 else
+        [mask.astype(jnp.float32)]))
 
 
 def pack_qkv_weights(w_qkv, b_qkv, heads: int):

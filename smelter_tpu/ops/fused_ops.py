@@ -140,13 +140,19 @@ def vit_attn_block(ctx: Ctx, node: Node):
     bpk = ctx.get(node.inputs[4]).astype("float32")
     wp = ctx.get(node.inputs[5]).astype(x.dtype)
     bp = ctx.get(node.inputs[6]).reshape(-1).astype("float32")
+    mask = (ctx.get(node.inputs[7])
+            if len(node.inputs) > 7 and node.inputs[7] else None)
     interpret = jax.default_backend() != "tpu"
     out = _vit_block_impl(
-        x, g, b, wpk, bpk, wp, bp,
+        x, g, b, wpk, bpk, wp, bp, mask,
         heads=int(node.attr("num_heads")),
+        # 0.0 = "kernel default 1/sqrt(hd)" (post-LN contrib path);
+        # pre-LN graphs carry the explicit scale fuse_attention captured
         scale=float(node.attr("scale", 1.0)),
         eps=float(node.attr("epsilon", 1e-5)),
-        residual=False, interpret=interpret)
+        residual=False, pre_ln=bool(node.attr("pre_ln", 1)),
+        mask_filter=float(node.attr("mask_filter", -10000.0)),
+        interpret=interpret)
     ctx.set(node.outputs[0], out)
 
 

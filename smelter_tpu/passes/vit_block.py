@@ -126,6 +126,82 @@ def fuse_vit_block(graph: Graph) -> int:
             dead.add(id(n))
         changed += 1
 
+    # -- post-LN variant: ORT-contrib BERT pattern ------------------------
+    #   Attention(x, Wqkv, bqkv) -> MatMul(Wproj) -> SkipLayerNormalization
+    # Attention + proj collapse into VitAttnBlock(pre_ln=0); the
+    # SkipLayerNormalization keeps residual + LN (+ proj bias) downstream.
+    input_ranks = {v.name: (len(v.type.shape) if v.type is not None else None)
+                   for v in graph.inputs}
+    for att in list(graph.find_nodes("Attention")):
+        if id(att) in dead:
+            continue
+        mask = att.inputs[3] if len(att.inputs) > 3 else ""
+        if mask and input_ranks.get(mask) != 2:
+            # rank unknown from graph inputs: the (B,) valid-length form
+            # produced by EmbedLayerNormalization output 1 is also
+            # kernelized; every other mask form keeps the general lowering
+            pr = producers.get(mask)
+            if not (pr is not None
+                    and pr.op_type == "EmbedLayerNormalization"
+                    and len(pr.outputs) > 1 and pr.outputs[1] == mask):
+                continue
+        if (len(att.inputs) > 4 and any(e for e in att.inputs[4:])):
+            continue  # past / attention_bias: keep the general lowering
+        if (int(att.attr("unidirectional", 0))
+                or int(att.attr("do_rotary", 0))
+                or att.attr("qkv_hidden_sizes") is not None
+                or len([o for o in att.outputs if o]) != 1):  # no `present`
+            continue
+        heads = int(att.attr("num_heads", 0))
+        if (len(att.inputs) < 3 or att.inputs[1] not in graph.initializers
+                or att.inputs[2] not in graph.initializers):
+            continue
+        wqkv = graph.initializers[att.inputs[1]]
+        if wqkv.ndim != 2 or wqkv.shape[1] != 3 * wqkv.shape[0]:
+            continue
+        d = int(wqkv.shape[0])
+        if heads <= 0 or heads % 2 or d % heads or 2 * (d // heads) != 128:
+            continue
+        outs = consumers.get(att.outputs[0], [])
+        if (len(outs) != 1 or outs[0].op_type != "MatMul"
+                or not sole(att.outputs[0])):
+            continue
+        pm = outs[0]
+        if (pm.inputs[0] != att.outputs[0]
+                or pm.inputs[1] not in graph.initializers
+                or graph.initializers[pm.inputs[1]].shape != (d, d)):
+            continue
+        bq = graph.initializers[att.inputs[2]].reshape(-1)
+        if bq.shape != (3 * d,):
+            continue
+
+        wpk, bpk = pack_qkv_weights(np.asarray(wqkv), np.asarray(bq), heads)
+        wpk_name = graph.fresh_name(att.inputs[1] + "_pairpack")
+        bpk_name = graph.fresh_name(att.inputs[2] + "_pairpack")
+        graph.initializers[wpk_name] = np.ascontiguousarray(wpk)
+        graph.initializers[bpk_name] = np.ascontiguousarray(bpk)
+        ones = graph.fresh_name("vab_ones")
+        zeros = graph.fresh_name("vab_zeros")
+        graph.initializers[ones] = np.ones(d, np.float32)   # unused (pre_ln=0)
+        graph.initializers[zeros] = np.zeros(d, np.float32)
+
+        fused = Node(
+            "VitAttnBlock",
+            inputs=[att.inputs[0], ones, zeros, wpk_name, bpk_name,
+                    pm.inputs[1], zeros] + ([mask] if mask else []),
+            outputs=list(pm.outputs),
+            attrs={"num_heads": heads,
+                   "scale": float(att.attr("scale", 0.0)),  # 0 -> 1/sqrt(hd)
+                   "mask_filter": float(att.attr("mask_filter_value",
+                                                 -10000.0)),
+                   "pre_ln": 0},
+            name=(att.name or "attn") + "_block",
+        )
+        idx = graph.nodes.index(pm)
+        graph.nodes[idx] = fused
+        dead.add(id(att))
+        changed += 1
+
     if changed:
         graph.nodes = [n for n in graph.nodes if id(n) not in dead]
         graph.toposort()

@@ -34,17 +34,31 @@ class TestFuseVitBlock:
         x = rng.standard_normal(shape).astype(np.float32) * 0.5
         _parity(g, x, expect_blocks=2)
 
-    def test_bert_contrib_graph_untouched(self, rng):
-        """The ORT-contrib BERT graph (post-LN `Attention` op, QKV packed
-        inside the op) is a different pattern — the pass must leave it
-        alone rather than half-match it."""
+    def test_bert_contrib_post_ln_fused_with_mask(self, rng):
+        """The ORT-contrib BERT pattern (post-LN `Attention` + proj
+        MatMul, (B,) valid-length mask from EmbedLayerNormalization)
+        fuses into VitAttnBlock(pre_ln=0) and preserves numerics
+        including real right-padding."""
+        import copy
+
         from smelter_tpu.models import bert_encoder
 
         g = bert_encoder.build(batch=2)[0]
+        g_ref = copy.deepcopy(g)
+        run_passes(g_ref, _PIPE_NO)
         run_passes(g)
-        ops = [nd.op_type for nd in g.nodes]
-        assert "VitAttnBlock" not in ops
-        assert "Attention" in ops
+        nblk = sum(1 for nd in g.nodes if nd.op_type == "VitAttnBlock")
+        assert nblk == 4, nblk
+        ids = rng.integers(0, 1000, (2, 128)).astype(np.int64)
+        am = np.ones((2, 128), np.int64)
+        am[0, 100:] = 0
+        am[1, 64:] = 0
+        m1 = st.CompiledModel(g_ref, st.Config(compute_dtype="float32"))
+        m2 = st.CompiledModel(g, st.Config(compute_dtype="float32"))
+        want = np.asarray(m1(ids, am)[0])
+        got = np.asarray(m2(ids, am)[0])
+        rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert rel < 1e-3, rel
 
     def test_gate_skips_odd_head_geometry(self, rng):
         # hd != 64 (2*hd != 128 lanes) must keep the XLA path
