@@ -20,14 +20,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, eps: float, approximate: bool, residual: bool):
+                o_ref, *, eps: float, approximate: bool, residual: bool,
+                pre_ln: bool = True):
     x = x_ref[0].astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + eps)
-          * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
-    xn = xn.astype(x_ref.dtype)
+    if pre_ln:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps)
+              * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
+        xn = xn.astype(x_ref.dtype)
+    else:
+        xn = x_ref[0]  # post-LN graphs: input is already normalized
     h = (jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
          + b1_ref[0].astype(jnp.float32))
     # jax.nn.gelu's exact form uses erfc and Mosaic lowers neither erfc
@@ -52,18 +56,17 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[0] = ((x + y) if residual else y).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret", "eps", "approximate", "residual"))
 def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, *, eps: float = 1e-5,
               approximate: bool = False, residual: bool = True,
-              interpret: bool | None = None):
+              pre_ln: bool = True, interpret: bool | None = None):
     """x (B, N, D); w1 (D, F); w2 (F, D)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N, D = x.shape
     F = w1.shape[1]
     kernel = functools.partial(_mlp_kernel, eps=eps,
-                               approximate=approximate, residual=residual)
+                               approximate=approximate, residual=residual,
+                               pre_ln=pre_ln)
     return pl.pallas_call(
         kernel,
         grid=(B,),

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                  *rest, n_pairs: int, hd: int, scale: float,
+                  *rest, n_pairs: int, hd: int, n_heads_per_group: int,
+                  scale: float,
                   eps: float = 1e-5, residual: bool = True,
                   pre_ln: bool = True, mask_kind: str = "none",
                   mask_filter: float = -10000.0, n_tokens: int = 0):
@@ -69,9 +70,10 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         # raw; the downstream SkipLayerNormalization owns residual + LN
         xn = x_ref[0]
 
+    group = n_heads_per_group  # heads per lane group (<= 128 lanes)
     outs = []
     for p in range(n_pairs):
-        # 3 full-width projections for the head pair: (N, D) @ (D, 2*hd)
+        # 3 full-width projections for the head group: (N, D) @ (D, 128)
         q = (jnp.dot(xn, wqkv_ref[3 * p], preferred_element_type=jnp.float32)
              + bqkv_ref[0, 3 * p].astype(jnp.float32))
         k = (jnp.dot(xn, wqkv_ref[3 * p + 1],
@@ -84,7 +86,7 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         k = k.astype(x_ref.dtype)
         v = v.astype(x_ref.dtype)
         halves = []
-        for h in range(2):
+        for h in range(group):
             qs = q[:, h * hd:(h + 1) * hd]
             ks = k[:, h * hd:(h + 1) * hd]
             vs = v[:, h * hd:(h + 1) * hd]
@@ -99,7 +101,7 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                 x_ref.dtype)
             halves.append(jnp.dot(pmat, vs,
                                   preferred_element_type=jnp.float32))
-        outs.append(jnp.concatenate(halves, axis=1))  # (N, 2*hd)
+        outs.append(jnp.concatenate(halves, axis=1))  # (N, 128)
     attn = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)  # (N, D)
 
     proj = (jnp.dot(attn, wp_ref[...], preferred_element_type=jnp.float32)
@@ -107,19 +109,17 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     o_ref[0] = ((x + proj) if residual else proj).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("heads", "interpret", "scale", "eps", "residual",
-                     "pre_ln", "mask_filter"))
 def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
                     mask=None, *, heads: int, interpret: bool = False,
                     scale: float | None = None, eps: float = 1e-5,
                     residual: bool = True, pre_ln: bool = True,
                     mask_filter: float = -10000.0):
     B, N, D = x.shape
-    n_pairs = heads // 2
     hd = D // heads
+    group = _head_group(heads, hd)
+    n_pairs = heads // group
     kernel = functools.partial(_block_kernel, n_pairs=n_pairs, hd=hd,
+                               n_heads_per_group=group,
                                scale=scale if scale else 1.0 / (hd ** 0.5),
                                eps=eps, residual=residual, pre_ln=pre_ln,
                                mask_kind=("none" if mask is None else
@@ -135,9 +135,9 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * n_pairs, D, 2 * hd), lambda b: (0, 0, 0),
+            pl.BlockSpec((3 * n_pairs, D, group * hd), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * n_pairs, 2 * hd), lambda b: (0, 0, 0),
+            pl.BlockSpec((1, 3 * n_pairs, group * hd), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -163,18 +163,31 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
         [mask.astype(jnp.float32)]))
 
 
+def _head_group(heads: int, hd: int) -> int:
+    """Heads per projection group: the largest divisor of `heads` whose
+    group width group*hd fits the 128-lane MXU tile. 2 for hd=64 (ViT/
+    BERT), 4 for hd=32 — full-width projections; odd geometries still
+    get a correct (if narrower) grouping."""
+    g = max(1, min(128 // max(hd, 1), heads))
+    while heads % g:
+        g -= 1
+    return g
+
+
 def pack_qkv_weights(w_qkv, b_qkv, heads: int):
-    """(D, 3D) packed [q|k|v] + (3D,) bias -> per-head-pair blocks:
-    weights (3*H/2, D, 2*hd) ordered [q_p0, k_p0, v_p0, q_p1, ...],
-    bias (1, 3*H/2, 2*hd)."""
+    """(D, 3D) packed [q|k|v] + (3D,) bias -> per-head-GROUP blocks
+    (group*hd lanes, 128 when the geometry allows): weights
+    (3*n_groups, D, group*hd) ordered [q_g0, k_g0, v_g0, q_g1, ...],
+    bias (1, 3*n_groups, group*hd)."""
     D = w_qkv.shape[0]
     hd = D // heads
-    n_pairs = heads // 2
+    group = _head_group(heads, hd)
+    n_pairs = heads // group
     wq, wk, wv = (w_qkv[:, i * D:(i + 1) * D] for i in range(3))
     bq, bk, bv = (b_qkv[i * D:(i + 1) * D] for i in range(3))
     ws, bs = [], []
     for p in range(n_pairs):
-        sl = slice(2 * p * hd, (2 * p + 2) * hd)
+        sl = slice(group * p * hd, group * (p + 1) * hd)
         ws += [wq[:, sl], wk[:, sl], wv[:, sl]]
         bs += [bq[sl], bk[sl], bv[sl]]
     import numpy as np

@@ -156,6 +156,33 @@ def vit_attn_block(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out)
 
 
+@register("MlpBlock")
+def mlp_block_op(ctx: Ctx, node: Node):
+    """Whole transformer MLP in one VMEM-resident Pallas kernel:
+    [LN ->] FC1 -> gelu -> FC2 [+ residual]. Created by
+    passes/vit_block.py::fuse_mlp_block; 164 TF vs XLA's 109 at ViT-B
+    geometry (probe54)."""
+    import jax
+
+    from ..kernels.mlp_block import mlp_block
+
+    x = ctx.get(node.inputs[0])
+    g = ctx.get(node.inputs[1]).reshape(-1).astype("float32")
+    b = ctx.get(node.inputs[2]).reshape(-1).astype("float32")
+    w1 = ctx.get(node.inputs[3]).astype(x.dtype)
+    b1 = ctx.get(node.inputs[4]).reshape(-1).astype("float32")
+    w2 = ctx.get(node.inputs[5]).astype(x.dtype)
+    b2 = ctx.get(node.inputs[6]).reshape(-1).astype("float32")
+    out = mlp_block(
+        x, g, b, w1, b1, w2, b2,
+        eps=float(node.attr("epsilon", 1e-5)),
+        approximate=bool(node.attr("approximate", 0)),
+        residual=bool(node.attr("residual", 1)),
+        pre_ln=bool(node.attr("pre_ln", 1)),
+        interpret=jax.default_backend() != "tpu")
+    ctx.set(node.outputs[0], out)
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

@@ -66,6 +66,10 @@ DEFAULT_PIPELINE = [
     # the pass to even heads with 128-lane head pairs
     "fuse_vit_block",
     "fuse_residual_ln",
+    # whole-MLP kernel (LN->FC1->gelu->FC2->residual in one pallas call,
+    # 164 vs 109 TF, probe54); the ViT shape consumes the
+    # SkipLayerNormalization fuse_residual_ln creates, so it runs after
+    "fuse_mlp_block",
     "eliminate_nops",
     "dce",
 ]

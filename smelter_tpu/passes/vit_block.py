@@ -68,8 +68,10 @@ def fuse_vit_block(graph: Graph) -> int:
         if wqkv.ndim != 2 or wqkv.shape[1] != 3 * wqkv.shape[0]:
             continue
         d = int(wqkv.shape[0])
-        if heads <= 0 or heads % 2 or d % heads or 2 * (d // heads) != 128:
-            continue  # kernel layout wants 128-lane head pairs
+        hd = d // heads if heads else 0
+        if (heads <= 0 or d % heads or hd == 0 or 128 % hd
+                or (heads * hd) % 128):
+            continue  # kernel layout wants whole 128-lane head groups
         ln = producers.get(mm.inputs[0])
         if (ln is None or ln.op_type != "LayerNormalization"
                 or not sole(mm.inputs[0])
@@ -160,7 +162,9 @@ def fuse_vit_block(graph: Graph) -> int:
         if wqkv.ndim != 2 or wqkv.shape[1] != 3 * wqkv.shape[0]:
             continue
         d = int(wqkv.shape[0])
-        if heads <= 0 or heads % 2 or d % heads or 2 * (d // heads) != 128:
+        hd = d // heads if heads else 0
+        if (heads <= 0 or d % heads or hd == 0 or 128 % hd
+                or (heads * hd) % 128):
             continue
         outs = consumers.get(att.outputs[0], [])
         if (len(outs) != 1 or outs[0].op_type != "MatMul"
@@ -200,6 +204,185 @@ def fuse_vit_block(graph: Graph) -> int:
         idx = graph.nodes.index(pm)
         graph.nodes[idx] = fused
         dead.add(id(att))
+        changed += 1
+
+    if changed:
+        graph.nodes = [n for n in graph.nodes if id(n) not in dead]
+        graph.toposort()
+        graph.dead_code_eliminate()
+        graph.value_types = {}
+    return changed
+
+
+@register_pass("fuse_mlp_block")
+def fuse_mlp_block(graph: Graph) -> int:
+    """Fuse the transformer MLP into one MlpBlock op (kernel: 164 TF vs
+    XLA 109 at ViT-B geometry, probe54). Two shapes:
+
+    ViT (pre-LN, run AFTER fuse_residual_ln):
+        SkipLayerNormalization(x, y)[ln, .., sum]
+          -> MatMul(W1) -> Add(b1) -> Gelu -> MatMul(W2) -> Add(b2)
+          -> Add(sum, .)                  # residual
+      becomes Add(x, y) -> MlpBlock(sum, g, b, W1, b1, W2, b2,
+      residual=1) producing the residual Add's output.
+
+    BERT (ORT contrib, post-LN):
+        sln_out -> MatMul(W1) -> FastGelu(bias) -> MatMul(W2)
+          -> SkipLayerNormalization(.., sln_out, ...)
+      becomes MlpBlock(sln_out, pre_ln=0, approximate=1, residual=0);
+      the trailing SkipLayerNormalization keeps residual + LN."""
+    producers = graph.producers()
+    consumers = graph.consumers()
+    changed = 0
+    dead: set[int] = set()
+
+    def sole(edge: str) -> bool:
+        return len(consumers.get(edge, [])) == 1
+
+    def sole_consumer(edge: str, op: str):
+        cs = consumers.get(edge, [])
+        if len(cs) == 1 and cs[0].op_type == op:
+            return cs[0]
+        return None
+
+    def init(name: str):
+        return graph.initializers.get(name)
+
+    # --- ViT shape ------------------------------------------------------
+    for sln in list(graph.find_nodes("SkipLayerNormalization")):
+        if id(sln) in dead or len(sln.outputs) < 4 or not sln.outputs[3]:
+            continue
+        if len(sln.inputs) > 4 and sln.inputs[4]:
+            continue  # fused bias form: not this pattern
+        ln_out, sum_out = sln.outputs[0], sln.outputs[3]
+        mm1 = sole_consumer(ln_out, "MatMul")
+        if mm1 is None or init(mm1.inputs[1]) is None:
+            continue
+        w1 = init(mm1.inputs[1])
+        if w1.ndim != 2 or w1.shape[0] % 128 or w1.shape[1] % 128:
+            continue
+        d, f = int(w1.shape[0]), int(w1.shape[1])
+        a1 = sole_consumer(mm1.outputs[0], "Add")
+        if a1 is None:
+            continue
+        b1n = a1.inputs[1] if init(a1.inputs[1]) is not None else a1.inputs[0]
+        if init(b1n) is None or init(b1n).reshape(-1).shape != (f,):
+            continue
+        gel = sole_consumer(a1.outputs[0], "Gelu")
+        if gel is None:
+            continue
+        approx = str(gel.attr("approximate", "none")) == "tanh"
+        mm2 = sole_consumer(gel.outputs[0], "MatMul")
+        if (mm2 is None or init(mm2.inputs[1]) is None
+                or init(mm2.inputs[1]).shape != (f, d)):
+            continue
+        a2 = sole_consumer(mm2.outputs[0], "Add")
+        if a2 is None:
+            continue
+        b2n = a2.inputs[1] if init(a2.inputs[1]) is not None else a2.inputs[0]
+        if init(b2n) is None or init(b2n).reshape(-1).shape != (d,):
+            continue
+        # the residual is either a plain Add, or (for the LAST block) it
+        # was already folded into the next SkipLayerNormalization by
+        # fuse_residual_ln
+        res = sole_consumer(a2.outputs[0], "Add")
+        res_sln = (None if res is not None
+                   else sole_consumer(a2.outputs[0], "SkipLayerNormalization"))
+        if res is not None:
+            if sum_out not in res.inputs:
+                continue
+        elif res_sln is not None:
+            if (sum_out not in res_sln.inputs[:2]
+                    or (len(res_sln.inputs) > 4 and res_sln.inputs[4])):
+                continue  # fused-bias SkipLayerNorm: demotion would drop it
+        else:
+            continue
+        # sum_out must feed ONLY the residual consumer (the kernel re-adds)
+        if len(consumers.get(sum_out, [])) != 1:
+            continue
+        if (init(sln.inputs[2]) is None or init(sln.inputs[3]) is None):
+            continue
+
+        sum_add = Node("Add", [sln.inputs[0], sln.inputs[1]], [sum_out],
+                       name=(sln.name or "sln") + "_sum")
+        out_edge = (res.outputs[0] if res is not None
+                    else graph.fresh_name(a2.outputs[0] + "_blk"))
+        fused = Node(
+            "MlpBlock",
+            inputs=[sum_out, sln.inputs[2], sln.inputs[3],
+                    mm1.inputs[1], b1n, mm2.inputs[1], b2n],
+            outputs=[out_edge],
+            attrs={"epsilon": float(sln.attr("epsilon", 1e-5)),
+                   "approximate": int(approx), "residual": 1},
+            name=(sln.name or "mlp") + "_block",
+        )
+        graph.nodes[graph.nodes.index(sln)] = sum_add
+        if res is not None:
+            graph.nodes[graph.nodes.index(res)] = fused
+        else:
+            # demote the trailing SkipLayerNormalization to a plain LN of
+            # the kernel's (already-summed) output; redirect users of its
+            # sum output to the kernel output
+            graph.nodes.insert(graph.nodes.index(res_sln), fused)
+            ln2 = Node("LayerNormalization",
+                       [out_edge, res_sln.inputs[2], res_sln.inputs[3]],
+                       [res_sln.outputs[0]],
+                       attrs={"epsilon": float(res_sln.attr("epsilon",
+                                                            1e-5)),
+                              "axis": -1},
+                       name=(res_sln.name or "sln2") + "_ln")
+            graph.nodes[graph.nodes.index(res_sln)] = ln2
+            old_sum = res_sln.outputs[3] if len(res_sln.outputs) > 3 else ""
+            if old_sum:
+                for n in graph.nodes:
+                    n.inputs = [out_edge if e == old_sum else e
+                                for e in n.inputs]
+                graph.outputs = [
+                    type(v)(out_edge, v.type) if v.name == old_sum else v
+                    for v in graph.outputs]
+        for n in (mm1, a1, gel, mm2, a2):
+            dead.add(id(n))
+        changed += 1
+
+    # --- BERT contrib shape ----------------------------------------------
+    for mm1 in list(graph.find_nodes("MatMul")):
+        if id(mm1) in dead:
+            continue
+        w1 = init(mm1.inputs[1])
+        if (w1 is None or w1.ndim != 2 or w1.shape[0] % 128
+                or w1.shape[1] % 128):
+            continue
+        d, f = int(w1.shape[0]), int(w1.shape[1])
+        if f <= d:  # up-projection only
+            continue
+        fg = sole_consumer(mm1.outputs[0], "FastGelu")
+        if fg is None or len(fg.inputs) < 2 or init(fg.inputs[1]) is None:
+            continue
+        b1 = init(fg.inputs[1]).reshape(-1)
+        if b1.shape != (f,):
+            continue
+        mm2 = sole_consumer(fg.outputs[0], "MatMul")
+        if (mm2 is None or init(mm2.inputs[1]) is None
+                or init(mm2.inputs[1]).shape != (f, d)):
+            continue
+        sln = sole_consumer(mm2.outputs[0], "SkipLayerNormalization")
+        if sln is None:
+            continue
+        zeros = graph.fresh_name("mlpb_zeros")
+        ones = graph.fresh_name("mlpb_ones")
+        graph.initializers[zeros] = np.zeros(d, np.float32)
+        graph.initializers[ones] = np.ones(d, np.float32)
+        fused = Node(
+            "MlpBlock",
+            inputs=[mm1.inputs[0], ones, zeros,
+                    mm1.inputs[1], fg.inputs[1], mm2.inputs[1], zeros],
+            outputs=list(mm2.outputs),
+            attrs={"approximate": 1, "residual": 0, "pre_ln": 0},
+            name=(mm1.name or "mlp") + "_block",
+        )
+        graph.nodes[graph.nodes.index(mm2)] = fused
+        for n in (mm1, fg):
+            dead.add(id(n))
         changed += 1
 
     if changed:

@@ -9,7 +9,8 @@ import numpy as np
 import smelter_tpu as st
 from smelter_tpu.passes.pass_manager import DEFAULT_PIPELINE, run_passes
 
-_PIPE_NO = [p for p in DEFAULT_PIPELINE if p != "fuse_vit_block"]
+_PIPE_NO = [p for p in DEFAULT_PIPELINE
+            if p not in ("fuse_vit_block", "fuse_mlp_block")]
 
 
 def _parity(g, x, expect_blocks):
@@ -59,6 +60,35 @@ class TestFuseVitBlock:
         got = np.asarray(m2(ids, am)[0])
         rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
         assert rel < 1e-3, rel
+
+    def test_mlp_blocks_fused_and_parity(self, rng):
+        """fuse_mlp_block: both ViT MLPs (incl. the last block, whose
+        residual fuse_residual_ln folded into the trailing
+        SkipLayerNormalization) collapse to MlpBlock with parity."""
+        from smelter_tpu.models import vit
+
+        g, _tm, shape = vit.build(batch=1, image_size=224, depth=2)
+        g_ref = copy.deepcopy(g)
+        run_passes(g_ref, [p for p in DEFAULT_PIPELINE
+                           if p not in ("fuse_vit_block", "fuse_mlp_block")])
+        run_passes(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert ops.count("MlpBlock") == 2
+        x = rng.standard_normal(shape).astype(np.float32) * 0.5
+        want = np.asarray(
+            st.CompiledModel(g_ref, st.Config(compute_dtype="float32"))(x)[0])
+        got = np.asarray(
+            st.CompiledModel(g, st.Config(compute_dtype="float32"))(x)[0])
+        rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert rel < 1e-3, rel
+
+    def test_bert_mlp_blocks_fused(self, rng):
+        from smelter_tpu.models import bert_encoder
+
+        g = bert_encoder.build(batch=2)[0]
+        run_passes(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert ops.count("MlpBlock") == 4  # FastGelu post-LN shape
 
     def test_gate_skips_odd_head_geometry(self, rng):
         # hd != 64 (2*hd != 128 lanes) must keep the XLA path
