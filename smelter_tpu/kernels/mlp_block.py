@@ -22,7 +22,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, eps: float, approximate: bool, residual: bool,
                 pre_ln: bool = True):
-    x = x_ref[0].astype(jnp.float32)
+    # block may carry several images: fold them into one tall GEMM
+    ips, n, d = x_ref.shape
+    x = x_ref[...].reshape(ips * n, d).astype(jnp.float32)
     if pre_ln:
         mu = jnp.mean(x, axis=-1, keepdims=True)
         xc = x - mu
@@ -31,7 +33,7 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
               * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
         xn = xn.astype(x_ref.dtype)
     else:
-        xn = x_ref[0]  # post-LN graphs: input is already normalized
+        xn = x_ref[...].reshape(ips * n, d)  # post-LN: already normalized
     h = (jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
          + b1_ref[0].astype(jnp.float32))
     # jax.nn.gelu's exact form uses erfc and Mosaic lowers neither erfc
@@ -53,25 +55,32 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = h.astype(x_ref.dtype)
     y = (jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
          + b2_ref[0].astype(jnp.float32))
-    o_ref[0] = ((x + y) if residual else y).astype(o_ref.dtype)
+    out = (x + y) if residual else y
+    o_ref[...] = out.reshape(ips, n, d).astype(o_ref.dtype)
 
 
 def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, *, eps: float = 1e-5,
               approximate: bool = False, residual: bool = True,
-              pre_ln: bool = True, interpret: bool | None = None):
-    """x (B, N, D); w1 (D, F); w2 (F, D)."""
+              pre_ln: bool = True, images_per_step: int = 1,
+              interpret: bool | None = None):
+    """x (B, N, D); w1 (D, F); w2 (F, D). images_per_step folds several
+    images into each grid step's GEMMs (taller M amortizes the MXU
+    pipeline; VMEM-bounded by the f32 hidden (ips*N, F) tile)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N, D = x.shape
     F = w1.shape[1]
+    ips = max(1, min(images_per_step, B))
+    while B % ips:
+        ips -= 1
     kernel = functools.partial(_mlp_kernel, eps=eps,
                                approximate=approximate, residual=residual,
                                pre_ln=pre_ln)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // ips,),
         in_specs=[
-            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((ips, N, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -80,7 +89,7 @@ def mlp_block(x, ln_g, ln_b, w1, b1, w2, b2, *, eps: float = 1e-5,
             pl.BlockSpec((F, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((ips, N, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
         cost_estimate=pl.CostEstimate(

@@ -48,10 +48,11 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         madd = ((1.0 - mask_ref[0].astype(jnp.float32))
                 * mask_filter)[None, :]          # (1, N) over keys
     elif mask_kind == "len1d":
-        # ORT right-pad valid-length form (B,): keys >= len get filter
+        # ORT right-pad valid-length form (B,): keys >= len get filter.
+        # The whole length vector sits in SMEM; index by grid step.
         mask_ref, o_ref = rest
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_tokens), 1)
-        madd = jnp.where(pos < mask_ref[0, 0].astype(jnp.int32),
+        madd = jnp.where(pos < mask_ref[pl.program_id(0)],
                          0.0, mask_filter)
     else:
         (o_ref,) = rest
@@ -142,8 +143,7 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
             pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ] + ([] if mask is None else
-             [pl.BlockSpec((1, 1), lambda b: (b, 0),
-                           memory_space=pltpu.VMEM)] if mask.ndim == 1 else
+             [pl.BlockSpec(memory_space=pltpu.SMEM)] if mask.ndim == 1 else
              [pl.BlockSpec((1, N), lambda b: (b, 0),
                            memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
@@ -159,7 +159,7 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
     )(x, ln_g.reshape(1, D), ln_b.reshape(1, D), wqkv_packed, bqkv_packed,
       w_proj, b_proj.reshape(1, D),
       *([] if mask is None else
-        [mask.reshape(-1, 1).astype(jnp.float32)] if mask.ndim == 1 else
+        [mask.reshape(-1).astype(jnp.int32)] if mask.ndim == 1 else
         [mask.astype(jnp.float32)]))
 
 

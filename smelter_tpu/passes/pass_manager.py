@@ -66,10 +66,11 @@ DEFAULT_PIPELINE = [
     # the pass to even heads with 128-lane head pairs
     "fuse_vit_block",
     "fuse_residual_ln",
-    # whole-MLP kernel (LN->FC1->gelu->FC2->residual in one pallas call,
-    # 164 vs 109 TF, probe54); the ViT shape consumes the
-    # SkipLayerNormalization fuse_residual_ln creates, so it runs after
-    "fuse_mlp_block",
+    # fuse_mlp_block is registered but OFF by default: the whole-MLP
+    # kernel wins its microbench (164 vs 109 TF, probe54) yet LOSES every
+    # interleaved e2e A/B (probe55/56: ViT-B -2.3%, BERT -5%, speech
+    # -24%) — XLA's batched (B*N, D) GEMM formulation beats per-image
+    # grids for the MLP, whose fusion barriers were already cheap.
     "eliminate_nops",
     "dce",
 ]

@@ -30,13 +30,33 @@ from __future__ import annotations
 import numpy as np
 
 from ..ir.graph import Graph, Node
+from .decoder_fusion import _ensure_types
 from .pass_manager import register_pass
+
+# Measured e2e gate (probes 52/55/56, interleaved A/B on chip): the
+# per-image grid wins when each step's GEMMs are tall enough to fill the
+# MXU pipeline — ViT-B (N*D = 151k) +37%, speech encoder (64k) +5x — and
+# LOSES when they are tiny: BERT-encoder (N*D = 33k) ran 75k/s fused vs
+# 121k/s on XLA's batched GEMMs. Gate on tokens*dim of the block input.
+_MIN_TOKENS_X_DIM = 50_000
+
+
+def _tokens_dim(graph: Graph, edge: str):
+    t = graph.value_types.get(edge)
+    if t is None or t.shape is None or len(t.shape) != 3:
+        return None
+    n, d = t.shape[1], t.shape[2]
+    if not (isinstance(n, int) and isinstance(d, int)):
+        return None
+    return n * d
 
 
 @register_pass("fuse_vit_block")
 def fuse_vit_block(graph: Graph) -> int:
     from ..kernels.vit_block import pack_qkv_weights
 
+    if not _ensure_types(graph):
+        return 0
     producers = graph.producers()
     consumers = graph.consumers()
     changed = 0
@@ -79,6 +99,9 @@ def fuse_vit_block(graph: Graph) -> int:
                 or ln.inputs[2] not in graph.initializers
                 or ln.attr("axis", -1) not in (-1, 2)):
             continue
+        nd = _tokens_dim(graph, ln.inputs[0])
+        if nd is None or nd < _MIN_TOKENS_X_DIM:
+            continue  # per-image GEMMs too small to beat XLA's batching
         # -- downstream: MatMul(Wproj) -> Add(bproj) ----------------------
         outs = consumers.get(att.outputs[0], [])
         if len(outs) != 1 or outs[0].op_type != "MatMul":
@@ -166,6 +189,9 @@ def fuse_vit_block(graph: Graph) -> int:
         if (heads <= 0 or d % heads or hd == 0 or 128 % hd
                 or (heads * hd) % 128):
             continue
+        nd = _tokens_dim(graph, att.inputs[0])
+        if nd is None or nd < _MIN_TOKENS_X_DIM:
+            continue  # measured loss at small geometry (BERT-enc, probe56)
         outs = consumers.get(att.outputs[0], [])
         if (len(outs) != 1 or outs[0].op_type != "MatMul"
                 or not sole(att.outputs[0])):

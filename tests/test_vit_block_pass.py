@@ -35,16 +35,25 @@ class TestFuseVitBlock:
         x = rng.standard_normal(shape).astype(np.float32) * 0.5
         _parity(g, x, expect_blocks=2)
 
-    def test_bert_contrib_post_ln_fused_with_mask(self, rng):
+    def test_bert_contrib_post_ln_fused_with_mask(self, rng, monkeypatch):
         """The ORT-contrib BERT pattern (post-LN `Attention` + proj
         MatMul, (B,) valid-length mask from EmbedLayerNormalization)
         fuses into VitAttnBlock(pre_ln=0) and preserves numerics
-        including real right-padding."""
+        including real right-padding. The zoo BERT geometry (N*D = 33k)
+        sits BELOW the measured e2e gate (probe56: 75k/s fused vs 121k/s
+        XLA), so the gate is lowered here to exercise the kernel path."""
         import copy
 
+        import smelter_tpu.passes.vit_block as vb
         from smelter_tpu.models import bert_encoder
 
         g = bert_encoder.build(batch=2)[0]
+        g_default = copy.deepcopy(g)
+        run_passes(g_default)
+        assert not any(nd.op_type == "VitAttnBlock"
+                       for nd in g_default.nodes)  # gated off by default
+
+        monkeypatch.setattr(vb, "_MIN_TOKENS_X_DIM", 0)
         g_ref = copy.deepcopy(g)
         run_passes(g_ref, _PIPE_NO)
         run_passes(g)
@@ -62,8 +71,9 @@ class TestFuseVitBlock:
         assert rel < 1e-3, rel
 
     def test_mlp_blocks_fused_and_parity(self, rng):
-        """fuse_mlp_block: both ViT MLPs (incl. the last block, whose
-        residual fuse_residual_ln folded into the trailing
+        """fuse_mlp_block (registered, OFF by default — loses every e2e
+        A/B, probe55/56): run explicitly; both ViT MLPs (incl. the last
+        block, whose residual fuse_residual_ln folded into the trailing
         SkipLayerNormalization) collapse to MlpBlock with parity."""
         from smelter_tpu.models import vit
 
@@ -72,6 +82,8 @@ class TestFuseVitBlock:
         run_passes(g_ref, [p for p in DEFAULT_PIPELINE
                            if p not in ("fuse_vit_block", "fuse_mlp_block")])
         run_passes(g)
+        assert not any(nd.op_type == "MlpBlock" for nd in g.nodes)
+        run_passes(g, ["fuse_mlp_block", "dce"])
         ops = [nd.op_type for nd in g.nodes]
         assert ops.count("MlpBlock") == 2
         x = rng.standard_normal(shape).astype(np.float32) * 0.5
@@ -87,6 +99,7 @@ class TestFuseVitBlock:
 
         g = bert_encoder.build(batch=2)[0]
         run_passes(g)
+        run_passes(g, ["fuse_mlp_block", "dce"])  # explicit: off by default
         ops = [nd.op_type for nd in g.nodes]
         assert ops.count("MlpBlock") == 4  # FastGelu post-LN shape
 
