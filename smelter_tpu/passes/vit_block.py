@@ -151,6 +151,96 @@ def fuse_vit_block(graph: Graph) -> int:
             dead.add(id(n))
         changed += 1
 
+    # -- separate-projection SELF-attention variant (SD-UNet spatial
+    # transformers): LN -> 3x [MatMul(W, no bias) -> Reshape(B,N,H,hd)]
+    # off the SAME ln edge -> FusedAttention(native) -> MatMul(Wp) ->
+    # Add(bp). Cross-attention never matches (k/v read the context edge).
+    for fa in list(graph.find_nodes("FusedAttention")):
+        if id(fa) in dead or len(fa.inputs) != 3:
+            continue
+        if not all(int(fa.attr(f"{n}_native", 0)) for n in "qkv"):
+            continue
+        chains = []
+        for e in fa.inputs:
+            rs = producers.get(e)
+            if (rs is None or rs.op_type != "Reshape" or not sole(e)
+                    or rs.inputs[1] not in graph.initializers):
+                break
+            mm = producers.get(rs.inputs[0])
+            if (mm is None or mm.op_type != "MatMul"
+                    or not sole(rs.inputs[0]) or len(mm.inputs) != 2
+                    or mm.inputs[1] not in graph.initializers):
+                break
+            tgt = [int(v) for v in
+                   np.asarray(graph.initializers[rs.inputs[1]]).reshape(-1)]
+            chains.append((rs, mm, tgt))
+        if len(chains) != 3:
+            continue
+        ln_edge = chains[0][1].inputs[0]
+        if any(c[1].inputs[0] != ln_edge for c in chains[1:]):
+            continue  # not self-attention off one normalized edge
+        if any(c[2] != chains[0][2] or len(c[2]) != 4 for c in chains):
+            continue
+        heads, hd = chains[0][2][2], chains[0][2][3]
+        w_q, w_k, w_v = (graph.initializers[c[1].inputs[1]] for c in chains)
+        if not (w_q.ndim == 2 and w_q.shape == w_k.shape == w_v.shape
+                and w_q.shape[0] == w_q.shape[1] == heads * hd):
+            continue
+        d = int(w_q.shape[0])
+        if heads <= 0 or hd <= 0 or 128 % hd or (heads * hd) % 128:
+            continue
+        nd_gate = _tokens_dim(graph, ln_edge)
+        if nd_gate is None or nd_gate < _MIN_TOKENS_X_DIM:
+            continue
+        ln = producers.get(ln_edge)
+        if (ln is None or ln.op_type != "LayerNormalization"
+                or ln.inputs[1] not in graph.initializers
+                or ln.inputs[2] not in graph.initializers
+                or ln.attr("axis", -1) not in (-1, 2)
+                or len(consumers.get(ln_edge, [])) != 3):
+            continue
+        outs = consumers.get(fa.outputs[0], [])
+        if (len(outs) != 1 or outs[0].op_type != "MatMul"
+                or outs[0].inputs[0] != fa.outputs[0]
+                or outs[0].inputs[1] not in graph.initializers
+                or graph.initializers[outs[0].inputs[1]].shape != (d, d)):
+            continue
+        pm = outs[0]
+        outs2 = consumers.get(pm.outputs[0], [])
+        if (len(outs2) != 1 or outs2[0].op_type != "Add"
+                or not sole(pm.outputs[0])):
+            continue
+        padd = outs2[0]
+        bp_name = padd.inputs[1] if padd.inputs[1] in graph.initializers \
+            else padd.inputs[0]
+        if (bp_name not in graph.initializers
+                or graph.initializers[bp_name].reshape(-1).shape != (d,)):
+            continue
+
+        wqkv = np.concatenate([np.asarray(w_q), np.asarray(w_k),
+                               np.asarray(w_v)], axis=1)
+        wpk, bpk = pack_qkv_weights(wqkv, np.zeros(3 * d, np.float32), heads)
+        wpk_name = graph.fresh_name(chains[0][1].inputs[1] + "_pairpack")
+        bpk_name = graph.fresh_name(chains[0][1].inputs[1] + "_pairpack_b")
+        graph.initializers[wpk_name] = np.ascontiguousarray(wpk)
+        graph.initializers[bpk_name] = np.ascontiguousarray(bpk)
+        fused = Node(
+            "VitAttnBlock",
+            inputs=[ln.inputs[0], ln.inputs[1], ln.inputs[2],
+                    wpk_name, bpk_name, pm.inputs[1], bp_name],
+            outputs=list(padd.outputs),
+            attrs={"num_heads": int(heads),
+                   "scale": float(fa.attr("scale", 0.0)),
+                   "epsilon": float(ln.attr("epsilon", 1e-5))},
+            name=(fa.name or "sattn") + "_block",
+        )
+        graph.nodes[graph.nodes.index(padd)] = fused
+        for c in chains:
+            dead.add(id(c[0])), dead.add(id(c[1]))
+        for n in (ln, fa, pm):
+            dead.add(id(n))
+        changed += 1
+
     # -- post-LN variant: ORT-contrib BERT pattern ------------------------
     #   Attention(x, Wqkv, bqkv) -> MatMul(Wproj) -> SkipLayerNormalization
     # Attention + proj collapse into VitAttnBlock(pre_ln=0); the

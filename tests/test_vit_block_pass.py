@@ -103,6 +103,30 @@ class TestFuseVitBlock:
         ops = [nd.op_type for nd in g.nodes]
         assert ops.count("MlpBlock") == 4  # FastGelu post-LN shape
 
+    def test_sd_unet_self_attention_fused(self, rng, monkeypatch):
+        """Separate-projection self-attention (SD spatial transformers):
+        the 5 self-attentions fuse (8-head hd=16 groups); the 5
+        CROSS-attentions (k/v from the context edge) must stay on the
+        general path. Gate lowered — 64px latents sit below it."""
+        import smelter_tpu.passes.vit_block as vb
+        from smelter_tpu.models import ZOO
+
+        monkeypatch.setattr(vb, "_MIN_TOKENS_X_DIM", 0)
+        g, _tm, shape = ZOO["sd_unet"](batch=1, image_size=64)
+        g_ref = copy.deepcopy(g)
+        run_passes(g_ref, _PIPE_NO)
+        run_passes(g)
+        ops = [nd.op_type for nd in g.nodes]
+        assert ops.count("VitAttnBlock") == 5
+        assert ops.count("FusedAttention") == 5  # cross-attn untouched
+        x = rng.standard_normal(shape).astype(np.float32) * 0.5
+        want = np.asarray(
+            st.CompiledModel(g_ref, st.Config(compute_dtype="float32"))(x)[0])
+        got = np.asarray(
+            st.CompiledModel(g, st.Config(compute_dtype="float32"))(x)[0])
+        rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert rel < 1e-3, rel
+
     def test_gate_skips_odd_head_geometry(self, rng):
         # hd != 64 (2*hd != 128 lanes) must keep the XLA path
         from smelter_tpu.models import vit
