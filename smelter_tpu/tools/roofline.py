@@ -33,6 +33,10 @@ import numpy as np
 # ops that execute on the int8 MXU after the engine's quantization passes
 _INT8_MXU_OPS = {"QLinearConv", "QLinearMatMul", "ConvInteger",
                  "MatMulInteger", "PixelConvQ"}
+# memory-movement ops whose traffic no schedule can fuse away
+_SCATTER_OPS = {"MaxUnpool", "ScatterND", "ScatterElements", "GatherND",
+                "MaxRoiPool", "RoiAlign", "GridSample", "NonMaxSuppression"}
+
 _MXU_OPS = _INT8_MXU_OPS | {
     "Conv", "ConvTranspose", "MatMul", "Gemm", "FusedMatMul",
     "FusedDequantMatMul", "MatMulNBits", "PixelConv", "Attention",
@@ -66,7 +70,14 @@ def model_roofline(graph, config=None) -> dict:
         if t is not None:
             io_bytes += int(np.prod([int(d) for d in t.shape])) * 2  # bf16
     w_bytes = sum(a.nbytes for a in graph.initializers.values())
-    t_hbm = (io_bytes + w_bytes) / TPU_V5E["hbm_gbps"]
+    # scatter/gather-class ops (MaxUnpool decoders, ROI ops, big gathers)
+    # cannot fuse away their traffic — their per-op bytes are a REQUIRED
+    # part of any schedule, unlike elementwise intermediates. Without this
+    # term SegNet's bound claimed 37.5k img/s (4.8% achieved) when the
+    # unpool scatters alone force ~16x more HBM traffic than graph I/O.
+    scatter_bytes = sum(c.bytes for c in table
+                        if c.op_type in _SCATTER_OPS)
+    t_hbm = (io_bytes + w_bytes + scatter_bytes) / TPU_V5E["hbm_gbps"]
 
     sol = max(t_mxu, t_hbm)
     return {
