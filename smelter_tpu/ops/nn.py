@@ -427,6 +427,10 @@ def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
     ctx.set(node.outputs[1], full)
 
 
+# MaxUnpool 2x2/s2 Pallas kernel gate (probe58/59). Module-level so the
+# A/B probes can toggle it; default decided by measurement.
+_UNPOOL_KERNEL = True
+
 @register("MaxUnpool", since=9)
 def max_unpool(ctx: Ctx, node: Node):
     """Inverse of MaxPool-with-indices (SegNet-style decoders): scatter X's
@@ -449,6 +453,16 @@ def max_unpool(ctx: Ctx, node: Node):
             - pads[i] - pads[rank + i]
             for i in range(rank))
         out_shape = x.shape[:2] + spatial
+    if (list(strides) == list(kernel) == [2, 2] and not any(pads)
+            and rank == 2 and _UNPOOL_KERNEL
+            and tuple(out_shape[2:]) == (2 * x.shape[2], 2 * x.shape[3])):
+        # Pallas kernel: parity-of-flat-index landing, in/out read once
+        # (probe58: XLA's dense form ran the full-res SegNet unpool at
+        # ~16x its traffic bound; probe59 measures the kernel e2e)
+        from ..kernels.max_unpool import max_unpool2x2
+
+        ctx.set(node.outputs[0], max_unpool2x2(x, idx.reshape(x.shape)))
+        return
     if list(strides) == list(kernel) and not any(pads):
         # Non-overlapping windows (the SegNet case): each input value lands
         # at exactly one position of its k-window, so the scatter becomes
