@@ -62,7 +62,7 @@ def _kernel(x_ref, i_ref, o_ref, *, w_out: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
-def max_unpool2x2(x, idx, *, rows: int = 256, interpret: bool | None = None):
+def max_unpool2x2(x, idx, *, rows: int = 128, interpret: bool | None = None):
     """x, idx: (B, C, h, w) NCHW (idx = flat [N,C,2h,2w] positions, the
     _max_pool_with_indices convention). Returns (B, C, 2h, 2w)."""
     if interpret is None:
