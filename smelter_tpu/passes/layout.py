@@ -347,7 +347,73 @@ class _Rewriter:
 # The layout stage as callers should run it: the NHWC rewrite plus its
 # transpose-sandwich cleanup. api._prepare and bench.py both use this so
 # the bench can never measure a different graph than the product compiles.
-NHWC_PIPELINE = ["layout_nhwc", "collapse_layout_transposes"]
+NHWC_PIPELINE = ["layout_nhwc", "fuse_transpose_pairs",
+                 "collapse_layout_transposes"]
+
+
+@register_pass("fuse_transpose_pairs")
+def fuse_transpose_pairs(graph: Graph) -> int:
+    """Compose consecutive Transpose nodes (sole-consumer chains) into one,
+    and drop the pair entirely when the composition is the identity.
+
+    torch-exported channels-last models (ConvNeXt: permute -> LN/MLP ->
+    permute per block) interleave their own permutes with the ones
+    layout_nhwc inserts at barriers; the adjacent pairs are exact
+    inverses but survived to runtime — probe62 measured ~0.7 ms/block of
+    pure HBM transpose glue on ConvNeXt b64 (88 Transposes post-layout).
+    Purely structural: no type inference needed, numerics-preserving by
+    permutation algebra; runs to a fixpoint."""
+    changed = 0
+    while True:
+        producers = {}
+        for n in graph.nodes:
+            for o in n.outputs:
+                if o:
+                    producers[o] = n
+        consumers = graph.consumers()
+        out_names = set(graph.output_names)
+        did = 0
+        dead: set[int] = set()
+        for node in graph.nodes:
+            if node.op_type != "Transpose" or id(node) in dead:
+                continue
+            up = producers.get(node.inputs[0])
+            if (up is None or up.op_type != "Transpose" or id(up) in dead
+                    or len(consumers.get(up.outputs[0], [])) != 1
+                    or up.outputs[0] in out_names):
+                continue
+            p1 = list(up.attr("perm", []))
+            p2 = list(node.attr("perm", []))
+            if not p1 or not p2 or len(p1) != len(p2):
+                continue
+            comp = [p1[a] for a in p2]  # node(up(x)): x-axis for out axis
+            if comp == list(range(len(comp))):
+                # identity: rewire node's consumers to up's input
+                src = up.inputs[0]
+                for c in consumers.get(node.outputs[0], []):
+                    c.inputs = [src if e == node.outputs[0] else e
+                                for e in c.inputs]
+                if node.outputs[0] in out_names:
+                    # keep the output edge name: turn node into Identity
+                    node.attrs = {}
+                    node.op_type = "Identity"
+                    node.inputs = [src]
+                else:
+                    dead.add(id(node))
+                dead.add(id(up))
+            else:
+                node.inputs = [up.inputs[0]]
+                node.attrs["perm"] = comp
+                dead.add(id(up))
+            did += 1
+        if not did:
+            break
+        graph.nodes = [n for n in graph.nodes if id(n) not in dead]
+        changed += did
+    if changed:
+        graph.dead_code_eliminate()
+        graph.value_types = {}
+    return changed
 
 
 def _ensure_types(graph: Graph) -> bool:

@@ -648,3 +648,46 @@ class TestStemSpaceToDepth:
         assert stem_space_to_depth(g) == 1
         np.testing.assert_allclose(outputs_of(g, x), want,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFuseTransposePairs:
+    def test_convnext_transposes_collapse_with_parity(self, rng):
+        """torch-exported permutes + layout_nhwc conversions leave exact
+        inverse Transpose pairs at runtime (ConvNeXt: 88 post-layout).
+        fuse_transpose_pairs composes/cancels them (88 -> ~10) without
+        touching numerics (probe62 measured ~0.7 ms/block of transpose
+        glue on chip)."""
+        import copy
+
+        import smelter_tpu as st
+        from smelter_tpu.models import ZOO
+
+        g, _tm, shape = ZOO["convnext"](batch=1, image_size=224)
+        g_ref = copy.deepcopy(g)
+        m_ref = st.compile(g_ref, st.Config(compute_dtype="float32"),
+                           optimize=False, layout="nchw")
+        m = st.compile(g, st.Config(compute_dtype="float32"))
+        n_t = sum(1 for nd in m.graph.nodes if nd.op_type == "Transpose")
+        assert n_t <= 16, n_t
+        x = rng.standard_normal(shape).astype(np.float32) * 0.5
+        want = np.asarray(m_ref(x)[0])
+        got = np.asarray(m(x)[0])
+        rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert rel < 1e-3, rel
+
+    def test_identity_pair_preserves_graph_output_edge(self, rng):
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.passes.pass_manager import get_pass
+
+        bld = GraphBuilder("g", opset=13)
+        x = bld.input("x", (1, 3, 4, 5))
+        t1 = bld.node("Transpose", [x], perm=[0, 2, 3, 1])
+        t2 = bld.node("Transpose", [t1], perm=[0, 3, 1, 2])
+        g = bld.finish([t2])
+        n = get_pass("fuse_transpose_pairs")(g)
+        assert n >= 1
+        import smelter_tpu as st
+
+        xv = rng.standard_normal((1, 3, 4, 5)).astype(np.float32)
+        out = st.CompiledModel(g, st.Config(compute_dtype="float32"))(xv)[0]
+        np.testing.assert_array_equal(np.asarray(out), xv)
