@@ -231,3 +231,72 @@ def vit_attention_block_reference(x, ln_g, ln_b, w_qkv, b_qkv, w_proj,
     a = a.transpose(0, 2, 1, 3).reshape(B, N, D).astype(x.dtype)
     return x + (a @ w_proj.astype(x.dtype)
                 + b_proj.astype(jnp.float32).astype(x.dtype)).astype(x.dtype)
+
+
+def _xattn_kernel(x_ref, wq_ref, k_ref, v_ref, wp_ref, bp_ref, o_ref, *,
+                  heads: int, hd: int, scale: float):
+    """Cross-attention block against CONSTANT pre-projected k/v (the SD
+    zoo graph folds its fixed context; per-image when the constant is
+    batch-baked): q projection -> per-head softmax(q k^T) v -> output
+    projection (+bias), one VMEM pass."""
+    x = x_ref[0]                                   # (N, D)
+    q = jnp.dot(x, wq_ref[...],
+                preferred_element_type=jnp.float32).astype(x_ref.dtype)
+    outs = []
+    for h in range(heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (N, S)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_ref.dtype)
+        outs.append(jnp.dot(p, v_ref[0, h],
+                            preferred_element_type=jnp.float32))
+    att = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)  # (N, D)
+    proj = (jnp.dot(att, wp_ref[...], preferred_element_type=jnp.float32)
+            + bp_ref[0].astype(jnp.float32))
+    o_ref[0] = proj.astype(o_ref.dtype)
+
+
+def cross_attn_block(x, wq, k, v, wp, bp, *, heads: int,
+                     scale: float | None = None,
+                     interpret: bool | None = None):
+    """x (B, N, D) — ALREADY normalized (the upstream SkipLayerNorm owns
+    the LN); wq/wp (D, D); k/v (Bk, heads, S, hd) constants with Bk in
+    {1, B} (batch-baked contexts index per grid step). Returns the
+    projected attention output (residual handled downstream)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, D = x.shape
+    hd = D // heads
+    S = k.shape[2]
+    bk = int(k.shape[0])
+    kernel = functools.partial(_xattn_kernel, heads=heads, hd=hd,
+                               scale=scale if scale else 1.0 / hd ** 0.5)
+    kv_map = (lambda b: (b, 0, 0, 0)) if bk > 1 else \
+        (lambda b: (0, 0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, S, hd), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, S, hd), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=B * (4 * N * D * D + 4 * N * S * D),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=B * heads * N * S,
+        ),
+        interpret=interpret,
+    )(x, wq, k, v, wp, bp.reshape(1, D))

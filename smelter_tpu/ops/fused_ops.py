@@ -183,6 +183,29 @@ def mlp_block_op(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out)
 
 
+@register("CrossAttnBlock")
+def cross_attn_block_op(ctx: Ctx, node: Node):
+    """Constant-context cross-attention block in one VMEM-resident Pallas
+    kernel (q projection + per-head attention against folded k/v + output
+    projection). Created by passes/vit_block.py for the SD zoo pattern."""
+    import jax
+
+    from ..kernels.vit_block import cross_attn_block
+
+    x = ctx.get(node.inputs[0])
+    wq = ctx.get(node.inputs[1]).astype(x.dtype)
+    k = ctx.get(node.inputs[2]).astype(x.dtype)
+    v = ctx.get(node.inputs[3]).astype(x.dtype)
+    wp = ctx.get(node.inputs[4]).astype(x.dtype)
+    bp = ctx.get(node.inputs[5]).reshape(-1).astype("float32")
+    out = cross_attn_block(
+        x, wq, k, v, wp, bp,
+        heads=int(node.attr("num_heads")),
+        scale=float(node.attr("scale", 0.0)) or None,
+        interpret=jax.default_backend() != "tpu")
+    ctx.set(node.outputs[0], out)
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

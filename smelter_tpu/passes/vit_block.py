@@ -39,6 +39,12 @@ from .pass_manager import register_pass
 # LOSES when they are tiny: BERT-encoder (N*D = 33k) ran 75k/s fused vs
 # 121k/s on XLA's batched GEMMs. Gate on tokens*dim of the block input.
 _MIN_TOKENS_X_DIM = 50_000
+# Constant-context cross-attention variant: OFF by default — probe63
+# interleaved A/B on SD-UNet b8/256px measured 1.32 ms (XLA dpa over the
+# folded k/v) vs 1.55 ms fused (-17%): with S_kv=16 the per-image grid's
+# tiny per-head dots cannot beat XLA's batched formulation. The kernel
+# and this variant stay available for probing larger-context models.
+_CROSS_ENABLED = False
 
 
 def _tokens_dim(graph: Graph, edge: str):
@@ -238,6 +244,82 @@ def fuse_vit_block(graph: Graph) -> int:
         for c in chains:
             dead.add(id(c[0])), dead.add(id(c[1]))
         for n in (ln, fa, pm):
+            dead.add(id(n))
+        changed += 1
+
+    # -- constant-context CROSS-attention (SD zoo: fixed context folds
+    # the k/v projections to initializers): [ln edge] -> MatMul(Wq, no
+    # bias) -> Reshape(B,N,H,hd) -> FusedAttention(q, K_const, V_const)
+    # -> MatMul(Wp) -> Add(bp). The kernel consumes the already-normalized
+    # edge (pre-LN owned by the upstream SkipLayerNormalization).
+    for fa in list(graph.find_nodes("FusedAttention")):
+        if not _CROSS_ENABLED:
+            break
+        if id(fa) in dead or len(fa.inputs) != 3:
+            continue
+        if not int(fa.attr("q_native", 0)):
+            continue
+        kc = graph.initializers.get(fa.inputs[1])
+        vc = graph.initializers.get(fa.inputs[2])
+        # batch dim may be 1 (shared context) or B (batch-baked contexts)
+        if (kc is None or vc is None or kc.ndim != 4
+                or vc.shape != kc.shape):
+            continue
+        rs = producers.get(fa.inputs[0])
+        if (rs is None or rs.op_type != "Reshape" or not sole(fa.inputs[0])
+                or rs.inputs[1] not in graph.initializers):
+            continue
+        mm = producers.get(rs.inputs[0])
+        if (mm is None or mm.op_type != "MatMul" or not sole(rs.inputs[0])
+                or len(mm.inputs) != 2
+                or mm.inputs[1] not in graph.initializers):
+            continue
+        wq = graph.initializers[mm.inputs[1]]
+        if wq.ndim != 2 or wq.shape[0] != wq.shape[1]:
+            continue
+        d = int(wq.shape[0])
+        heads, hd = int(kc.shape[2]), int(kc.shape[3])
+        if heads * hd != d:
+            continue
+        nd_gate = _tokens_dim(graph, mm.inputs[0])
+        if nd_gate is None or nd_gate < _MIN_TOKENS_X_DIM:
+            continue
+        outs = consumers.get(fa.outputs[0], [])
+        if (len(outs) != 1 or outs[0].op_type != "MatMul"
+                or outs[0].inputs[0] != fa.outputs[0]
+                or outs[0].inputs[1] not in graph.initializers
+                or graph.initializers[outs[0].inputs[1]].shape != (d, d)):
+            continue
+        pm = outs[0]
+        outs2 = consumers.get(pm.outputs[0], [])
+        if (len(outs2) != 1 or outs2[0].op_type != "Add"
+                or not sole(pm.outputs[0])):
+            continue
+        padd = outs2[0]
+        bp_name = padd.inputs[1] if padd.inputs[1] in graph.initializers \
+            else padd.inputs[0]
+        if (bp_name not in graph.initializers
+                or graph.initializers[bp_name].reshape(-1).shape != (d,)):
+            continue
+
+        # (Bk, S, H, hd) -> (Bk, H, S, hd)
+        k_name = graph.fresh_name(fa.inputs[1] + "_hshd")
+        v_name = graph.fresh_name(fa.inputs[2] + "_hshd")
+        graph.initializers[k_name] = np.ascontiguousarray(
+            np.asarray(kc).transpose(0, 2, 1, 3))
+        graph.initializers[v_name] = np.ascontiguousarray(
+            np.asarray(vc).transpose(0, 2, 1, 3))
+        fused = Node(
+            "CrossAttnBlock",
+            inputs=[mm.inputs[0], mm.inputs[1], k_name, v_name,
+                    pm.inputs[1], bp_name],
+            outputs=list(padd.outputs),
+            attrs={"num_heads": heads,
+                   "scale": float(fa.attr("scale", 0.0))},
+            name=(fa.name or "xattn") + "_block",
+        )
+        graph.nodes[graph.nodes.index(padd)] = fused
+        for n in (rs, mm, fa, pm):
             dead.add(id(n))
         changed += 1
 
