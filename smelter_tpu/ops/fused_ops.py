@@ -206,6 +206,29 @@ def cross_attn_block_op(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out)
 
 
+@register("ConvNeXtBlock")
+def convnext_block_op(ctx: Ctx, node: Node):
+    """Whole ConvNeXt block (dw7x7 -> LN -> FC1 -> gelu -> FC2 -> layer
+    scale -> residual) in one VMEM-resident Pallas kernel
+    (kernels/convnext_block.py; probe64)."""
+    import jax
+
+    from ..kernels.convnext_block import convnext_block
+
+    x = ctx.get(node.inputs[0])
+    args = [ctx.get(e) for e in node.inputs[1:]]
+    dw, db, g, b, w1, b1, w2, b2, gm = args
+    out = convnext_block(
+        x, dw.astype(x.dtype), db.reshape(-1).astype("float32"),
+        g.reshape(-1).astype("float32"), b.reshape(-1).astype("float32"),
+        w1.astype(x.dtype), b1.reshape(-1).astype("float32"),
+        w2.astype(x.dtype), b2.reshape(-1).astype("float32"),
+        gm.reshape(-1).astype("float32"),
+        eps=float(node.attr("epsilon", 1e-6)),
+        interpret=jax.default_backend() != "tpu")
+    ctx.set(node.outputs[0], out)
+
+
 @register("FusedDequantMatMul")
 def fused_dequant_matmul(ctx: Ctx, node: Node):
     from ..kernels.dequant_matmul import dequant_matmul, dequant_matmul_reference

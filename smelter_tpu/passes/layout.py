@@ -347,6 +347,11 @@ class _Rewriter:
 # The layout stage as callers should run it: the NHWC rewrite plus its
 # transpose-sandwich cleanup. api._prepare and bench.py both use this so
 # the bench can never measure a different graph than the product compiles.
+# fuse_convnext_block is registered but OFF by default: the whole-block
+# kernel wins ISOLATED (2.77 -> 1.97 ms stage-1, probe64) yet loses the
+# e2e interleaved A/B by 35% (probe65: 9.76 vs 15.03 ms b64 int8w) —
+# the third microbench-win/e2e-loss inversion (MLP probe55, cross-attn
+# probe63): per-image grids forfeit XLA's cross-batch overlap.
 NHWC_PIPELINE = ["layout_nhwc", "fuse_transpose_pairs",
                  "collapse_layout_transposes"]
 

@@ -589,3 +589,191 @@ def fuse_mlp_block(graph: Graph) -> int:
         graph.dead_code_eliminate()
         graph.value_types = {}
     return changed
+
+
+@register_pass("fuse_convnext_block")
+def fuse_convnext_block(graph: Graph) -> int:
+    """Fuse the ConvNeXt block — depthwise 7x7 -> LN -> FC1 -> gelu ->
+    FC2 -> layer scale -> residual — into one ConvNeXtBlock op
+    (kernels/convnext_block.py; isolated A/B: 2.77 -> 1.97 ms at the
+    b64 stage-1 geometry, probe64). Runs INSIDE the NHWC pipeline (needs
+    the dwconv already converted); handles the residual in either layout
+    (the torch export keeps the canonical chain NCHW, so the fused
+    output gets one Transpose back that fuse_transpose_pairs then
+    cancels against the next block's entry twin). Gated by the measured
+    tokens*dim rule — stage-4 (49 tokens) keeps the XLA path."""
+    if not _ensure_types(graph):
+        return 0
+    producers = graph.producers()
+    consumers = graph.consumers()
+    changed = 0
+    dead: set[int] = set()
+
+    def sole_consumer(edge, op):
+        cs = consumers.get(edge, [])
+        if len(cs) == 1 and cs[0].op_type == op:
+            return cs[0]
+        return None
+
+    def init(name):
+        return graph.initializers.get(name)
+
+    def take_weight(edge):
+        """Resolve a weight edge to an f32 array, folding int8
+        weight-only DequantizeLinear wrappers (quant runs before the
+        NHWC pipeline; the kernel holds weights VMEM-resident so the
+        int8 HBM saving is moot for fused blocks). Returns
+        (array, extra_dead_node_or_None)."""
+        a = init(edge)
+        if a is not None:
+            return (a.astype(np.float32) if a.dtype != np.float32 else a,
+                    None)
+        dq = producers.get(edge)
+        if (dq is None or dq.op_type != "DequantizeLinear"
+                or len(consumers.get(edge, [])) != 1):
+            return None, None
+        wq = init(dq.inputs[0])
+        sc = init(dq.inputs[1])
+        if wq is None or sc is None:
+            return None, None
+        w = wq.astype(np.float32)
+        scv = np.asarray(sc, np.float32)
+        if scv.ndim == 0 or scv.size == 1:
+            w = w * float(scv.reshape(-1)[0])
+        else:
+            ax = int(dq.attr("axis", 1)) % w.ndim
+            shape = [1] * w.ndim
+            shape[ax] = scv.size
+            w = w * scv.reshape(shape)
+        return w, dq
+
+    def mlp_matmul(edge):
+        """Accept MatMul(x, W_init-or-dequant) or
+        FusedDequantMatMul(x, wq, scales). Returns
+        (node, w_f32, extra_dead) or (None, None, None)."""
+        mm = sole_consumer(edge, "MatMul")
+        if mm is not None:
+            w, extra = take_weight(mm.inputs[1])
+            return (mm, w, extra) if w is not None else (None, None, None)
+        fd = sole_consumer(edge, "FusedDequantMatMul")
+        if fd is None:
+            return None, None, None
+        wq, sc = init(fd.inputs[1]), init(fd.inputs[2])
+        if wq is None or sc is None or wq.ndim != 2:
+            return None, None, None
+        w = wq.astype(np.float32) * np.asarray(sc, np.float32).reshape(-1)
+        return fd, w, None
+
+    for conv in list(graph.find_nodes("Conv")):
+        if id(conv) in dead:
+            continue
+        w, w_dead = (take_weight(conv.inputs[1])
+                     if len(conv.inputs) > 1 else (None, None))
+        if (w is None or conv.attr("data_layout", "NCHW") != "NHWC"
+                or w.ndim != 4 or w.shape[:3] != (7, 7, 1)
+                or int(conv.attr("group", 1)) != w.shape[3]
+                or len(conv.inputs) < 3 or init(conv.inputs[2]) is None
+                or conv.attr("strides", [1, 1]) not in ([1, 1], None)):
+            continue
+        c = int(w.shape[3])
+        t = graph.value_types.get(conv.inputs[0])
+        if t is None or t.shape is None or len(t.shape) != 4:
+            continue
+        hh, ww = int(t.shape[1]), int(t.shape[2])
+        if hh * ww * c < _MIN_TOKENS_X_DIM:
+            continue  # tiny per-image GEMMs lose (probe55/56 precedent)
+        ln = sole_consumer(conv.outputs[0], "LayerNormalization")
+        if (ln is None or ln.attr("axis", -1) not in (-1, 3)
+                or init(ln.inputs[1]) is None or init(ln.inputs[2]) is None):
+            continue
+        mm1, w1, w1_dead = mlp_matmul(ln.outputs[0])
+        if mm1 is None or w1.ndim != 2 or w1.shape[0] != c:
+            continue
+        f = int(w1.shape[1])
+        a1 = sole_consumer(mm1.outputs[0], "Add")
+        if a1 is None:
+            continue
+        b1n = a1.inputs[1] if init(a1.inputs[1]) is not None else a1.inputs[0]
+        if init(b1n) is None or init(b1n).reshape(-1).shape != (f,):
+            continue
+        gel = sole_consumer(a1.outputs[0], "Gelu")
+        if gel is None or str(gel.attr("approximate", "none")) != "none":
+            continue
+        mm2, w2, w2_dead = mlp_matmul(gel.outputs[0])
+        if mm2 is None or w2.shape != (f, c):
+            continue
+        a2 = sole_consumer(mm2.outputs[0], "Add")
+        if a2 is None:
+            continue
+        b2n = a2.inputs[1] if init(a2.inputs[1]) is not None else a2.inputs[0]
+        if init(b2n) is None or init(b2n).reshape(-1).shape != (c,):
+            continue
+        mul = sole_consumer(a2.outputs[0], "Mul")
+        if mul is None:
+            continue
+        gm = mul.inputs[0] if init(mul.inputs[0]) is not None \
+            else mul.inputs[1]
+        if init(gm) is None or init(gm).reshape(-1).shape != (c,):
+            continue
+        x_nhwc = conv.inputs[0]
+        # residual: either Add(x_nhwc, mul) directly, or (torch export)
+        # Transpose back to NCHW then Add with x_nhwc's NCHW twin
+        res = sole_consumer(mul.outputs[0], "Add")
+        tr = None
+        if res is not None and x_nhwc in res.inputs:
+            pass  # NHWC residual
+        else:
+            tr = sole_consumer(mul.outputs[0], "Transpose")
+            if tr is None or list(tr.attr("perm", [])) != [0, 3, 1, 2]:
+                continue
+            res = sole_consumer(tr.outputs[0], "Add")
+            if res is None:
+                continue
+            other = res.inputs[0] if res.inputs[1] == tr.outputs[0] \
+                else res.inputs[1]
+            twin = producers.get(x_nhwc)
+            if (twin is None or twin.op_type != "Transpose"
+                    or list(twin.attr("perm", [])) != [0, 2, 3, 1]
+                    or twin.inputs[0] != other):
+                continue  # not the same tensor's NCHW form
+
+        # materialize folded f32 weights as fresh initializers (the
+        # kernel holds them VMEM-resident; int8 wire savings are moot)
+        wdn = graph.fresh_name(conv.inputs[1] + "_f32")
+        w1n = graph.fresh_name("cnx_w1_f32")
+        w2n = graph.fresh_name("cnx_w2_f32")
+        graph.initializers[wdn] = np.ascontiguousarray(w)
+        graph.initializers[w1n] = np.ascontiguousarray(w1)
+        graph.initializers[w2n] = np.ascontiguousarray(w2)
+        fused = Node(
+            "ConvNeXtBlock",
+            inputs=[x_nhwc, wdn, conv.inputs[2],
+                    ln.inputs[1], ln.inputs[2], w1n, b1n,
+                    w2n, b2n, gm],
+            outputs=[graph.fresh_name(res.outputs[0] + "_nhwc")
+                     if tr is not None else res.outputs[0]],
+            attrs={"epsilon": float(ln.attr("epsilon", 1e-6))},
+            name=(conv.name or "cnx") + "_block",
+        )
+        if tr is None:
+            graph.nodes[graph.nodes.index(res)] = fused
+        else:
+            graph.nodes.insert(graph.nodes.index(res), fused)
+            # keep the NCHW output edge alive for downstream consumers
+            back = Node("Transpose", [fused.outputs[0]],
+                        [res.outputs[0]], attrs={"perm": [0, 3, 1, 2]},
+                        name=(res.name or "res") + "_nchw")
+            graph.nodes[graph.nodes.index(res)] = back
+            dead.add(id(tr))
+        for n in (conv, ln, mm1, a1, gel, mm2, a2, mul,
+                  w_dead, w1_dead, w2_dead):
+            if n is not None:
+                dead.add(id(n))
+        changed += 1
+
+    if changed:
+        graph.nodes = [n for n in graph.nodes if id(n) not in dead]
+        graph.toposort()
+        graph.dead_code_eliminate()
+        graph.value_types = {}
+    return changed

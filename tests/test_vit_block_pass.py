@@ -156,3 +156,41 @@ class TestFuseVitBlock:
         ops = [nd.op_type for nd in g.nodes]
         assert "VitAttnBlock" not in ops
         assert "FusedQKVAttention" in ops
+
+
+class TestFuseConvNeXtBlock:
+    def test_explicit_fusion_parity_both_quant_modes(self, rng):
+        """fuse_convnext_block (registered, OFF by default — wins
+        isolated 1.4x but loses e2e 35%, probes 64/65): run explicitly;
+        15 of 18 blocks fuse (stage-4 below the tokens*dim gate), weights
+        folded from both plain-f32 and int8w dequant wrappers."""
+        import torch
+
+        from smelter_tpu.models import ZOO
+
+        for quant in (None, "int8"):
+            g, tm, shape = ZOO["convnext"](batch=1, image_size=224)
+            m = st.compile(g, st.Config(compute_dtype="float32"),
+                           quant=quant)
+            assert not any(nd.op_type == "ConvNeXtBlock"
+                           for nd in m.graph.nodes)  # off by default
+            g2, _tm, _ = ZOO["convnext"](batch=1, image_size=224)
+            from smelter_tpu.passes.layout import NHWC_PIPELINE
+            from smelter_tpu.passes.pass_manager import run_passes as rp
+
+            rp(g2)
+            if quant:
+                from smelter_tpu.quant import quantize_weights
+
+                quantize_weights(g2, mode=quant)
+            rp(g2, list(NHWC_PIPELINE) + ["fuse_convnext_block", "dce"])
+            n = sum(1 for nd in g2.nodes
+                    if nd.op_type == "ConvNeXtBlock")
+            assert n == 15, n
+            x = rng.standard_normal(shape).astype(np.float32) * 0.5
+            with torch.no_grad():
+                want = tm(torch.from_numpy(x)).numpy()
+            got = np.asarray(st.CompiledModel(
+                g2, st.Config(compute_dtype="float32"))(x)[0])
+            rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+            assert rel < (2e-3 if quant is None else 3e-2), (quant, rel)
