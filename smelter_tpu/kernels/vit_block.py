@@ -41,7 +41,8 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                   scale: float,
                   eps: float = 1e-5, residual: bool = True,
                   pre_ln: bool = True, mask_kind: str = "none",
-                  mask_filter: float = -10000.0, n_tokens: int = 0):
+                  mask_filter: float = -10000.0, n_tokens: int = 0,
+                  ips: int = 1):
     if mask_kind == "keep2d":
         mask_ref, o_ref = rest
         # ORT key-padding mask (B, S) 1/0: additive (1-m)*filter on keys
@@ -56,7 +57,10 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                          0.0, mask_filter)
     else:
         (o_ref,) = rest
-    x = x_ref[0].astype(jnp.float32)            # (N, D)
+    n_img, n_tok, dmodel = x_ref.shape
+    # several images per grid step: projections run as ONE tall GEMM
+    # (merge is a free leading-dim reshape); attention stays per-image
+    x = x_ref[...].reshape(n_img * n_tok, dmodel).astype(jnp.float32)
 
     if pre_ln:
         # LayerNorm over D
@@ -69,7 +73,7 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     else:
         # post-LN architectures (ORT-contrib BERT): projections read x
         # raw; the downstream SkipLayerNormalization owns residual + LN
-        xn = x_ref[0]
+        xn = x_ref[...].reshape(n_img * n_tok, dmodel)
 
     group = n_heads_per_group  # heads per lane group (<= 128 lanes)
     outs = []
@@ -88,37 +92,48 @@ def _block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         v = v.astype(x_ref.dtype)
         halves = []
         for h in range(group):
-            qs = q[:, h * hd:(h + 1) * hd]
-            ks = k[:, h * hd:(h + 1) * hd]
-            vs = v[:, h * hd:(h + 1) * hd]
-            s = jax.lax.dot_general(
-                qs, ks, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (N, N)
-            if mask_kind != "none":
-                s = s + madd
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            pmat = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                x_ref.dtype)
-            halves.append(jnp.dot(pmat, vs,
-                                  preferred_element_type=jnp.float32))
-        outs.append(jnp.concatenate(halves, axis=1))  # (N, 128)
+            img_outs = []
+            for im in range(n_img):
+                sl = slice(im * n_tok, (im + 1) * n_tok)
+                qs = q[sl, h * hd:(h + 1) * hd]
+                ks = k[sl, h * hd:(h + 1) * hd]
+                vs = v[sl, h * hd:(h + 1) * hd]
+                s = jax.lax.dot_general(
+                    qs, ks, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # (N, N)
+                if mask_kind != "none":
+                    s = s + madd
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pmat = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                    x_ref.dtype)
+                img_outs.append(jnp.dot(pmat, vs,
+                                        preferred_element_type=jnp.float32))
+            halves.append(img_outs[0] if n_img == 1
+                          else jnp.concatenate(img_outs, axis=0))
+        outs.append(jnp.concatenate(halves, axis=1))  # (ips*N, group*hd)
     attn = jnp.concatenate(outs, axis=1).astype(x_ref.dtype)  # (N, D)
 
     proj = (jnp.dot(attn, wp_ref[...], preferred_element_type=jnp.float32)
             + bp_ref[0].astype(jnp.float32))
-    o_ref[0] = ((x + proj) if residual else proj).astype(o_ref.dtype)
+    out = (x + proj) if residual else proj
+    o_ref[...] = out.reshape(n_img, n_tok, dmodel).astype(o_ref.dtype)
 
 
 def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
                     mask=None, *, heads: int, interpret: bool = False,
                     scale: float | None = None, eps: float = 1e-5,
                     residual: bool = True, pre_ln: bool = True,
-                    mask_filter: float = -10000.0):
+                    mask_filter: float = -10000.0, images_per_step: int = 1):
     B, N, D = x.shape
     hd = D // heads
     group = _head_group(heads, hd)
     n_pairs = heads // group
+    ips = max(1, min(images_per_step, B))
+    while B % ips:
+        ips -= 1
+    if mask is not None:
+        ips = 1  # masked forms keep the per-image grid
     kernel = functools.partial(_block_kernel, n_pairs=n_pairs, hd=hd,
                                n_heads_per_group=group,
                                scale=scale if scale else 1.0 / (hd ** 0.5),
@@ -126,13 +141,14 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
                                mask_kind=("none" if mask is None else
                                           "len1d" if mask.ndim == 1 else
                                           "keep2d"),
-                               mask_filter=mask_filter, n_tokens=N)
+                               mask_filter=mask_filter, n_tokens=N,
+                               ips=ips)
     flops = B * (3 * 2 * N * D * D + 4 * N * N * D + 2 * N * D * D)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // ips,),
         in_specs=[
-            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((ips, N, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -146,7 +162,7 @@ def _vit_block_impl(x, ln_g, ln_b, wqkv_packed, bqkv_packed, w_proj, b_proj,
              [pl.BlockSpec(memory_space=pltpu.SMEM)] if mask.ndim == 1 else
              [pl.BlockSpec((1, N), lambda b: (b, 0),
                            memory_space=pltpu.VMEM)]),
-        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((ips, N, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
         cost_estimate=pl.CostEstimate(
