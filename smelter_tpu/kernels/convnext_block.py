@@ -11,6 +11,10 @@ zero-padded scratch (NHWC: taps broadcast per-channel over lanes, no
 reshape), LN over lanes in-register, the inverted-bottleneck MLP as two
 MXU GEMMs with exact gelu (erf polynomial), layer scale + residual.
 
+Reference scope: none — the reference has no depthwise-7x7/LN blocks
+(SURVEY.md §2 lists only plain conv/pool/norm converters); this chases
+the ConvNeXt zoo row's roofline gap.
+
 OFF by default until its interleaved e2e A/B wins (probe64) — the
 MLP-block and cross-attention kernels both won microbenches and lost
 end-to-end; this one must earn its default the same way.

@@ -7,7 +7,7 @@ the MLP's barriers are smaller (LN materializes once, gelu rides the
 GEMM epilogue), so this kernel must EARN its default-on in probe54 —
 wire only if it beats the XLA formulation end-to-end.
 
-Reference scope: none (no attention/MLP ops in the reference)."""
+Reference scope: none — the reference is a CNN-only engine (SURVEY.md §5.7); this chases the BASELINE transformer configs."""
 
 from __future__ import annotations
 
