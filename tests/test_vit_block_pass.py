@@ -194,3 +194,22 @@ class TestFuseConvNeXtBlock:
                 g2, st.Config(compute_dtype="float32"))(x)[0])
             rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
             assert rel < (2e-3 if quant is None else 3e-2), (quant, rel)
+
+    def test_vit_l_geometry_class_parity(self, rng):
+        """ViT-L class (d=1024, h=16, hd=64): fuses and matches the torch
+        golden — covers the zoo vit_l16 row's geometry."""
+        import torch
+
+        from smelter_tpu.models import vit
+
+        g, tm, shape = vit.build(batch=1, image_size=224, depth=2,
+                                 dim=1024, heads=16)
+        m = st.compile(g, st.Config(compute_dtype="float32"))
+        n = sum(1 for nd in m.graph.nodes if nd.op_type == "VitAttnBlock")
+        assert n == 2, n
+        x = rng.standard_normal(shape).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(m(x)[0])
+        rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert rel < 2e-3, rel
