@@ -1,26 +1,29 @@
-"""Fuse the whole pre-LN attention block into one VitAttnBlock op.
+"""Whole-block transformer fusion passes (round 3).
 
-Round-3 follow-through on the partial-kernel findings (VERDICT r2 item
-4): every partial transformer kernel lost to XLA fusion barriers, so the
-fusion unit is the entire block —
+Round 2 found every PARTIAL transformer kernel losing to XLA fusion
+barriers; the resolution is one VMEM-resident pallas_call per block
+(kernels/vit_block.py). `fuse_vit_block` matches four attention shapes:
 
-    LayerNormalization(x, g, b)
-      -> MatMul(., Wqkv (D, 3D))  -> Add(., bqkv)
-      -> FusedQKVAttention
-      -> MatMul(., Wproj (D, D))  -> Add(., bproj)
+  1. pre-LN packed-QKV (ViT/speech):  LayerNormalization -> MatMul(Wqkv
+     (D,3D)) -> Add -> FusedQKVAttention -> MatMul(Wproj) -> Add
+  2. post-LN ORT-contrib (BERT): Attention(x, Wqkv, bqkv [, mask]) ->
+     MatMul(Wproj); masks: (B,S) keep and (B,) valid-length forms
+  3. separate-projection self-attention (SD spatial transformers):
+     LN -> 3x [MatMul -> Reshape] off one edge -> native FusedAttention
+  4. constant-context cross-attention (folded k/v initializers) ->
+     CrossAttnBlock  [OFF by default: probe63, loses 17% at S_kv=16]
 
-becomes VitAttnBlock(x, g, b, Wqkv_packed, bqkv_packed, Wproj, bproj),
-lowered to the VMEM-resident whole-block Pallas kernel
-(kernels/vit_block.py; measured 134.6 TF vs XLA's 53.7 at the ViT-B/16
-block geometry, probe52 — 2.5x). QKV weights are re-packed per head PAIR
-at pass time so every projection in the kernel is a full-width 128-lane
-MXU matmul.
+QKV weights re-pack into 128-lane head GROUPS (2x hd64, 4x hd32) so
+every projection is a full-width MXU matmul. Residual stays OUTSIDE
+(the downstream Add/SkipLayerNormalization owns it).
 
-Gate: heads even and 2*head_dim == 128 lanes (ViT-B/L and the
-BERT-encoder d256/h4 geometry); anything else keeps the XLA
-dot_product_attention path. Residual stays OUTSIDE the op (the
-downstream SkipLayerNormalization / Add already fuses it), so the
-rewrite is a drop-in replacement for the proj bias-add's output edge.
+All gates are MEASURED, not guessed (interleaved on-chip A/B):
+tokens*dim >= 50k (`_MIN_TOKENS_X_DIM`) — ViT-B +37% (3,832 img/s),
+speech encoder 5.1x, SD self-attn 1.81x; BERT-enc (N*D=33k) keeps XLA's
+batched path (fused ran 75k vs 121k seq/s). `fuse_mlp_block` and
+`fuse_convnext_block` live here too as measured NEGATIVE results
+(win isolated, lose e2e; registered, off by default) — see
+docs/BENCHMARKS.md "Whole-block transformer kernels".
 
 Reference scope: none — no attention in the reference (SURVEY.md §5.7).
 """
