@@ -14,20 +14,11 @@ import time
 import numpy as np
 
 ROWS = [
-    # (model, batch, image_size, quant, layout)
-    ("mobilenet_v3", 256, 224, "int8", "nhwc"),
-    ("mobilenet_v2", 256, 224, "int8", "nhwc"),
-    ("resnet50", 128, 224, "int8-static", "nhwc"),
+    # round-3 refresh: rows whose default paths changed
     ("vit_b16", 128, 224, "none", "nhwc"),
-    ("retina_fpn", 8, 256, "int8", "nhwc"),
-    ("retina_fpn", 32, 256, "int8", "nhwc"),
-    ("unet", 16, 256, "none", "nhwc"),
-    ("convnext", 64, 224, "int8", "nhwc"),
     ("sd_unet", 8, 256, "int8-conv", "nhwc"),
-    ("esrgan", 8, 128, "none", "nhwc"),
-    ("esrgan", 8, 128, "int8-pixel", "nhwc"),
     ("segnet", 16, 256, "none", "nhwc"),
-    ("bert_encoder", 64, 128, "none", "nhwc"),
+    ("speech_encoder", 64, 224, "none", "nhwc"),
 ]
 
 

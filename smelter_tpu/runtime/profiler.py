@@ -125,6 +125,34 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
                 din = int(x_t.shape[-1])
                 proj_out = int(w.shape[-1]) if w is not None else 3 * din
                 flops = 2.0 * s * din * proj_out + 4.0 * o_n * int(x_t.shape[1])
+        elif node.op_type == "VitAttnBlock":
+            # whole attention block: QKV (6ND^2) + scores/PV (4N^2D) +
+            # proj (2ND^2) per image — kernels/vit_block.py
+            i_t = vt.get(node.inputs[0])
+            if i_t is not None and len(i_t.shape) == 3:
+                bb, nn, dd = (int(v) for v in i_t.shape)
+                flops = bb * (8.0 * nn * dd * dd + 4.0 * nn * nn * dd)
+        elif node.op_type == "CrossAttnBlock":
+            i_t = vt.get(node.inputs[0])
+            k_w = graph.initializers.get(node.inputs[2])
+            if i_t is not None and len(i_t.shape) == 3 and k_w is not None:
+                bb, nn, dd = (int(v) for v in i_t.shape)
+                s_kv = int(k_w.shape[-2])
+                flops = bb * (4.0 * nn * dd * dd + 4.0 * nn * s_kv * dd)
+        elif node.op_type == "MlpBlock":
+            i_t = vt.get(node.inputs[0])
+            w1 = graph.initializers.get(node.inputs[3])
+            if i_t is not None and len(i_t.shape) == 3 and w1 is not None:
+                bb, nn, dd = (int(v) for v in i_t.shape)
+                flops = bb * 4.0 * nn * dd * int(w1.shape[-1])
+        elif node.op_type == "ConvNeXtBlock":
+            i_t = vt.get(node.inputs[0])
+            w1 = graph.initializers.get(node.inputs[5])
+            if i_t is not None and len(i_t.shape) == 4 and w1 is not None:
+                bb, hh, ww_, cc = (int(v) for v in i_t.shape)
+                flops = bb * hh * ww_ * cc * (2.0 * 49
+                                              + 4.0 * int(w1.shape[-1]) / cc
+                                              * cc)
         elif node.op_type in ("Softmax", "LogSoftmax", "Exp", "Log", "Tanh",
                               "Sigmoid", "Gelu", "Erf", "FastGelu",
                               "QuickGelu", "BiasGelu"):

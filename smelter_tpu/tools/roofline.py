@@ -42,6 +42,7 @@ _MXU_OPS = _INT8_MXU_OPS | {
     "FusedDequantMatMul", "MatMulNBits", "PixelConv", "Attention",
     "FusedAttention", "FusedQKVAttention", "MultiHeadAttention",
     "GroupQueryAttention", "LSTM", "GRU", "RNN",
+    "VitAttnBlock", "CrossAttnBlock", "MlpBlock", "ConvNeXtBlock",
 }
 
 
