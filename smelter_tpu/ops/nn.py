@@ -431,6 +431,22 @@ def _max_pool_with_indices(ctx: Ctx, node: Node, x, rank, kernel, strides,
 # A/B probes can toggle it; default decided by measurement.
 _UNPOOL_KERNEL = True
 
+
+def _unpool2x2_kernel_ok(x_shape, out_shape, kernel, strides, pads,
+                         rank: int) -> bool:
+    """Eligibility for the Pallas 2x2/s2 MaxUnpool kernel. Besides the
+    geometric match, the kernel computes landing parities on int32
+    indices — a flat output index >= 2^31 would wrap and corrupt
+    (idx // w_out) % 2 (w_out does not divide 2^32), so huge outputs
+    keep the int64 dense path."""
+    out_elems = 1
+    for d in out_shape:
+        out_elems *= int(d)
+    return (list(strides) == list(kernel) == [2, 2] and not any(pads)
+            and rank == 2 and _UNPOOL_KERNEL
+            and tuple(out_shape[2:]) == (2 * x_shape[2], 2 * x_shape[3])
+            and out_elems < 2 ** 31)
+
 @register("MaxUnpool", since=9)
 def max_unpool(ctx: Ctx, node: Node):
     """Inverse of MaxPool-with-indices (SegNet-style decoders): scatter X's
@@ -453,9 +469,8 @@ def max_unpool(ctx: Ctx, node: Node):
             - pads[i] - pads[rank + i]
             for i in range(rank))
         out_shape = x.shape[:2] + spatial
-    if (list(strides) == list(kernel) == [2, 2] and not any(pads)
-            and rank == 2 and _UNPOOL_KERNEL
-            and tuple(out_shape[2:]) == (2 * x.shape[2], 2 * x.shape[3])):
+    if _unpool2x2_kernel_ok(x.shape, out_shape, kernel, strides, pads,
+                            rank):
         # Pallas kernel: parity-of-flat-index landing, in/out read once
         # (probe58: XLA's dense form ran the full-res SegNet unpool at
         # ~16x its traffic bound; probe59 measures the kernel e2e)

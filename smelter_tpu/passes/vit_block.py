@@ -50,6 +50,19 @@ _MIN_TOKENS_X_DIM = 50_000
 _CROSS_ENABLED = False
 
 
+def _aux_outputs_unused(graph: Graph, consumers, node, keep=()) -> bool:
+    """True iff every secondary output of `node` (outputs[1:], minus
+    `keep`) is unconsumed and not a graph output. Fusion deletes the
+    node wholesale, so a consumed mean/inv-std edge (LayerNormalization
+    outputs 1-2, SkipLayerNormalization outputs 1-3) must block the
+    match or it would dangle."""
+    graph_outs = {v.name for v in graph.outputs}
+    for o in node.outputs[1:]:
+        if o and o not in keep and (consumers.get(o) or o in graph_outs):
+            return False
+    return True
+
+
 def _tokens_dim(graph: Graph, edge: str):
     t = graph.value_types.get(edge)
     if t is None or t.shape is None or len(t.shape) != 3:
@@ -106,7 +119,8 @@ def fuse_vit_block(graph: Graph) -> int:
                 or not sole(mm.inputs[0])
                 or ln.inputs[1] not in graph.initializers
                 or ln.inputs[2] not in graph.initializers
-                or ln.attr("axis", -1) not in (-1, 2)):
+                or ln.attr("axis", -1) not in (-1, 2)
+                or not _aux_outputs_unused(graph, consumers, ln)):
             continue
         nd = _tokens_dim(graph, ln.inputs[0])
         if nd is None or nd < _MIN_TOKENS_X_DIM:
@@ -206,7 +220,8 @@ def fuse_vit_block(graph: Graph) -> int:
                 or ln.inputs[1] not in graph.initializers
                 or ln.inputs[2] not in graph.initializers
                 or ln.attr("axis", -1) not in (-1, 2)
-                or len(consumers.get(ln_edge, [])) != 3):
+                or len(consumers.get(ln_edge, [])) != 3
+                or not _aux_outputs_unused(graph, consumers, ln)):
             continue
         outs = consumers.get(fa.outputs[0], [])
         if (len(outs) != 1 or outs[0].op_type != "MatMul"
@@ -432,6 +447,10 @@ def fuse_mlp_block(graph: Graph) -> int:
           -> SkipLayerNormalization(.., sln_out, ...)
       becomes MlpBlock(sln_out, pre_ln=0, approximate=1, residual=0);
       the trailing SkipLayerNormalization keeps residual + LN."""
+    # type availability decided up front, on the unmutated graph: the
+    # BERT-contrib shape must verify the MatMul input is rank-3 (the
+    # kernel unpacks B, N, D) — a 2-D chain must keep the general path.
+    types_ok = _ensure_types(graph)
     producers = graph.producers()
     consumers = graph.consumers()
     changed = 0
@@ -503,6 +522,17 @@ def fuse_mlp_block(graph: Graph) -> int:
             continue
         if (init(sln.inputs[2]) is None or init(sln.inputs[3]) is None):
             continue
+        # sln is replaced by a plain Add producing only sum_out; its
+        # mean/inv-std outputs (1-2) must be unconsumed. Same for the
+        # demoted trailing SkipLayerNormalization, whose sum output (3)
+        # is redirected explicitly below.
+        if not _aux_outputs_unused(graph, consumers, sln, keep=(sum_out,)):
+            continue
+        if res_sln is not None and not _aux_outputs_unused(
+                graph, consumers, res_sln,
+                keep=(res_sln.outputs[3] if len(res_sln.outputs) > 3
+                      else "",)):
+            continue
 
         sum_add = Node("Add", [sln.inputs[0], sln.inputs[1]], [sum_out],
                        name=(sln.name or "sln") + "_sum")
@@ -569,6 +599,9 @@ def fuse_mlp_block(graph: Graph) -> int:
         sln = sole_consumer(mm2.outputs[0], "SkipLayerNormalization")
         if sln is None:
             continue
+        t3 = graph.value_types.get(mm1.inputs[0]) if types_ok else None
+        if t3 is None or t3.shape is None or len(t3.shape) != 3:
+            continue  # mlp_block unpacks B, N, D — 2-D chains stay general
         zeros = graph.fresh_name("mlpb_zeros")
         ones = graph.fresh_name("mlpb_ones")
         graph.initializers[zeros] = np.zeros(d, np.float32)
@@ -672,11 +705,23 @@ def fuse_convnext_block(graph: Graph) -> int:
             continue
         w, w_dead = (take_weight(conv.inputs[1])
                      if len(conv.inputs) > 1 else (None, None))
+        ap = conv.attr("auto_pad", b"NOTSET")
+        ap = ap.decode() if isinstance(ap, bytes) else str(ap)
+        pads_a = conv.attr("pads")
+        dil_a = conv.attr("dilations")
         if (w is None or conv.attr("data_layout", "NCHW") != "NHWC"
                 or w.ndim != 4 or w.shape[:3] != (7, 7, 1)
                 or int(conv.attr("group", 1)) != w.shape[3]
                 or len(conv.inputs) < 3 or init(conv.inputs[2]) is None
-                or conv.attr("strides", [1, 1]) not in ([1, 1], None)):
+                or conv.attr("strides", [1, 1]) not in ([1, 1], None)
+                # the kernel hard-codes centered (3,3) same-padding at
+                # dilation 1 — any other still-size-preserving geometry
+                # (asymmetric pads, dilated 7x7) must keep the XLA path
+                or ap not in ("NOTSET", "")
+                or (pads_a is not None
+                    and [int(p) for p in pads_a] != [3, 3, 3, 3])
+                or (dil_a is not None
+                    and [int(v) for v in dil_a] != [1, 1])):
             continue
         c = int(w.shape[3])
         t = graph.value_types.get(conv.inputs[0])
@@ -687,7 +732,8 @@ def fuse_convnext_block(graph: Graph) -> int:
             continue  # tiny per-image GEMMs lose (probe55/56 precedent)
         ln = sole_consumer(conv.outputs[0], "LayerNormalization")
         if (ln is None or ln.attr("axis", -1) not in (-1, 3)
-                or init(ln.inputs[1]) is None or init(ln.inputs[2]) is None):
+                or init(ln.inputs[1]) is None or init(ln.inputs[2]) is None
+                or not _aux_outputs_unused(graph, consumers, ln)):
             continue
         mm1, w1, w1_dead = mlp_matmul(ln.outputs[0])
         if mm1 is None or w1.ndim != 2 or w1.shape[0] != c:

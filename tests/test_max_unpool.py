@@ -52,3 +52,17 @@ def test_bf16_dtype(rng):
     ref.reshape(-1)[idx.reshape(-1)] = val.reshape(-1)
     np.testing.assert_allclose(np.asarray(got, np.float32), ref,
                                rtol=1e-2, atol=1e-2)
+
+
+def test_int32_overflow_gate():
+    """ADVICE r3: the kernel's landing parities are int32 — outputs with
+    >= 2^31 elements must keep the int64 dense path (gate in ops/nn.py),
+    small ones take the kernel."""
+    from smelter_tpu.ops.nn import _unpool2x2_kernel_ok
+
+    ok = _unpool2x2_kernel_ok((2, 32, 16, 64), (2, 32, 32, 128),
+                              [2, 2], [2, 2], [0, 0, 0, 0], 2)
+    assert ok
+    big = (8, 64, 2 ** 12, 2 ** 12)  # 2^37 output elements
+    assert not _unpool2x2_kernel_ok(
+        (8, 64, 2 ** 11, 2 ** 11), big, [2, 2], [2, 2], [0, 0, 0, 0], 2)

@@ -213,3 +213,80 @@ class TestFuseConvNeXtBlock:
         got = np.asarray(m(x)[0])
         rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
         assert rel < 2e-3, rel
+
+
+class TestAdviceR3Gates:
+    """Round-3 advisor findings: pattern guards that must block fusion."""
+
+    def test_sln_consumed_stats_block_mlp_fusion(self, rng):
+        """A SkipLayerNormalization whose mean output (1) is consumed
+        must not be deleted by fuse_mlp_block (the edge would dangle)."""
+        from smelter_tpu.ir.graph import Node
+        from smelter_tpu.models import vit
+
+        g, _tm, _shape = vit.build(batch=1, image_size=224, depth=2)
+        run_passes(g, _PIPE_NO)
+        slns = [nd for nd in g.nodes
+                if nd.op_type == "SkipLayerNormalization"
+                and len(nd.outputs) > 3 and nd.outputs[3]]
+        assert slns
+        victim = slns[0]
+        while len(victim.outputs) < 2:
+            victim.outputs.append("")
+        victim.outputs[1] = g.fresh_name("sln_mean")
+        g.nodes.append(Node("Identity", [victim.outputs[1]],
+                            [g.fresh_name("mean_copy")]))
+        run_passes(g, ["fuse_mlp_block"])
+        ops = [nd.op_type for nd in g.nodes]
+        # the victim block is skipped; the other MLP may still fuse
+        assert ops.count("MlpBlock") < 2
+        assert victim in g.nodes
+
+    def test_bert_mlp_rank2_not_fused(self, rng):
+        """ADVICE r3: a 2-D MatMul -> FastGelu -> MatMul -> SLN chain
+        must keep the general path (mlp_block unpacks B, N, D)."""
+        from smelter_tpu.ir.build import GraphBuilder
+
+        d, f, s = 128, 256, 8
+        b = GraphBuilder("mlp2d", opset=17)
+        x = b.input("x", (s, d))
+        skip = b.input("skip", (s, d))
+        w1 = b.init(rng.standard_normal((d, f)).astype(np.float32) * 0.05)
+        b1 = b.init(rng.standard_normal(f).astype(np.float32) * 0.05)
+        w2 = b.init(rng.standard_normal((f, d)).astype(np.float32) * 0.05)
+        gm = b.init(np.ones(d, np.float32))
+        bt = b.init(np.zeros(d, np.float32))
+        h = b.node("MatMul", [x, w1])
+        h = b.node("FastGelu", [h, b1])
+        h = b.node("MatMul", [h, w2])
+        y = b.node("SkipLayerNormalization", [h, skip, gm, bt])
+        b.output(y, (s, d))
+        g = b.graph
+        run_passes(g, ["fuse_mlp_block"])
+        assert not any(nd.op_type == "MlpBlock" for nd in g.nodes)
+        xx = rng.standard_normal((s, d)).astype(np.float32)
+        ss = rng.standard_normal((s, d)).astype(np.float32)
+        out = st.CompiledModel(g, st.Config(compute_dtype="float32"))(xx, ss)
+        assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_convnext_gate_skips_nonstandard_conv_geometry(self, rng):
+        """ADVICE r3: asymmetric pads / dilations on the 7x7 depthwise
+        conv must block fuse_convnext_block (kernel hard-codes centered
+        (3,3) padding, dilation 1)."""
+        from smelter_tpu.models import ZOO
+        from smelter_tpu.passes.layout import NHWC_PIPELINE
+        from smelter_tpu.passes.pass_manager import run_passes as rp
+
+        g, _tm, _shape = ZOO["convnext"](batch=1, image_size=224)
+        rp(g)
+        rp(g, list(NHWC_PIPELINE))
+        dws = [nd for nd in g.nodes if nd.op_type == "Conv"
+               and nd.attr("data_layout") == "NHWC"
+               and int(nd.attr("group", 1)) > 1]
+        assert len(dws) >= 2, len(dws)
+        dws[0].attrs["pads"] = [0, 0, 6, 6]     # size-preserving but shifted
+        dws[1].attrs["dilations"] = [2, 2]      # size-preserving when padded
+        dws[1].attrs["pads"] = [6, 6, 6, 6]
+        rp(g, ["fuse_convnext_block", "dce"])
+        n = sum(1 for nd in g.nodes if nd.op_type == "ConvNeXtBlock")
+        assert n == 13, n  # 15 eligible minus the two mutated blocks
