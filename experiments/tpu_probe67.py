@@ -1,0 +1,147 @@
+"""TPU probe #67: weight-only quant formulations at decode GEMM shapes.
+
+Decode serving is HBM-bound on weight reads (M tiny, K/N large). The
+question: which storage+dequant formulation actually cuts per-step HBM
+traffic under XLA — or does the dequant materialize a full-size f32/bf16
+weight and erase the win? Arms at M in {8}, K=N=4096 bf16 activations:
+
+  a. bf16 weights, plain dot                    (2 B/elem read)
+  b. int8 per-channel, scale on the OUTPUT      (1 B/elem read)
+  c. int4 per-channel, scale on the OUTPUT      (0.5 B/elem read)
+  d. int4 grouped g=128, blocked dequant then dot (the DequantizeLinear
+     lowering's form: convert+scale the weight, then matmul)
+  e. int4 grouped g=128, per-block partial sums (dequant-free dot,
+     scales applied to (K/g, M, N) partials)
+
+Also times each arm INSIDE a scan-over-steps (the FusedGenerator shape)
+to see whether loop-invariant dequant gets hoisted+materialized.
+"""
+
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    M, K, N, G = 8, 4096, 4096, 128
+    import ml_dtypes
+
+    x_np = rng.standard_normal((M, K)).astype(np.float32)
+    x = jax.device_put(x_np).astype(jnp.bfloat16)
+    wf = (rng.standard_normal((K, N)) / np.sqrt(K)).astype(np.float32)
+    w_bf = jax.device_put(wf).astype(jnp.bfloat16)
+    # per-channel int8/int4 (scales along N)
+    s8 = np.abs(wf).max(0) / 127.0
+    q8 = jax.device_put(np.clip(np.round(wf / s8), -127, 127)
+                        .astype(np.int8))
+    s8 = jax.device_put(s8.astype(np.float32))
+    s4 = np.abs(wf).max(0) / 7.0
+    q4pc = jax.device_put(np.clip(np.round(wf / s4), -7, 7)
+                          .astype(jnp.int4))
+    s4 = jax.device_put(s4.astype(np.float32))
+    # grouped int4
+    from smelter_tpu.quant.weight_quant import quantize_array_blocked
+
+    q4g_np, s4g_np = quantize_array_blocked(wf, 0, G, 7)
+    q4g = jax.device_put(np.asarray(q4g_np)).astype(jnp.int4)
+    s4g = jax.device_put(s4g_np)  # (K/G, N) f32
+
+    params = {"w_bf": w_bf, "q8": q8, "s8": s8, "q4pc": q4pc,
+              "s4": s4, "q4g": q4g, "s4g": s4g}
+
+    def arm_bf16(p, xx):
+        return jnp.dot(xx, p["w_bf"], preferred_element_type=jnp.float32)
+
+    def arm_int8_out(p, xx):
+        y = jnp.dot(xx, p["q8"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return y * p["s8"][None, :]
+
+    def arm_int4_out(p, xx):
+        y = jnp.dot(xx, p["q4pc"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        return y * p["s4"][None, :]
+
+    def arm_int4g_deq(p, xx):
+        wb = (p["q4g"].reshape(K // G, G, N).astype(jnp.bfloat16)
+              * p["s4g"][:, None, :].astype(jnp.bfloat16)).reshape(K, N)
+        return jnp.dot(xx, wb, preferred_element_type=jnp.float32)
+
+    def arm_int4g_partials(p, xx):
+        xb = xx.reshape(M, K // G, G)
+        part = jnp.einsum("mbg,bgn->bmn", xb,
+                          p["q4g"].reshape(K // G, G, N)
+                          .astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return jnp.sum(part * p["s4g"][:, None, :], axis=0)
+
+    arms = [("bf16", arm_bf16), ("int8-pc/out", arm_int8_out),
+            ("int4-pc/out", arm_int4_out),
+            ("int4-g128/deq", arm_int4g_deq),
+            ("int4-g128/partials", arm_int4g_partials)]
+
+    # numerics sanity vs f32 reference (host-side; reading bf16 device
+    # arrays as f32 is unimplemented over the tunnel)
+    ref = x_np.astype(ml_dtypes.bfloat16).astype(np.float32) @ wf
+    for name, f in arms:
+        got = np.asarray(jax.jit(f)(params, x))
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        print(f"  {name:20s} rel_err {rel:.4f}", flush=True)
+
+    def chained(f, k):
+        @jax.jit
+        def run(p, xx):
+            def body(_, carry):
+                c0 = carry[(0, 0)].astype(jnp.float32)
+                bits = jax.lax.bitcast_convert_type(c0, jnp.int32)
+                zero = jnp.where(bits == jnp.int32(0x7DEAD001),
+                                 jnp.float32(1), jnp.float32(0))
+                return f(p, xx + zero.astype(xx.dtype))[:, :K]
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((M, K), jnp.float32))
+        return run
+
+    def timed(run, *a):
+        sync(run(*a))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(run(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    print(f"\nM={M} K={K} N={N} G={G}; per-step chip time (K-differenced,"
+          " min of 3, interleaved rounds)", flush=True)
+    k_lo, k_hi = 16, 80
+    # interleave arms to ride out multi-tenant drift
+    runs = {name: (chained(f, k_lo), chained(f, k_hi))
+            for name, f in arms}
+    best = {name: float("inf") for name, _ in arms}
+    for _ in range(3):
+        for name, (rlo, rhi) in runs.items():
+            t = (timed(rhi, params, x) - timed(rlo, params, x)) / (k_hi - k_lo)
+            best[name] = min(best[name], t)
+    for name, _ in arms:
+        t = best[name]
+        gbs = (2 * M * K * N / 1e9) / t
+        print(f"  {name:20s} {t * 1e6:8.1f} us/step   "
+              f"{gbs:7.1f} GFLOP-equiv/s-scale", flush=True)
+    bf = best["bf16"]
+    for name, _ in arms:
+        print(f"  {name:20s} speedup vs bf16: {bf / best[name]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

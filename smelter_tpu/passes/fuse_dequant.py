@@ -34,6 +34,7 @@ def fuse_dequant_matmul(graph: Graph) -> int:
                 dq is not None
                 and dq.op_type == "DequantizeLinear"
                 and len(dq.inputs) == 2  # no zero-point (symmetric)
+                and not dq.attr("block_size")  # grouped scales: XLA path
                 and dq.inputs[0] in graph.initializers
                 and dq.inputs[1] in graph.initializers
             ):

@@ -14,6 +14,8 @@ path fuses DequantizeLinear+{Conv,MatMul,Gemm} into single kernels.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from ..ir.graph import Graph, Node
@@ -58,6 +60,37 @@ def dequantize_array(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
     return q.astype(np.float32) * scales
 
 
+def quantize_array_blocked(w: np.ndarray, k_axis: int, group: int,
+                           qmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Group-wise symmetric quantization of a 2-D weight along its
+    contraction axis `k_axis` (opset-21 blocked DequantizeLinear
+    semantics: scale keeps w's rank with dim k_axis = ceil(K/group)).
+    Finer than per-channel — each (group x out_channel) block gets its
+    own scale, the standard LLM weight-only recipe. Returns (q, scales);
+    q is int4 (ml_dtypes) when qmax == 7, else int8."""
+    import ml_dtypes
+
+    w = np.asarray(w, np.float32)
+    k = w.shape[k_axis]
+    nblk = -(-k // group)
+    pad = nblk * group - k
+    wp = np.pad(w, [(0, pad) if i == k_axis else (0, 0)
+                    for i in range(w.ndim)])
+    if k_axis == 0:
+        amax = np.abs(wp.reshape(nblk, group, -1)).max(axis=1)
+        amax = amax.reshape((nblk,) + w.shape[1:])
+    else:
+        amax = np.abs(wp.reshape(w.shape[0], nblk, group)).max(axis=2)
+    scales = (amax / float(qmax)).astype(np.float32)
+    scales = np.where(scales == 0, np.float32(1.0), scales)
+    rep = np.repeat(scales, group, axis=k_axis)
+    rep = rep[tuple(slice(0, k) if i == k_axis else slice(None)
+                    for i in range(w.ndim))]
+    q = np.clip(np.round(w / rep), -qmax, qmax)
+    return (q.astype(ml_dtypes.int4) if qmax == 7
+            else q.astype(np.int8)), scales
+
+
 def quantize_weights(
     graph: Graph,
     mode: str = "int8",
@@ -65,8 +98,19 @@ def quantize_weights(
     ops: tuple[str, ...] = QUANT_OPS,
 ) -> Graph:
     """Rewrite `graph` in place with quantized weights. Weights consumed by
-    several nodes are quantized once (first consumer's axis wins)."""
-    if mode not in ("int8", "fp16", "fp8", "int4"):
+    several nodes are quantized once (first consumer's axis wins).
+
+    mode: "fp16" | "fp8" | "int8" | "int4" (per-channel), or grouped
+    "int8-g<N>" / "int4-g<N>" (blocked scales along the contraction axis
+    with group size N, emitted as opset-21 DequantizeLinear block_size;
+    MatMul/Gemm 2-D weights only — others fall back per-channel)."""
+    group = 0
+    m = re.fullmatch(r"int([48])-g(\d+)", mode or "")
+    if m:
+        bits, group = int(m.group(1)), int(m.group(2))
+        if group < 8:
+            raise ValueError(f"quant mode {mode!r}: group size >= 8")
+    elif mode not in ("int8", "fp16", "fp8", "int4"):
         raise ValueError(f"quant mode {mode!r}")
     done: set[str] = set()
     new_nodes: list[Node] = []
@@ -111,7 +155,25 @@ def quantize_weights(
         deq_name = w_name + "_deq"
         if w_name not in done:
             axis = _channel_axis(node.op_type, node, w)
-            if mode == "int4":
+            if group and w.ndim == 2 and node.op_type in ("MatMul", "Gemm"):
+                # grouped (blocked) quantization along the contraction
+                # axis — emitted as opset-21 DequantizeLinear block_size
+                k_axis = (1 if node.op_type == "Gemm"
+                          and node.attr("transB", 0) else 0)
+                q, scales = quantize_array_blocked(
+                    w, k_axis, group, 7 if bits == 4 else 127)
+                graph.initializers[w_name] = q
+                graph.initializers[w_name + "_scale"] = scales  # keeps rank
+                deq = Node("DequantizeLinear",
+                           inputs=[w_name, w_name + "_scale"],
+                           outputs=[deq_name],
+                           attrs={"axis": k_axis, "block_size": group},
+                           name=graph.fresh_name(w_name + "_dq"))
+                new_nodes.insert(len(new_nodes) - 1, deq)
+                done.add(w_name)
+                node.inputs[1] = deq_name
+                continue
+            if mode == "int4" or (group and bits == 4):
                 import ml_dtypes
 
                 red = tuple(i for i in range(w.ndim) if i != axis)

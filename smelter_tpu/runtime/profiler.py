@@ -21,8 +21,14 @@ import numpy as np
 from ..ir.graph import Graph
 
 # v5e per-chip peaks (public numbers): 197 bf16 TFLOP/s, 394 int8 TOP/s,
-# ~819 GB/s HBM.
-TPU_V5E = {"flops_bf16": 197e12, "flops_int8": 394e12, "hbm_gbps": 819e9}
+# ~819 GB/s HBM. VPU ceiling derived architecturally: the VPU datapath is
+# (8 sublanes x 128 lanes) x 4 ALUs; at the clock implied by the MXU peak
+# (197e12 / (4 MXUs x 128x128 MACs x 2) = 1.5 GHz) with FMA that is
+# 4096 x 1.5e9 x 2 = 12.3e12 FLOP/s — an unbeatable upper bound for
+# depthwise-conv work, which cannot use the MXU (measured dwconv rate
+# tops out near 4e12, probe62, so VPU-bound rows read conservative).
+TPU_V5E = {"flops_bf16": 197e12, "flops_int8": 394e12, "hbm_gbps": 819e9,
+           "flops_vpu": 12.3e12}
 
 
 @contextlib.contextmanager
@@ -43,6 +49,10 @@ class OpCost:
     flops: float
     bytes: float
     out_shape: tuple
+    # portion of `flops` that must execute on the VPU (depthwise convs —
+    # the 128x128 MXU cannot contract a 1-channel group); roofline bounds
+    # price these at flops_vpu instead of the MXU peak.
+    vpu_flops: float = 0.0
 
     @property
     def arithmetic_intensity(self) -> float:
@@ -66,6 +76,7 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
             continue
         o_t = vt[node.outputs[0]]
         o_n = _numel(o_t.shape)
+        vpu_flops = 0.0
         in_bytes = 0
         for i in node.inputs:
             if i in vt:
@@ -88,6 +99,8 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
                 # OIHW (ONNX Conv, PixelConv trunk kernels keep O first)
                 cin_per_g, k = w_shape[1], _numel(w_shape[2:])
             flops = 2.0 * o_n * cin_per_g * k
+            if cin_per_g == 1:  # depthwise: VPU work, not MXU
+                vpu_flops = flops
         elif node.op_type in ("MatMul", "Gemm", "FusedDequantMatMul",
                               "FusedMatMul"):
             a_t = vt.get(node.inputs[0])
@@ -150,15 +163,16 @@ def op_cost_table(graph: Graph) -> list[OpCost]:
             w1 = graph.initializers.get(node.inputs[5])
             if i_t is not None and len(i_t.shape) == 4 and w1 is not None:
                 bb, hh, ww_, cc = (int(v) for v in i_t.shape)
-                flops = bb * hh * ww_ * cc * (2.0 * 49
-                                              + 4.0 * int(w1.shape[-1]) / cc
-                                              * cc)
+                vpu_flops = bb * hh * ww_ * cc * 2.0 * 49  # dw7x7 part
+                flops = vpu_flops + bb * hh * ww_ * 4.0 * cc \
+                    * int(w1.shape[-1])
         elif node.op_type in ("Softmax", "LogSoftmax", "Exp", "Log", "Tanh",
                               "Sigmoid", "Gelu", "Erf", "FastGelu",
                               "QuickGelu", "BiasGelu"):
             flops = 5.0 * o_n  # transcendental-ish
-        out.append(OpCost(node.name, node.op_type, flops, float(in_bytes + out_bytes),
-                          o_t.shape))
+        out.append(OpCost(node.name, node.op_type, flops,
+                          float(in_bytes + out_bytes), o_t.shape,
+                          vpu_flops=vpu_flops))
     return out
 
 

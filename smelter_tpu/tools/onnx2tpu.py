@@ -19,10 +19,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="onnx2tpu", description=__doc__)
     p.add_argument("input", help="input .onnx path")
     p.add_argument("-o", "--output", required=True, help="output artifact path")
-    p.add_argument("--quant", choices=["none", "fp16", "int8", "int8-static"],
+    p.add_argument("--quant",
+                   metavar="none|fp16|int8|int4|int8-static|int4-g<N>",
                    default="none",
-                   help="quantization: fp16/int8 weight-only (ONNX2MPS --half "
-                        "analog) or int8-static (full int8, needs --calib)")
+                   help="quantization: fp16/int8/int4 weight-only (ONNX2MPS "
+                        "--half analog), int8-static (full int8, needs "
+                        "--calib), or grouped weight-only int4-g<N>/int8-g<N> "
+                        "(blocked scales along K, e.g. int4-g128)")
     p.add_argument("--calib", default=None, metavar="NPZ",
                    help="calibration batches for int8-static: .npz whose "
                         "arrays are sample inputs (one per graph input, "
@@ -96,7 +99,11 @@ def main(argv=None) -> int:
     elif args.quant != "none":
         from ..quant import quantize_weights
 
-        quantize_weights(g, mode=args.quant)
+        try:
+            quantize_weights(g, mode=args.quant)
+        except ValueError as e:
+            print(f"onnx2tpu: {e}", file=sys.stderr)
+            return 2
 
     if args.verify and args.quant != "none":
         import numpy as np

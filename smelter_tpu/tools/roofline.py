@@ -12,7 +12,10 @@ Bound construction (honest-by-construction):
            / 819 GB/s — a LOWER bound on traffic (intermediates assumed
            fused), so achieved% is a true fraction of an ideal that no
            schedule can beat.
-  SOL    = max(t_mxu, t_hbm); bound = whichever is larger.
+  t_vpu  = depthwise-conv flops / flops_vpu (the 128x128 MXU cannot
+           contract 1-channel groups; priced at the VPU's architectural
+           ceiling — see runtime/profiler.py TPU_V5E derivation)
+  SOL    = max(t_mxu, t_hbm, t_vpu); bound = whichever binds.
 
 Usage:
   JAX_PLATFORMS=cpu python -m smelter_tpu.tools.roofline --model resnet50 \
@@ -54,14 +57,18 @@ def model_roofline(graph, config=None) -> dict:
     ex = Executor(graph, config)
     ex.infer_value_types()
     table = op_cost_table(graph)
-    t_bf16 = t_int8 = 0.0
+    t_bf16 = t_int8 = t_vpu = 0.0
     for c in table:
         if c.op_type not in _MXU_OPS:
             continue
+        # depthwise-conv flops cannot use the MXU (1-channel groups) —
+        # they are VPU work and bound separately at flops_vpu
+        t_vpu += c.vpu_flops / TPU_V5E["flops_vpu"]
+        mxu_flops = c.flops - c.vpu_flops
         if c.op_type in _INT8_MXU_OPS:
-            t_int8 += c.flops / TPU_V5E["flops_int8"]
+            t_int8 += mxu_flops / TPU_V5E["flops_int8"]
         else:
-            t_bf16 += c.flops / TPU_V5E["flops_bf16"]
+            t_bf16 += mxu_flops / TPU_V5E["flops_bf16"]
     t_mxu = t_bf16 + t_int8
 
     io_bytes = 0
@@ -80,12 +87,16 @@ def model_roofline(graph, config=None) -> dict:
                         if c.op_type in _SCATTER_OPS)
     t_hbm = (io_bytes + w_bytes + scatter_bytes) / TPU_V5E["hbm_gbps"]
 
-    sol = max(t_mxu, t_hbm)
+    # MXU, VPU and HBM pipelines can overlap, so the unbeatable bound is
+    # the max of the three (not their sum)
+    sol = max(t_mxu, t_hbm, t_vpu)
     return {
         "t_mxu_s": t_mxu,
         "t_hbm_s": t_hbm,
+        "t_vpu_s": t_vpu,
         "sol_s": sol,
-        "bound": "MXU" if t_mxu >= t_hbm else "HBM",
+        "bound": ("MXU" if sol == t_mxu
+                  else "HBM" if sol == t_hbm else "VPU"),
         "mxu_int8_frac": (t_int8 / t_mxu) if t_mxu else 0.0,
         "flops": sum(c.flops for c in table if c.op_type in _MXU_OPS),
     }
@@ -140,6 +151,7 @@ def main() -> int:
         "bound": rl["bound"],
         "t_mxu_ms": round(rl["t_mxu_s"] * 1e3, 3),
         "t_hbm_ms": round(rl["t_hbm_s"] * 1e3, 3),
+        "t_vpu_ms": round(rl["t_vpu_s"] * 1e3, 3),
         "sol_img_s": round(sol_ips, 1),
         "mxu_int8_frac": round(rl["mxu_int8_frac"], 3),
     }

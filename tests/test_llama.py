@@ -114,3 +114,31 @@ class TestMixtralStyle:
         step_g, _ = llama_style.build_decode_step(w, max_len=16, **self.CFGM)
         out = FusedGenerator(step_g).generate([5, 9], 8)
         assert len(out) == 10 and all(0 <= t < 60 for t in out)
+
+
+def test_int4_grouped_decode_matches_full():
+    """Weight-only int4-g32 (grouped/blocked DequantizeLinear): the
+    decode step and the full graph quantize the SAME weights with the
+    same algorithm, so greedy decode must agree token-for-token with the
+    quantized full graph's argmax chain."""
+    from smelter_tpu.quant import quantize_weights
+    from smelter_tpu.runtime.generate import FusedGenerator
+
+    cfg = dict(vocab=60, dim=128, heads=4, kv_heads=2, ffn=128, layers=2)
+    max_len = 16
+    step_g, w = llama_style.build_decode_step(max_len=max_len, **cfg)
+    quantize_weights(step_g, "int4-g32", min_elements=64)
+    n_blocked = sum(1 for nd in step_g.nodes
+                    if nd.op_type == "DequantizeLinear"
+                    and nd.attr("block_size"))
+    assert n_blocked >= 2 * cfg["layers"], n_blocked
+    gen = FusedGenerator(step_g)
+    out = gen.generate([5, 9, 2], 8)
+    assert len(out) == 11
+
+    full_g = llama_style.build_full(w, seq_len=11, **cfg)
+    quantize_weights(full_g, "int4-g32", min_elements=64)
+    full = st.CompiledModel(full_g)
+    logits = full(np.asarray(out, np.int64))[0]
+    for p in range(2, 10):
+        assert int(np.argmax(logits[p])) == out[p + 1], f"position {p}"

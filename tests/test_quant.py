@@ -251,3 +251,92 @@ class TestBlockedQDQ:
         g = b.finish([q])
         want = np.clip(np.round(xf / srep) + zrep, -128, 127).astype(np.int8)
         np.testing.assert_array_equal(st.CompiledModel(g)(xf)[0], want)
+
+
+class TestGroupedWeightQuant:
+    """Grouped (blocked) weight-only quantization: int4-g<N>/int8-g<N>
+    emit opset-21 DequantizeLinear block_size along the contraction axis
+    of MatMul/Gemm weights; finer than per-channel."""
+
+    def _mlp_graph(self, rng, k=256, n=128, transb=0):
+        b = GraphBuilder("mlp", opset=21)
+        x = b.input("x", (4, k))
+        w = (rng.standard_normal((k, n)) if not transb
+             else rng.standard_normal((n, k))).astype(np.float32)
+        # per-group magnitude variation so grouped scales actually matter
+        if transb:
+            w *= (1.0 + 10.0 * (np.arange(k) // 64 % 2))[None, :]
+        else:
+            w *= (1.0 + 10.0 * (np.arange(k) // 64 % 2))[:, None]
+        wn = b.init(w)
+        if transb:
+            y = b.node("Gemm", [x, wn], transB=1)
+        else:
+            y = b.node("MatMul", [x, wn])
+        b.output(y, (4, n))
+        return b.graph, w
+
+    def test_int4_grouped_roundtrip_and_gain(self, rng):
+        import ml_dtypes
+
+        from smelter_tpu.quant.weight_quant import dequantize_array
+
+        g, w = self._mlp_graph(rng)
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "int4-g64", min_elements=1)
+        dq = next(g.find_nodes("DequantizeLinear"))
+        assert g.initializers[dq.inputs[0]].dtype == np.dtype(ml_dtypes.int4)
+        assert int(dq.attr("block_size")) == 64
+        assert int(dq.attr("axis")) == 0
+        assert g.initializers[dq.inputs[1]].shape == (4, 128)
+        g2 = st.import_model(st.export_model(g))  # codec carries blocked int4
+        after = st.CompiledModel(g2)(x)[0]
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 0.15, rel
+        # grouped reconstruction strictly beats per-channel int4 on
+        # weights whose magnitude varies along K
+        from smelter_tpu.quant.weight_quant import (quantize_array_blocked,
+                                                    quantize_array)
+        qg, sg = quantize_array_blocked(w, 0, 64, 7)
+        rep = np.repeat(sg, 64, axis=0)[:256]
+        err_g = np.abs(qg.astype(np.float32) * rep - w).mean()
+        red = (0,)
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        s_pc = np.where(amax == 0, 1, amax / 7.0)
+        q_pc = np.clip(np.round(w / s_pc), -7, 7)
+        err_pc = np.abs(q_pc * s_pc - w).mean()
+        assert err_g < 0.6 * err_pc, (err_g, err_pc)
+
+    def test_int8_grouped_gemm_transb(self, rng):
+        g, w = self._mlp_graph(rng, transb=1)
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        before = st.CompiledModel(g)(x)[0]
+        quantize_weights(g, "int8-g64", min_elements=1)
+        dq = next(g.find_nodes("DequantizeLinear"))
+        assert g.initializers[dq.inputs[0]].dtype == np.int8
+        assert int(dq.attr("axis")) == 1  # (N, K): groups along K
+        assert g.initializers[dq.inputs[1]].shape == (128, 4)
+        after = st.CompiledModel(g)(x)[0]
+        rel = np.abs(after - before).max() / (np.abs(before).max() + 1e-9)
+        assert rel < 2e-2, rel
+
+    def test_ragged_tail_group(self, rng):
+        from smelter_tpu.quant.weight_quant import quantize_array_blocked
+
+        w = rng.standard_normal((100, 16)).astype(np.float32)
+        q, s = quantize_array_blocked(w, 0, 64, 127)
+        assert s.shape == (2, 16)
+        rep = np.repeat(s, 64, axis=0)[:100]
+        rel = np.abs(q.astype(np.float32) * rep - w).max()
+        assert rel < 0.2
+
+    def test_invalid_mode_rejected(self):
+        from smelter_tpu.ir.build import GraphBuilder as GB
+
+        g = GB("g").graph
+        import pytest
+        with pytest.raises(ValueError):
+            quantize_weights(g, "int4-g4")
+        with pytest.raises(ValueError):
+            quantize_weights(g, "int5")
