@@ -40,3 +40,36 @@ class TestTrace:
             jnp.square(jnp.arange(16.0)).block_until_ready()
         import os
         assert os.path.isdir(logdir) and os.listdir(logdir)
+
+
+def test_depthwise_conv_priced_on_vpu():
+    """Depthwise-conv flops are VPU work (128x128 MXU cannot contract
+    1-channel groups): op_cost_table marks them vpu_flops and the
+    roofline bound prices them at flops_vpu (r4)."""
+    import numpy as np
+
+    from smelter_tpu.ir.build import GraphBuilder
+    from smelter_tpu.runtime.executor import Executor
+    from smelter_tpu.runtime.profiler import op_cost_table
+    from smelter_tpu.tools.roofline import model_roofline
+
+    b = GraphBuilder("dw", opset=13)
+    x = b.input("x", (1, 32, 16, 16))
+    w_dw = b.init(np.ones((32, 1, 3, 3), np.float32))
+    w_px = b.init(np.ones((32, 32, 1, 1), np.float32))
+    h = b.node("Conv", [x, w_dw], group=32, pads=[1, 1, 1, 1],
+               kernel_shape=[3, 3])
+    y = b.node("Conv", [h, w_px], kernel_shape=[1, 1])
+    b.output(y, (1, 32, 16, 16))
+    g = b.graph
+    Executor(g).infer_value_types()
+    table = {c.name or c.op_type + str(i): c
+             for i, c in enumerate(op_cost_table(g))}
+    convs = [c for c in table.values() if c.op_type == "Conv"]
+    dw = [c for c in convs if c.vpu_flops > 0]
+    px = [c for c in convs if c.vpu_flops == 0]
+    assert len(dw) == 1 and len(px) == 1
+    assert dw[0].vpu_flops == dw[0].flops  # all of it is VPU work
+    rl = model_roofline(g)
+    assert rl["t_vpu_s"] > 0
+    assert rl["sol_s"] >= rl["t_vpu_s"]
