@@ -1,20 +1,18 @@
 """TPU probe #67: weight-only quant formulations at decode GEMM shapes.
 
-Decode serving is HBM-bound on weight reads (M tiny, K/N large). The
-question: which storage+dequant formulation actually cuts per-step HBM
-traffic under XLA — or does the dequant materialize a full-size f32/bf16
-weight and erase the win? Arms at M in {8}, K=N=4096 bf16 activations:
+Decode serving is HBM-bound on weight reads (M tiny, K/N large). Which
+storage+dequant formulation actually cuts per-step HBM traffic under
+XLA — or does the dequant materialize a full-size weight and erase the
+win? Pre-probe finding (int4_check): s4 arrays are UNIMPLEMENTED on
+this TPU backend (device transfer AND on-device convert) — int4 must
+live as packed nibbles in uint8. Arms at M=8, K=N=4096 bf16
+activations:
 
-  a. bf16 weights, plain dot                    (2 B/elem read)
-  b. int8 per-channel, scale on the OUTPUT      (1 B/elem read)
-  c. int4 per-channel, scale on the OUTPUT      (0.5 B/elem read)
-  d. int4 grouped g=128, blocked dequant then dot (the DequantizeLinear
-     lowering's form: convert+scale the weight, then matmul)
-  e. int4 grouped g=128, per-block partial sums (dequant-free dot,
-     scales applied to (K/g, M, N) partials)
-
-Also times each arm INSIDE a scan-over-steps (the FusedGenerator shape)
-to see whether loop-invariant dequant gets hoisted+materialized.
+  a. bf16 weights, plain dot                     (2 B/elem read)
+  b. int8 per-channel, scale on the OUTPUT       (1 B/elem read)
+  c. int4 PACKED uint8, per-channel, unpack+dot  (0.5 B/elem read)
+  d. int4 PACKED uint8, grouped g=128, blocked dequant then dot
+  e. int4 PACKED uint8, grouped g=128, per-block partial sums
 """
 
 import time
@@ -32,34 +30,45 @@ def sync(x):
 def main():
     import jax
     import jax.numpy as jnp
+    import ml_dtypes
 
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     M, K, N, G = 8, 4096, 4096, 128
-    import ml_dtypes
 
     x_np = rng.standard_normal((M, K)).astype(np.float32)
     x = jax.device_put(x_np).astype(jnp.bfloat16)
     wf = (rng.standard_normal((K, N)) / np.sqrt(K)).astype(np.float32)
     w_bf = jax.device_put(wf).astype(jnp.bfloat16)
-    # per-channel int8/int4 (scales along N)
-    s8 = np.abs(wf).max(0) / 127.0
-    q8 = jax.device_put(np.clip(np.round(wf / s8), -127, 127)
+    # per-channel int8 (scales along N)
+    s8_np = np.abs(wf).max(0) / 127.0
+    q8 = jax.device_put(np.clip(np.round(wf / s8_np), -127, 127)
                         .astype(np.int8))
-    s8 = jax.device_put(s8.astype(np.float32))
-    s4 = np.abs(wf).max(0) / 7.0
-    q4pc = jax.device_put(np.clip(np.round(wf / s4), -7, 7)
-                          .astype(jnp.int4))
-    s4 = jax.device_put(s4.astype(np.float32))
-    # grouped int4
+    s8 = jax.device_put(s8_np.astype(np.float32))
+    # per-channel int4, packed two rows per byte (row 2k -> lo nibble)
+    s4_np = np.abs(wf).max(0) / 7.0
+    w4 = np.clip(np.round(wf / s4_np), -7, 7).astype(np.int8)
+    pk4 = jax.device_put(((w4[0::2] & 0xF) | ((w4[1::2] & 0xF) << 4))
+                         .astype(np.uint8))
+    s4 = jax.device_put(s4_np.astype(np.float32))
+    # grouped int4 along K, packed the same way
     from smelter_tpu.quant.weight_quant import quantize_array_blocked
 
     q4g_np, s4g_np = quantize_array_blocked(wf, 0, G, 7)
-    q4g = jax.device_put(np.asarray(q4g_np)).astype(jnp.int4)
+    w4g = np.asarray(q4g_np).astype(ml_dtypes.int4).astype(np.int8)
+    pk4g = jax.device_put(((w4g[0::2] & 0xF) | ((w4g[1::2] & 0xF) << 4))
+                          .astype(np.uint8))
     s4g = jax.device_put(s4g_np)  # (K/G, N) f32
 
-    params = {"w_bf": w_bf, "q8": q8, "s8": s8, "q4pc": q4pc,
-              "s4": s4, "q4g": q4g, "s4g": s4g}
+    params = {"w_bf": w_bf, "q8": q8, "s8": s8, "pk4": pk4, "s4": s4,
+              "pk4g": pk4g, "s4g": s4g}
+
+    def unpack(p):
+        lo = (p & 0xF).astype(jnp.int8)
+        hi = (p >> 4).astype(jnp.int8)
+        lo = (lo ^ 8) - 8  # sign-extend 4-bit two's complement
+        hi = (hi ^ 8) - 8
+        return jnp.stack([lo, hi], axis=1).reshape(K, N)
 
     def arm_bf16(p, xx):
         return jnp.dot(xx, p["w_bf"], preferred_element_type=jnp.float32)
@@ -69,28 +78,28 @@ def main():
                     preferred_element_type=jnp.float32)
         return y * p["s8"][None, :]
 
-    def arm_int4_out(p, xx):
-        y = jnp.dot(xx, p["q4pc"].astype(jnp.bfloat16),
+    def arm_int4p_out(p, xx):
+        y = jnp.dot(xx, unpack(p["pk4"]).astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         return y * p["s4"][None, :]
 
-    def arm_int4g_deq(p, xx):
-        wb = (p["q4g"].reshape(K // G, G, N).astype(jnp.bfloat16)
+    def arm_int4pg_deq(p, xx):
+        wb = (unpack(p["pk4g"]).reshape(K // G, G, N).astype(jnp.bfloat16)
               * p["s4g"][:, None, :].astype(jnp.bfloat16)).reshape(K, N)
         return jnp.dot(xx, wb, preferred_element_type=jnp.float32)
 
-    def arm_int4g_partials(p, xx):
+    def arm_int4pg_partials(p, xx):
         xb = xx.reshape(M, K // G, G)
         part = jnp.einsum("mbg,bgn->bmn", xb,
-                          p["q4g"].reshape(K // G, G, N)
+                          unpack(p["pk4g"]).reshape(K // G, G, N)
                           .astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
         return jnp.sum(part * p["s4g"][:, None, :], axis=0)
 
     arms = [("bf16", arm_bf16), ("int8-pc/out", arm_int8_out),
-            ("int4-pc/out", arm_int4_out),
-            ("int4-g128/deq", arm_int4g_deq),
-            ("int4-g128/partials", arm_int4g_partials)]
+            ("int4-packed-pc/out", arm_int4p_out),
+            ("int4-packed-g128/deq", arm_int4pg_deq),
+            ("int4-packed-g128/part", arm_int4pg_partials)]
 
     # numerics sanity vs f32 reference (host-side; reading bf16 device
     # arrays as f32 is unimplemented over the tunnel)
@@ -98,7 +107,7 @@ def main():
     for name, f in arms:
         got = np.asarray(jax.jit(f)(params, x))
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
-        print(f"  {name:20s} rel_err {rel:.4f}", flush=True)
+        print(f"  {name:24s} rel_err {rel:.4f}", flush=True)
 
     def chained(f, k):
         @jax.jit
@@ -125,22 +134,20 @@ def main():
     print(f"\nM={M} K={K} N={N} G={G}; per-step chip time (K-differenced,"
           " min of 3, interleaved rounds)", flush=True)
     k_lo, k_hi = 16, 80
-    # interleave arms to ride out multi-tenant drift
     runs = {name: (chained(f, k_lo), chained(f, k_hi))
             for name, f in arms}
     best = {name: float("inf") for name, _ in arms}
     for _ in range(3):
         for name, (rlo, rhi) in runs.items():
-            t = (timed(rhi, params, x) - timed(rlo, params, x)) / (k_hi - k_lo)
+            t = (timed(rhi, params, x) - timed(rlo, params, x)) \
+                / (k_hi - k_lo)
             best[name] = min(best[name], t)
-    for name, _ in arms:
-        t = best[name]
-        gbs = (2 * M * K * N / 1e9) / t
-        print(f"  {name:20s} {t * 1e6:8.1f} us/step   "
-              f"{gbs:7.1f} GFLOP-equiv/s-scale", flush=True)
     bf = best["bf16"]
     for name, _ in arms:
-        print(f"  {name:20s} speedup vs bf16: {bf / best[name]:.2f}x")
+        t = best[name]
+        gbs = K * N * {"bf16": 2, "int8-pc/out": 1}.get(name, 0.5) / t / 1e9
+        print(f"  {name:24s} {t * 1e6:8.1f} us/step   weight-read "
+              f"{gbs:6.1f} GB/s   vs bf16 {bf / t:5.2f}x", flush=True)
 
 
 if __name__ == "__main__":

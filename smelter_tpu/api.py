@@ -80,11 +80,14 @@ def _prepare(model: str | os.PathLike | Graph, quant: str | None,
         from .passes.layout import NHWC_PIPELINE
 
         run_passes(g, NHWC_PIPELINE)
-    if g.metadata.get("quant") == "int8":
+    gq = g.metadata.get("quant", "")
+    if gq == "int8" or (gq.startswith(("int4-g", "int8-g"))):
         # NOTE: fuse_dequant_conv1x1 measured 7x SLOWER end-to-end on
         # MobileNetV2 (experiments/tpu_probe4.py): the reshape->matmul
         # chains on large spatial maps break XLA's conv fusion. It stays
         # available as an explicit pass for serving-gemm-shaped graphs.
+        # Grouped int4 fuses into FusedDequantMatMulI4 (packed nibbles —
+        # mandatory on TPU, where s4 arrays are backend-unimplemented).
         run_passes(g, ["fuse_dequant_matmul"])
     run_passes(g, ["dce"])
     return g

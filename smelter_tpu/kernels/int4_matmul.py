@@ -1,0 +1,128 @@
+"""Packed-int4 grouped dequant+matmul Pallas kernel (decode serving).
+
+Why this exists (probe67 + int4_check, round 4): s4 arrays are
+UNIMPLEMENTED on this TPU backend (device transfer AND on-device
+convert), so int4 weights must live as packed nibbles in int8 HBM —
+and XLA does NOT fuse the nibble unpack into a matmul: the packed
+composite runs ~10x slower than bf16 because the unpack materializes.
+Meanwhile the decode GEMM (M=8, K=N=4096) is weight-HBM-bound: bf16
+30.6 us, int8 20.9 us (804 GB/s — at the roofline). Halving the bytes
+again requires unpacking IN the kernel, between the DMA and the MXU.
+
+Layout: HALF-SPLIT packing — packed[r] (int8) carries w[r] in its low
+nibble and w[r + K/2] in its high nibble. Unpack is two arithmetic
+shifts on int8 ((p << 4) >> 4 and p >> 4 — sign extension for free, no
+mask/xor), and the two unpacked tiles are DISJOINT row ranges, so no
+sublane interleave (Mosaic rejects interleave reshapes, see
+kernels/max_unpool.py). Adjacent-row packing would need one.
+
+Grouped scales (opset-21 blocked DequantizeLinear, axis=0, group G):
+each grid step processes exactly one packed-row group (G rows of lo +
+G rows of hi = 2 groups), so the scale is one (1, bn) row per half —
+applied to the f32 PARTIAL DOT, not the bf16 weights (int4 values are
+exact in bf16; scaling after the dot keeps f32 precision).
+
+Reference scope: none (the reference has no quantization at all);
+this is the BASELINE.json:5 "dequant+matmul at speed-of-light" gate
+applied to the 4-bit decode-serving case.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_int4_half(w4: np.ndarray) -> np.ndarray:
+    """Pack an int8 array of 4-bit values (K, N), K even, into (K/2, N)
+    int8: row r carries w4[r] (lo nibble) and w4[r + K/2] (hi nibble)."""
+    k = w4.shape[0]
+    assert k % 2 == 0, k
+    lo = w4[: k // 2] & 0xF
+    hi = (w4[k // 2:] & 0xF) << 4
+    return (lo | hi).astype(np.int8)
+
+
+def unpack_int4_half(pk, k: int):
+    """jnp inverse of pack_int4_half: (K/2, N) int8 -> (K, N) int8.
+    The XLA composite path (CPU, and the measured-losing TPU fallback)."""
+    lo = (pk << 4) >> 4  # arithmetic shifts sign-extend the nibbles
+    hi = pk >> 4
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _kernel(x_ref, pk_ref, s_ref, o_ref, *, g: int, k_half: int,
+            ngh: int):
+    kb = pl.program_id(1)
+    # Mosaic legalizes shifts on i32 vectors but not i8 (arith.shli on
+    # vector<i8> fails) — widen first; sign extension still free.
+    p = pk_ref[:].astype(jnp.int32)                 # (g, bn)
+    lo = ((p << 28) >> 28).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    x_lo = x_ref[:, pl.dslice(kb * g, g)]           # (Mp, g) bf16
+    x_hi = x_ref[:, pl.dslice(k_half + kb * g, g)]
+    d_lo = jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
+    d_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+    s_lo = s_ref[pl.dslice(kb, 1), :]               # (1, bn) f32
+    s_hi = s_ref[pl.dslice(ngh + kb, 1), :]
+    acc = d_lo * s_lo + d_hi * s_hi
+
+    @pl.when(kb == 0)
+    def _init():
+        o_ref[:] = acc
+
+    @pl.when(kb > 0)
+    def _acc():
+        o_ref[:] += acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "block_n", "interpret"))
+def int4_matmul(x, pk, scales, *, group: int, block_n: int = 512,
+                interpret: bool | None = None):
+    """x (M, K) float; pk (K/2, N) int8 half-split-packed 4-bit; scales
+    (K/group, N) f32. Returns x @ dequant(w) as f32 (M, N).
+
+    Requires K % (2*group) == 0 and N % 128 == 0 (callers gate)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = x.shape
+    k_half, n = pk.shape
+    assert k == 2 * k_half and k_half % group == 0, (k, k_half, group)
+    ngh = k_half // group
+    assert scales.shape == (2 * ngh, n), (scales.shape, ngh, n)
+    bn = min(block_n, n)
+    while n % bn:
+        bn -= 128
+    assert bn > 0 and n % bn == 0, (n, block_n)
+    mp = max(16, -(-m // 16) * 16)  # bf16 sublane tile
+    x2 = jnp.pad(x.astype(jnp.bfloat16), ((0, mp - m), (0, 0)))
+    kernel = functools.partial(_kernel, g=group, k_half=k_half, ngh=ngh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // bn, ngh),
+        in_specs=[
+            pl.BlockSpec((mp, k), lambda ni, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, bn), lambda ni, kb: (kb, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * ngh, bn), lambda ni, kb: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mp, bn), lambda ni, kb: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=int(pk.size + scales.nbytes + x2.nbytes
+                               + 4 * mp * n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, pk, scales)
+    return out[:m]

@@ -255,3 +255,37 @@ def fused_dequant_matmul(ctx: Ctx, node: Node):
     else:
         y = dequant_matmul_reference(x2, q, s.reshape(-1))
     ctx.set(node.outputs[0], y.reshape(lead + (q.shape[-1],)))
+
+
+@register("FusedDequantMatMulI4")
+def fused_dequant_matmul_i4(ctx: Ctx, node: Node):
+    """x @ dequant(half-split-packed int4 weight, grouped scales).
+
+    Inputs: x (..., K); packed (K/2, N) int8 (kernels/int4_matmul.py
+    layout); scales (K/group, N) f32. On TPU the Pallas kernel is the
+    only viable form — s4 arrays are backend-UNIMPLEMENTED and the XLA
+    nibble-unpack composite materializes (~10x slower than bf16,
+    probe67); off-TPU the composite is the reference path."""
+    import jax
+
+    from ..kernels.int4_matmul import int4_matmul, unpack_int4_half
+
+    x = ctx.get(node.inputs[0])
+    pk = ctx.get(node.inputs[1])
+    s = ctx.get(node.inputs[2])
+    g = int(node.attr("group"))
+    k = 2 * pk.shape[0]
+    n = pk.shape[1]
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape((m, k))
+    if jax.default_backend() == "tpu":
+        y = int4_matmul(x2, pk, s, group=g)
+    else:
+        w = unpack_int4_half(pk, k).astype(jnp.float32)
+        rep = jnp.repeat(s.astype(jnp.float32), g, axis=0)
+        y = jnp.dot(x2.astype(jnp.float32), w * rep,
+                    preferred_element_type=jnp.float32)
+    ctx.set(node.outputs[0], y.astype(x.dtype).reshape(lead + (n,)))

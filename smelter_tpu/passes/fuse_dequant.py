@@ -45,6 +45,18 @@ def fuse_dequant_matmul(graph: Graph) -> int:
                     axis += q.ndim
                 if q.ndim == 2 and q.dtype == np.int8:
                     fused = _build_fused(graph, node, dq, q, s, axis)
+        if fused is None and node.op_type in ("MatMul", "Gemm") \
+                and len(node.inputs) >= 2:
+            dq = producers.get(node.inputs[1])
+            if (
+                dq is not None
+                and dq.op_type == "DequantizeLinear"
+                and len(dq.inputs) == 2
+                and dq.attr("block_size")
+                and dq.inputs[0] in graph.initializers
+                and dq.inputs[1] in graph.initializers
+            ):
+                fused = _build_fused_i4(graph, node, dq)
         if fused is not None:
             new_nodes.extend(fused)
             # Drop the DequantizeLinear if this was its only consumer.
@@ -58,6 +70,62 @@ def fuse_dequant_matmul(graph: Graph) -> int:
         graph.nodes = [n for n in new_nodes if id(n) not in dead]
         graph.toposort()
     return changed
+
+
+def _build_fused_i4(graph: Graph, node: Node, dq: Node) -> list[Node] | None:
+    """Blocked (grouped) int4 DequantizeLinear + MatMul/Gemm -> the
+    FusedDequantMatMulI4 internal op: the 4-bit weight packs host-side
+    into half-split int8 nibbles (kernels/int4_matmul.py layout) so the
+    Pallas kernel can unpack between the DMA and the MXU. Required on
+    TPU: s4 arrays are backend-UNIMPLEMENTED and the XLA unpack
+    composite materializes (probe67)."""
+    from ..kernels.int4_matmul import pack_int4_half
+
+    q = graph.initializers[dq.inputs[0]]
+    s = graph.initializers[dq.inputs[1]]
+    if q.ndim != 2 or q.dtype.name != "int4":
+        return None
+    group = int(dq.attr("block_size"))
+    axis = int(dq.attr("axis", 1)) % 2
+    trans_b = 0
+    if node.op_type == "Gemm":
+        if node.attr("transA", 0) or node.attr("alpha", 1.0) != 1.0:
+            return None
+        if node.attr("beta", 1.0) != 1.0 and len(node.inputs) > 2:
+            return None
+        trans_b = node.attr("transB", 0)
+    if trans_b:
+        if axis != 1:
+            return None  # (N, K): groups must run along K
+        q, s = q.T, np.asarray(s).T
+    elif axis != 0:
+        return None  # (K, N): groups along K (axis 0) only
+    k, n = q.shape
+    if s.shape != (-(-k // group), n):
+        return None
+    if k % (2 * group) or n % 128 or group % 32:
+        return None  # kernel layout gates; the XLA path keeps the rest
+    pk = pack_int4_half(np.ascontiguousarray(q).astype(np.int8))
+    pk_name = graph.fresh_name(dq.inputs[0] + "_pk4")
+    s_name = graph.fresh_name(dq.inputs[1] + "_g")
+    graph.initializers[pk_name] = pk
+    graph.initializers[s_name] = np.ascontiguousarray(s, np.float32)
+    mm_out = graph.fresh_name(node.outputs[0] + "_mm")
+    bias = node.inputs[2] if (node.op_type == "Gemm"
+                              and len(node.inputs) > 2
+                              and node.inputs[2]) else None
+    nodes = [Node(
+        "FusedDequantMatMulI4",
+        inputs=[node.inputs[0], pk_name, s_name],
+        outputs=[mm_out if bias else node.outputs[0]],
+        attrs={"group": group},
+        name=node.name + "_fdq4",
+    )]
+    if bias:
+        nodes.append(Node("Add", inputs=[mm_out, bias],
+                          outputs=list(node.outputs),
+                          name=node.name + "_bias"))
+    return nodes
 
 
 def _build_fused(graph: Graph, node: Node, dq: Node, q: np.ndarray, s: np.ndarray,

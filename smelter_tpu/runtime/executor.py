@@ -125,18 +125,31 @@ class Executor:
 
     def init_params(self, device=None) -> dict[str, jax.Array]:
         """Materialize the params pytree on device (weights stay in their
-        stored dtype; quantized int8/fp16 arrays upload as-is)."""
+        stored dtype; quantized int8/fp16 arrays upload as-is). int4/uint4
+        upcast to 8-bit off-CPU: s4 transfer AND on-device s4 convert are
+        UNIMPLEMENTED on the TPU backend (probe: /tmp int4_check r4) —
+        numerics are identical, only the storage halving is lost."""
         out = {}
+        plat = getattr(device, "platform", None) or jax.default_backend()
         for name in self.param_names:
-            arr = self.graph.initializers[name]
+            arr = self._param_host(name, plat)
             out[name] = jax.device_put(jnp.asarray(arr), device)
         return out
 
+    def _param_host(self, name: str, plat: str):
+        arr = self.graph.initializers[name]
+        if plat != "cpu" and arr.dtype.itemsize == 1 \
+                and arr.dtype.name in ("int4", "uint4"):
+            arr = arr.astype(np.int8 if arr.dtype.name == "int4"
+                             else np.uint8)
+        return arr
+
     def param_shapes(self) -> dict[str, jax.ShapeDtypeStruct]:
+        plat = jax.default_backend()
         return {
             name: jax.ShapeDtypeStruct(
                 self.graph.initializers[name].shape,
-                self.graph.initializers[name].dtype,
+                self._param_host(name, plat).dtype,
             )
             for name in self.param_names
         }

@@ -340,3 +340,89 @@ class TestGroupedWeightQuant:
             quantize_weights(g, "int4-g4")
         with pytest.raises(ValueError):
             quantize_weights(g, "int5")
+
+
+class TestPackedInt4Fusion:
+    """Blocked int4 DQL + MatMul/Gemm fuse into FusedDequantMatMulI4
+    (half-split packed nibbles; kernels/int4_matmul.py). On TPU this is
+    the only viable form (s4 arrays backend-unimplemented, probe67)."""
+
+    def test_matmul_fusion_parity(self, rng):
+        b = GraphBuilder("i4", opset=21)
+        k, n = 256, 128
+        x = b.input("x", (4, k))
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        wn = b.init(w)
+        y = b.node("MatMul", [x, wn])
+        b.output(y, (4, n))
+        g = b.graph
+        quantize_weights(g, "int4-g64", min_elements=1)
+        import copy
+        g_ref = copy.deepcopy(g)  # unfused: DQL lowering (blocked)
+        from smelter_tpu.passes.pass_manager import run_passes
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        ops = [nd.op_type for nd in g.nodes]
+        assert "FusedDequantMatMulI4" in ops, ops
+        assert "DequantizeLinear" not in ops
+        xx = rng.standard_normal((4, k)).astype(np.float32)
+        cfg = st.Config(compute_dtype="float32")
+        want = np.asarray(st.CompiledModel(g_ref, cfg)(xx)[0])
+        got = np.asarray(st.CompiledModel(g, cfg)(xx)[0])
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-5, rel
+
+    def test_gemm_transb_fusion_with_bias(self, rng):
+        b = GraphBuilder("i4g", opset=21)
+        k, n = 128, 256
+        x = b.input("x", (4, k))
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        bias = rng.standard_normal(n).astype(np.float32)
+        y = b.node("Gemm", [x, b.init(w), b.init(bias)], transB=1)
+        b.output(y, (4, n))
+        g = b.graph
+        quantize_weights(g, "int4-g32", min_elements=1)
+        import copy
+        g_ref = copy.deepcopy(g)
+        from smelter_tpu.passes.pass_manager import run_passes
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        assert any(nd.op_type == "FusedDequantMatMulI4" for nd in g.nodes)
+        xx = rng.standard_normal((4, k)).astype(np.float32)
+        cfg = st.Config(compute_dtype="float32")
+        want = np.asarray(st.CompiledModel(g_ref, cfg)(xx)[0])
+        got = np.asarray(st.CompiledModel(g, cfg)(xx)[0])
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-5, rel
+
+    def test_kernel_interpret_parity(self, rng):
+        from smelter_tpu.kernels.int4_matmul import (int4_matmul,
+                                                     pack_int4_half)
+        from smelter_tpu.quant.weight_quant import quantize_array_blocked
+
+        m, k, n, g = 5, 512, 256, 64
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        q, s = quantize_array_blocked(w, 0, g, 7)
+        w4 = np.asarray(q).astype(np.int8)
+        pk = pack_int4_half(w4)
+        ref = x.astype(np.float64) @ (w4.astype(np.float64)
+                                      * np.repeat(s, g, axis=0))
+        got = np.asarray(int4_matmul(x, pk, s, group=g, interpret=True))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, rel  # bf16 activations inside the kernel
+
+    def test_odd_shapes_stay_on_xla_path(self, rng):
+        # N not a lane multiple: the pass must leave the DQL chain alone
+        b = GraphBuilder("i4o", opset=21)
+        k, n = 128, 96
+        x = b.input("x", (4, k))
+        y = b.node("MatMul",
+                   [x, b.init(rng.standard_normal((k, n))
+                              .astype(np.float32))])
+        b.output(y, (4, n))
+        g = b.graph
+        quantize_weights(g, "int4-g32", min_elements=1)
+        from smelter_tpu.passes.pass_manager import run_passes
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        ops = [nd.op_type for nd in g.nodes]
+        assert "FusedDequantMatMulI4" not in ops
+        assert "DequantizeLinear" in ops
