@@ -196,6 +196,9 @@ class Executor:
         _SCALE_POS = {
             "DequantizeLinear": (1, 2),
             "FusedDequantMatMul": (2,),
+            # grouped scales (2) feed the int4 kernel's f32 partial-dot
+            # epilogue; bf16-rounding them costs ~0.4% per group scale
+            "FusedDequantMatMulI4": (2,),
             # scales (2) and bias (3) feed the kernel's f32 epilogue
             "PixelConvQ": (2, 3),
         }

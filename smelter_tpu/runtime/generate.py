@@ -14,15 +14,33 @@ from __future__ import annotations
 import numpy as np
 
 
+def _cache_dtypes(step_graph, config, cache_names):
+    """Dtypes to seed the KV caches with: the executor emits floating
+    caches in its compute dtype, and the caches are CARRIED (lax.scan in
+    the fused generators, re-fed outputs in the host-loop ones) — a f32
+    seed against a bf16 step output is a scan carry-type error, and a
+    silent double-compile in the host-loop forms."""
+    import jax.numpy as jnp
+
+    cd = jnp.dtype(config.compute_dtype)
+    by = {v.name: (cd if np.issubdtype(v.type.np_dtype, np.floating)
+                   else jnp.dtype(v.type.np_dtype))
+          for v in step_graph.inputs}
+    return [by[n] for n in cache_names]
+
+
 class Generator:
     def __init__(self, step_graph, config=None, layers: int | None = None):
         from .config import Config
         from .executor import CompiledModel
 
-        self.model = CompiledModel(step_graph, config or Config())
+        cfg = config or Config()
+        self.model = CompiledModel(step_graph, cfg)
         cache_inputs = [v for v in step_graph.inputs
                         if v.name.startswith(("k_cache_", "v_cache_"))]
         self.cache_shapes = [tuple(v.type.shape) for v in cache_inputs]
+        self.cache_dtypes = _cache_dtypes(
+            step_graph, cfg, [v.name for v in cache_inputs])
         self.max_len = self.cache_shapes[0][0]
 
     def generate(self, prompt: list[int], n_new: int,
@@ -31,7 +49,8 @@ class Generator:
         prompt + generated tokens."""
         import jax.numpy as jnp
 
-        caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
+        caches = [jnp.zeros(s, d)
+                  for s, d in zip(self.cache_shapes, self.cache_dtypes)]
         tokens = list(prompt)
         logits = None
         for pos in range(min(len(tokens) + n_new - 1, self.max_len) ):
@@ -65,12 +84,16 @@ class BatchedGenerator:
         from .executor import Executor
 
         self.batch = batch
-        ex = Executor(step_graph, config or Config())
+        cfg = config or Config()
+        ex = Executor(step_graph, cfg)
         params = ex.init_params()
         fn = ex.build_fn()
         self._fn = jax.jit(jax.vmap(lambda *args: fn(params, *args)))
+        cache_names = [v.name for v in step_graph.inputs
+                       if v.name.startswith(("k_cache_", "v_cache_"))]
         self.cache_shapes = [tuple(v.type.shape) for v in step_graph.inputs
                              if v.name.startswith(("k_cache_", "v_cache_"))]
+        self.cache_dtypes = _cache_dtypes(step_graph, cfg, cache_names)
         self.max_len = self.cache_shapes[0][0]
 
     def generate(self, prompts: list[list[int]], n_new: int) -> list[list[int]]:
@@ -79,8 +102,8 @@ class BatchedGenerator:
         assert len(prompts) == self.batch
         plen = len(prompts[0])
         assert all(len(p) == plen for p in prompts), "equal-length prompts (pad upstream)"
-        caches = [jnp.zeros((self.batch,) + s, jnp.float32)
-                  for s in self.cache_shapes]
+        caches = [jnp.zeros((self.batch,) + s, d)
+                  for s, d in zip(self.cache_shapes, self.cache_dtypes)]
         tokens = [list(p) for p in prompts]
         logits = None
         for pos in range(min(plen + n_new - 1, self.max_len)):
@@ -121,9 +144,11 @@ class FusedGenerator:
         from .config import Config
         from .executor import Executor
 
-        ex = Executor(step_graph, config or Config())
+        cfg = config or Config()
+        ex = Executor(step_graph, cfg)
         self._params = ex.init_params()
         self._step = ex.build_fn()
+        self._config = cfg
         self.input_names = [v.name for v in step_graph.inputs]
         self.cache_names = [n for n in self.input_names
                             if n.startswith(("k_cache_", "v_cache_"))]
@@ -141,6 +166,7 @@ class FusedGenerator:
         self._ctx_shapes = {n: shapes[n] for n in self.context_names}
         self._ctx_dtypes = dict(self.context_types)
         self.cache_shapes = [shapes[n] for n in self.cache_names]
+        self.cache_dtypes = _cache_dtypes(step_graph, cfg, self.cache_names)
         self.max_len = self.cache_shapes[0][0]
         self._decode = jax.jit(
             self._make_decode(),
@@ -209,7 +235,8 @@ class FusedGenerator:
         ctxs = tuple(jnp.asarray((context or {})[n])
                      for n in self.context_names)
         n_new = min(n_new, self.max_len - len(prompt))
-        caches = [jnp.zeros(s, jnp.float32) for s in self.cache_shapes]
+        caches = [jnp.zeros(s, d)
+                  for s, d in zip(self.cache_shapes, self.cache_dtypes)]
         do_sample = temperature is not None or bool(top_k)
         temp = np.float32(1.0 if temperature is None else temperature)
         aot_key = (len(prompt), n_new, int(top_k), bool(do_sample))
@@ -252,7 +279,8 @@ class FusedGenerator:
             return jax.ShapeDtypeStruct(shape, dtype, sharding=dev)
 
         prompt = sds((plen,), jnp.int32)
-        caches = [sds(s, jnp.float32) for s in self.cache_shapes]
+        caches = [sds(s, d)
+                  for s, d in zip(self.cache_shapes, self.cache_dtypes)]
         ctxs = tuple(sds(self._ctx_shapes[n], self._ctx_dtypes[n])
                      for n in self.context_names)
         ks = jax.eval_shape(lambda: jax.random.PRNGKey(seed))
@@ -339,8 +367,9 @@ class FusedBatchedGenerator:
         plen = len(prompts[0])
         assert all(len(p) == plen for p in prompts), "equal-length prompts (pad upstream)"
         n_new = min(n_new, self.max_len - plen)
-        caches = [jnp.zeros((self.batch,) + s, jnp.float32)
-                  for s in self._single.cache_shapes]
+        caches = [jnp.zeros((self.batch,) + s, d)
+                  for s, d in zip(self._single.cache_shapes,
+                                  self._single.cache_dtypes)]
         ctxs = tuple(jnp.asarray((context or {})[n])  # leading batch axis
                      for n in self._single.context_names)
         do_sample = temperature is not None or bool(top_k)

@@ -94,8 +94,12 @@ class DecodeServer:
         # donate the caches: the old buffers are dead after each tick, so
         # XLA updates them in place instead of copying the whole KV set
         self._step_all = jax.jit(step_all, donate_argnums=(2,))
-        self._caches = [jnp.zeros((slots,) + shapes[n], jnp.float32)
-                        for n in self._cache_names]
+        from ..runtime.generate import _cache_dtypes
+
+        cache_dts = _cache_dtypes(step_graph, config or Config(),
+                                  self._cache_names)
+        self._caches = [jnp.zeros((slots,) + shapes[n], d)
+                        for n, d in zip(self._cache_names, cache_dts)]
         self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n],
                                 self._ctx_dtypes[n])
                       for n in self._context_names]

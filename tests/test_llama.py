@@ -116,6 +116,22 @@ class TestMixtralStyle:
         assert len(out) == 10 and all(0 <= t < 60 for t in out)
 
 
+def test_bf16_compute_decode():
+    """compute_dtype=bfloat16 decode: the scan carries the KV caches, so
+    they must be seeded in the step's emit dtype (regression: f32 seeds
+    against bf16 cache outputs was a carry-type error)."""
+    from smelter_tpu.runtime.generate import FusedBatchedGenerator, FusedGenerator
+
+    cfg = dict(vocab=60, dim=128, heads=4, kv_heads=2, ffn=128, layers=2)
+    step_g, _ = llama_style.build_decode_step(max_len=16, **cfg)
+    bf = st.Config(compute_dtype="bfloat16")
+    out = FusedGenerator(step_g, bf).generate([5, 9, 2], 8)
+    assert len(out) == 11 and all(0 <= t < 60 for t in out)
+    outs = FusedBatchedGenerator(step_g, batch=2, config=bf).generate(
+        [[5, 9, 2], [1, 4, 7]], 4)
+    assert len(outs) == 2 and all(len(o) == 7 for o in outs)
+
+
 def test_int4_grouped_decode_matches_full():
     """Weight-only int4-g32 (grouped/blocked DequantizeLinear): the
     decode step and the full graph quantize the SAME weights with the

@@ -426,3 +426,28 @@ class TestPackedInt4Fusion:
         ops = [nd.op_type for nd in g.nodes]
         assert "FusedDequantMatMulI4" not in ops
         assert "DequantizeLinear" in ops
+
+    def test_scales_survive_bf16_compute(self):
+        """Under compute_dtype=bfloat16 the grouped scales must stay f32
+        (executor _SCALE_POS). Cancellation construction: two K-groups
+        with dots +448/-448 and scales 1+2^-9 / 1.0 — the true output is
+        448*2^-9 = 0.875, but a bf16-rounded scale (1+2^-9 -> 1.0)
+        collapses it to 0. Everything else (x=1, int weights, 0.875) is
+        exact in bf16, so only scale precision can fail this."""
+        b = GraphBuilder("i4bf", opset=21)
+        k, n, grp = 128, 128, 64
+        x = b.input("x", (1, k))
+        w = np.empty((k, n), np.float32)
+        w[:grp] = 7.0 * (1.0 + 2.0 ** -9)  # scale 1+2^-9, q=7
+        w[grp:] = -7.0                      # scale 1.0,    q=-7
+        y = b.node("MatMul", [x, b.init(w)])
+        b.output(y, (1, n))
+        g = b.graph
+        quantize_weights(g, "int4-g64", min_elements=1)
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        assert any(nd.op_type == "FusedDequantMatMulI4" for nd in g.nodes)
+        xx = np.ones((1, k), np.float32)
+        got = np.asarray(
+            st.CompiledModel(g, st.Config(compute_dtype="bfloat16"))(xx)[0],
+            np.float64)
+        assert np.abs(got - 448.0 * 2.0 ** -9).max() < 0.01, got[0, :4]
