@@ -70,62 +70,104 @@ def make_weights(vocab: int = 96, dim: int = 64, heads: int = 4,
 def _emit_mlp(b, weights, li, h2, top_k: int = 2):
     """SwiGLU MLP, or — when the weight dict holds expert stacks — a
     Mixtral-style MoE block via the contrib MoE op (softmax-top-k routing,
-    gated swiglu experts; ops/contrib_ops.py::moe_contrib)."""
+    gated swiglu experts; ops/contrib_ops.py::moe_contrib).
+
+    Weight initializers are named by their weight-dict key so the decode
+    step and the prefill graph built from one dict share initializer
+    names — FusedGenerator reuses one device copy for both (critical at
+    multi-GB quantized sizes)."""
     if f"moe_w1_{li}" in weights:
-        router = b.node("MatMul", [h2, b.init(weights[f"wrouter_{li}"])])
+        router = b.node("MatMul", [h2, b.init(weights[f"wrouter_{li}"],
+                                              f"wrouter_{li}")])
         return b.node("MoE",
-                      [h2, router, b.init(weights[f"moe_w1_{li}"]), "",
-                       b.init(weights[f"moe_w2_{li}"]), "",
-                       b.init(weights[f"moe_w3_{li}"])],
+                      [h2, router,
+                       b.init(weights[f"moe_w1_{li}"], f"moe_w1_{li}"), "",
+                       b.init(weights[f"moe_w2_{li}"], f"moe_w2_{li}"), "",
+                       b.init(weights[f"moe_w3_{li}"], f"moe_w3_{li}")],
                       k=top_k, activation_type="swiglu",
                       normalize_routing_weights=1)
-    gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"])])
+    gate = b.node("MatMul", [h2, b.init(weights[f"wgate_{li}"],
+                                        f"wgate_{li}")])
     sg = b.node("Sigmoid", [gate])
     silu = b.node("Mul", [gate, sg])
-    up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"])])
+    up = b.node("MatMul", [h2, b.init(weights[f"wup_{li}"], f"wup_{li}")])
     prod = b.node("Mul", [silu, up])
-    return b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"])])
+    return b.node("MatMul", [prod, b.init(weights[f"wdown_{li}"],
+                                          f"wdown_{li}")])
 
 
 def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                heads: int = 4, kv_heads: int = 2, ffn: int = 128,
-               layers: int = 2, moe_top_k: int = 2):
-    """tokens (T,) -> logits (T, vocab), causal, contrib-op vocabulary."""
+               layers: int = 2, moe_top_k: int = 2,
+               cache_max_len: int | None = None):
+    """tokens (T,) -> logits (T, vocab), causal, contrib-op vocabulary.
+
+    With ``cache_max_len`` the graph additionally emits the filled KV
+    caches (k_out_li/v_out_li, each (cache_max_len, kvd): rotary-applied
+    K rows / raw V rows for positions < T, zeros beyond) — the PREFILL
+    form FusedGenerator seeds its decode scan with. Same row layout as
+    build_decode_step's ScatterND writes, so decode continues the
+    sequence exactly."""
     hd = dim // heads
+    kvd = kv_heads * hd
     b = GraphBuilder("llama_full", opset=17)
     tokens = b.input("tokens", (seq_len,), dt.INT64)
-    cos, sin = b.init(weights["cos"]), b.init(weights["sin"])
+    cos, sin = (b.init(weights["cos"], "rope_cos"),
+                b.init(weights["sin"], "rope_sin"))
     pos = b.init(np.arange(seq_len, dtype=np.int64)[None], "pos_ids")  # (1,T)
     x = b.node("Gather", [b.init(weights["wte"], "wte"), tokens], axis=0)
     x = b.node("Reshape", [x, b.init(np.array([1, seq_len, dim], np.int64))])
     residual = x
+    cache_outs: list[str] = []
     for li in range(layers):
         h = b.node("SimplifiedLayerNormalization",
-                   [residual, b.init(weights[f"norm1_{li}"])],
+                   [residual, b.init(weights[f"norm1_{li}"], f"norm1_{li}")],
                    axis=-1, epsilon=1e-6)
-        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"])])    # (1,T,dim)
-        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"])])    # (1,T,kvd)
-        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"])])
+        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"], f"wq_{li}")])
+        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"], f"wk_{li}")])
+        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"], f"wv_{li}")])
         q = b.node("RotaryEmbedding", [q, pos, cos, sin], num_heads=heads)
         k = b.node("RotaryEmbedding", [k, pos, cos, sin], num_heads=kv_heads)
         att = b.node("GroupQueryAttention", [q, k, v],
                      num_heads=heads, kv_num_heads=kv_heads)
-        proj = b.node("MatMul", [att, b.init(weights[f"wo_{li}"])])
+        proj = b.node("MatMul", [att, b.init(weights[f"wo_{li}"], f"wo_{li}")])
+        if cache_max_len is not None:
+            pad = b.init(np.array([0, 0, cache_max_len - seq_len, 0],
+                                  np.int64), f"cache_pad_{li}")
+            for nm, t3 in ((f"k_out_{li}", k), (f"v_out_{li}", v)):
+                t2 = b.node("Reshape",
+                            [t3, b.init(np.array([seq_len, kvd], np.int64),
+                                        f"kv2d_shape_{li}_{nm[0]}")])
+                b.node("Pad", [t2, pad], outputs=[nm])
+                cache_outs.append(nm)
         # SkipSimplifiedLayerNormalization: output 0 feeds the MLP, output 3
         # (input+skip sum) is the next residual — the ORT-genai pattern.
         outs = b.node("SkipSimplifiedLayerNormalization",
-                      [proj, residual, b.init(weights[f"norm2_{li}"])],
+                      [proj, residual,
+                       b.init(weights[f"norm2_{li}"], f"norm2_{li}")],
                       outputs=[f"mlp_in_{li}", "", "", f"res2_{li}"],
                       epsilon=1e-6)
         h2, res2 = outs[0], outs[3]
         down = _emit_mlp(b, weights, li, h2, top_k=moe_top_k)
         residual = b.node("Add", [down, res2])
     xf = b.node("SimplifiedLayerNormalization",
-                [residual, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
+                [residual, b.init(weights["norm_f"], "norm_f")],
+                axis=-1, epsilon=1e-6)
     logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
     logits = b.node("Reshape",
                     [logits, b.init(np.array([seq_len, vocab], np.int64))])
-    return b.finish([logits])
+    return b.finish([logits] + cache_outs)
+
+
+def build_prefill(weights: dict, prompt_len: int, max_len: int = 32,
+                  **cfg):
+    """Prefill graph: tokens (prompt_len,) -> (logits (prompt_len, vocab),
+    k_out_i/v_out_i caches (max_len, kvd)) — one full-sequence forward
+    fills the KV caches at MXU rates instead of prompt_len scan steps
+    each re-reading every weight (the standard serving prefill/decode
+    split; reference scope: none)."""
+    return build_full(weights, seq_len=prompt_len, cache_max_len=max_len,
+                      **cfg)
 
 
 def build_decode_step(weights: dict | None = None, vocab: int = 96,
@@ -143,7 +185,8 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
     b = GraphBuilder("llama_step", opset=17)
     token = b.input("token", (1,), dt.INT64)
     pos = b.input("pos", (1,), dt.INT64)
-    cos, sin = b.init(weights["cos"]), b.init(weights["sin"])
+    cos, sin = (b.init(weights["cos"], "rope_cos"),
+                b.init(weights["sin"], "rope_sin"))
     pos2 = b.node("Reshape", [pos, b.init(np.array([1, 1], np.int64))])
     x = b.node("Gather", [b.init(weights["wte"], "wte"), token], axis=0)  # (1,dim)
     cache_outs = []
@@ -151,10 +194,11 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         k_cache = b.input(f"k_cache_{li}", (max_len, kvd))
         v_cache = b.input(f"v_cache_{li}", (max_len, kvd))
         h = b.node("SimplifiedLayerNormalization",
-                   [x, b.init(weights[f"norm1_{li}"])], axis=-1, epsilon=1e-6)
-        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"])])   # (1,dim)
-        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"])])   # (1,kvd)
-        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"])])
+                   [x, b.init(weights[f"norm1_{li}"], f"norm1_{li}")],
+                   axis=-1, epsilon=1e-6)
+        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"], f"wq_{li}")])
+        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"], f"wk_{li}")])
+        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"], f"wv_{li}")])
         q3 = b.node("Reshape", [q, b.init(np.array([1, 1, dim], np.int64))])
         k3 = b.node("Reshape", [k, b.init(np.array([1, 1, kvd], np.int64))])
         q3 = b.node("RotaryEmbedding", [q3, pos2, cos, sin], num_heads=heads)
@@ -181,14 +225,16 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         attn = b.node("Softmax", [scores], axis=-1)
         ctxv = b.node("MatMul", [attn, vh])                 # (kvh,g,1,hd)
         ctxv = b.node("Reshape", [ctxv, b.init(np.array([1, dim], np.int64))])
-        proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"])])
+        proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"], f"wo_{li}")])
         x = b.node("Add", [x, proj])
         h2 = b.node("SimplifiedLayerNormalization",
-                    [x, b.init(weights[f"norm2_{li}"])], axis=-1, epsilon=1e-6)
+                    [x, b.init(weights[f"norm2_{li}"], f"norm2_{li}")],
+                    axis=-1, epsilon=1e-6)
         down = _emit_mlp(b, weights, li, h2, top_k=moe_top_k)
         x = b.node("Add", [x, down])
     xf = b.node("SimplifiedLayerNormalization",
-                [x, b.init(weights["norm_f"])], axis=-1, epsilon=1e-6)
+                [x, b.init(weights["norm_f"], "norm_f")],
+                axis=-1, epsilon=1e-6)
     logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
     rename_edges(b.graph, cache_outs)
     return b.finish([logits] + [n for n, _ in cache_outs]), weights

@@ -133,13 +133,23 @@ class FusedGenerator:
     tunnel caps decode at ~300 tok/s regardless of model). Here the
     prefill-and-generate loop is a lax.scan inside a single jit: the chip
     feeds each argmax back into the next step on its own, and the host
-    gets the finished token array. Greedy-only (sampling needs the host in
-    the loop — use Generator for that); prompt length and n_new are static
-    per compilation (one recompile per (plen, n_new) pair).
+    gets the finished token array. Sampling runs on-chip (temperature /
+    top-k, key in the scan carry); prompt length and n_new are static per
+    compilation (one recompile per (plen, n_new) pair).
+
+    ``prefill_graph`` (optional): a full-sequence graph
+    (tokens (plen,) -> logits (plen, vocab) + filled k/v caches, e.g.
+    llama_style.build_prefill) replaces the plen-1 prompt-feeding scan
+    steps — each of which re-reads EVERY weight — with ONE forward at
+    MXU rates. Weights are shared with the step graph BY NAME: the model
+    builders name initializers by their weight-dict key and quantization
+    is deterministic, so both graphs carry identical arrays under
+    identical names and one device copy serves both.
     """
 
-    def __init__(self, step_graph, config=None):
+    def __init__(self, step_graph, config=None, prefill_graph=None):
         import jax
+        import jax.numpy as jnp
 
         from .config import Config
         from .executor import Executor
@@ -149,6 +159,31 @@ class FusedGenerator:
         self._params = ex.init_params()
         self._step = ex.build_fn()
         self._config = cfg
+        self._prefill_fn = None
+        self._prefill_len = None
+        if prefill_graph is not None:
+            pex = Executor(prefill_graph, cfg)
+            plat = jax.default_backend()
+            for name in pex.param_names:
+                want = prefill_graph.initializers[name]
+                have = step_graph.initializers.get(name)
+                if name in self._params and have is not None:
+                    if (have.shape != want.shape
+                            or have.dtype != want.dtype):
+                        raise ValueError(
+                            f"prefill/step initializer {name!r} differs "
+                            f"({want.shape}/{want.dtype} vs "
+                            f"{have.shape}/{have.dtype}) — build both "
+                            f"graphs from one weight dict and quantize "
+                            f"them identically")
+                else:  # prefill-only constant (pads, pos_ids, ...)
+                    self._params[name] = jax.device_put(
+                        jnp.asarray(pex._param_host(name, plat)))
+            self._prefill_fn = pex.build_fn()
+            self._prefill_inputs = [v.name for v in prefill_graph.inputs]
+            self._prefill_len = next(
+                v.type.shape[0] for v in prefill_graph.inputs
+                if v.name == "tokens")
         self.input_names = [v.name for v in step_graph.inputs]
         self.cache_names = [n for n in self.input_names
                             if n.startswith(("k_cache_", "v_cache_"))]
@@ -171,8 +206,13 @@ class FusedGenerator:
         self._decode = jax.jit(
             self._make_decode(),
             static_argnames=("plen", "n_new", "top_k", "do_sample"))
+        self._decode_pf = None
+        if self._prefill_fn is not None:
+            self._decode_pf = jax.jit(
+                self._make_decode(use_prefill=True),
+                static_argnames=("plen", "n_new", "top_k", "do_sample"))
 
-    def _make_decode(self):
+    def _make_decode(self, use_prefill: bool = False):
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -181,6 +221,9 @@ class FusedGenerator:
         input_names = list(self.input_names)
         cache_names = list(self.cache_names)
         context_names = list(self.context_names)
+        prefill_fn = self._prefill_fn if use_prefill else None
+        prefill_inputs = (list(self._prefill_inputs) if use_prefill
+                          else [])
 
         def decode(params, prompt, plen, n_new, caches, ctxs=(),
                    key=None, temperature=1.0, top_k=0, do_sample=False):
@@ -215,6 +258,19 @@ class FusedGenerator:
 
             if key is None:
                 key = jax.random.PRNGKey(0)
+            if prefill_fn is not None:
+                # one full-sequence forward fills the caches and yields
+                # the logits for every prompt position; decode scans only
+                # the n_new-1 remaining steps
+                by = {"tokens": prompt}
+                by.update(zip(context_names, ctxs))
+                outs = prefill_fn(params, *[by[n] for n in prefill_inputs])
+                first, key = pick(outs[0][plen - 1], key)
+                first = first.astype(prompt.dtype)[None]
+                (_, _, _), toks = lax.scan(
+                    body, (list(outs[1:]), first, key),
+                    jnp.arange(plen, plen + n_new - 1))
+                return jnp.concatenate([first, toks])
             total = plen - 1 + n_new
             (_, _, _), toks = lax.scan(body, (list(caches), prompt[0:1], key),
                                        jnp.arange(total))
@@ -235,12 +291,20 @@ class FusedGenerator:
         ctxs = tuple(jnp.asarray((context or {})[n])
                      for n in self.context_names)
         n_new = min(n_new, self.max_len - len(prompt))
-        caches = [jnp.zeros(s, d)
-                  for s, d in zip(self.cache_shapes, self.cache_dtypes)]
+        if n_new < 1:
+            return list(prompt)
+        use_pf = (self._decode_pf is not None
+                  and len(prompt) == self._prefill_len)
+        # prefill builds the caches itself; seed zeros only for the
+        # scan-through-the-prompt path
+        caches = [] if use_pf else [
+            jnp.zeros(s, d)
+            for s, d in zip(self.cache_shapes, self.cache_dtypes)]
         do_sample = temperature is not None or bool(top_k)
         temp = np.float32(1.0 if temperature is None else temperature)
         aot_key = (len(prompt), n_new, int(top_k), bool(do_sample))
-        fn = getattr(self, "_aot", {}).get(aot_key)
+        # AOT executables are compiled for the scan-through-prompt form
+        fn = None if use_pf else getattr(self, "_aot", {}).get(aot_key)
         toks = None
         if fn is not None:  # pre-compiled executable (aot_load)
             try:
@@ -257,11 +321,12 @@ class FusedGenerator:
                     f"({type(e).__name__}); recompiling", stacklevel=2)
                 del self._aot[aot_key]
         if toks is None:
-            toks = self._decode(self._params, jnp.asarray(prompt, jnp.int32),
-                                plen=len(prompt), n_new=n_new, caches=caches,
-                                ctxs=ctxs, key=jax.random.PRNGKey(seed),
-                                temperature=temp,
-                                top_k=int(top_k), do_sample=do_sample)
+            dec = self._decode_pf if use_pf else self._decode
+            toks = dec(self._params, jnp.asarray(prompt, jnp.int32),
+                       plen=len(prompt), n_new=n_new, caches=caches,
+                       ctxs=ctxs, key=jax.random.PRNGKey(seed),
+                       temperature=temp,
+                       top_k=int(top_k), do_sample=do_sample)
         return list(prompt) + [int(t) for t in np.asarray(toks)]
 
     # -- AOT decode executables (the batched/fused compiles are the slow
@@ -343,17 +408,24 @@ class FusedBatchedGenerator:
     Equal-length prompts (pad upstream); one dispatch decodes the whole
     batch — the offline-batch / high-throughput serving shape."""
 
-    def __init__(self, step_graph, batch: int, config=None):
+    def __init__(self, step_graph, batch: int, config=None,
+                 prefill_graph=None):
         import jax
 
         self.batch = batch
-        self._single = FusedGenerator(step_graph, config)
+        self._single = FusedGenerator(step_graph, config,
+                                      prefill_graph=prefill_graph)
         decode = self._single._make_decode()
         # per-stream: prompt, caches, contexts, and the sampling key
-        self._decode = jax.jit(
-            jax.vmap(decode,
-                     in_axes=(None, 0, None, None, 0, 0, 0, None, None, None)),
-            static_argnums=(2, 3, 8, 9))
+        axes = (None, 0, None, None, 0, 0, 0, None, None, None)
+        self._decode = jax.jit(jax.vmap(decode, in_axes=axes),
+                               static_argnums=(2, 3, 8, 9))
+        self._decode_pf = None
+        if self._single._prefill_fn is not None:
+            self._decode_pf = jax.jit(
+                jax.vmap(self._single._make_decode(use_prefill=True),
+                         in_axes=axes),
+                static_argnums=(2, 3, 8, 9))
         self.max_len = self._single.max_len
 
     def generate(self, prompts: list[list[int]], n_new: int,
@@ -367,18 +439,24 @@ class FusedBatchedGenerator:
         plen = len(prompts[0])
         assert all(len(p) == plen for p in prompts), "equal-length prompts (pad upstream)"
         n_new = min(n_new, self.max_len - plen)
-        caches = [jnp.zeros((self.batch,) + s, d)
-                  for s, d in zip(self._single.cache_shapes,
-                                  self._single.cache_dtypes)]
+        if n_new < 1:
+            return [list(p) for p in prompts]
+        use_pf = (self._decode_pf is not None
+                  and plen == self._single._prefill_len)
+        caches = [] if use_pf else [
+            jnp.zeros((self.batch,) + s, d)
+            for s, d in zip(self._single.cache_shapes,
+                            self._single.cache_dtypes)]
         ctxs = tuple(jnp.asarray((context or {})[n])  # leading batch axis
                      for n in self._single.context_names)
         do_sample = temperature is not None or bool(top_k)
         keys = jax.random.split(jax.random.PRNGKey(seed), self.batch)
-        toks = self._decode(self._single._params,
-                            jnp.asarray(prompts, jnp.int32), plen, n_new,
-                            caches, ctxs, keys,
-                            1.0 if temperature is None else float(temperature),
-                            int(top_k), do_sample)
+        dec = self._decode_pf if use_pf else self._decode
+        toks = dec(self._single._params,
+                   jnp.asarray(prompts, jnp.int32), plen, n_new,
+                   caches, ctxs, keys,
+                   1.0 if temperature is None else float(temperature),
+                   int(top_k), do_sample)
         toks = np.asarray(toks)
         return [list(p) + [int(t) for t in toks[i]]
                 for i, p in enumerate(prompts)]

@@ -158,3 +158,74 @@ def test_int4_grouped_decode_matches_full():
     logits = full(np.asarray(out, np.int64))[0]
     for p in range(2, 10):
         assert int(np.argmax(logits[p])) == out[p + 1], f"position {p}"
+
+
+class TestPrefill:
+    """Sequence-level prefill (build_prefill + FusedGenerator
+    prefill_graph): one full-sequence forward fills the KV caches;
+    greedy decode must be token-for-token identical to the
+    scan-through-the-prompt path."""
+
+    CFG = dict(vocab=60, dim=128, heads=4, kv_heads=2, ffn=128, layers=2)
+
+    def _pair(self, max_len=24, plen=5, quant=None):
+        from smelter_tpu.passes.pass_manager import run_passes
+        from smelter_tpu.quant import quantize_weights
+
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step_g, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  **self.CFG)
+        pf_g = llama_style.build_prefill(w, prompt_len=plen,
+                                         max_len=max_len, **self.CFG)
+        if quant:
+            for g in (step_g, pf_g):
+                quantize_weights(g, quant, min_elements=64)
+                run_passes(g, ["fuse_dequant_matmul", "dce"])
+        return step_g, pf_g
+
+    def test_greedy_parity(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, pf_g = self._pair()
+        plain = FusedGenerator(step_g)
+        pf = FusedGenerator(step_g, prefill_graph=pf_g)
+        p = [5, 9, 2, 17, 3]
+        assert pf.generate(p, 8) == plain.generate(p, 8)
+        # a prompt of a different length falls back to the scan path
+        assert pf.generate([5, 9], 6) == plain.generate([5, 9], 6)
+
+    def test_int4_quantized_shares_params(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, pf_g = self._pair(quant="int4-g32")
+        assert any(n.op_type == "FusedDequantMatMulI4" for n in pf_g.nodes)
+        plain = FusedGenerator(step_g)
+        n_before = len(plain._params)
+        pf = FusedGenerator(step_g, prefill_graph=pf_g)
+        p = [5, 9, 2, 17, 3]
+        assert pf.generate(p, 8) == plain.generate(p, 8)
+        # every quantized weight is shared by name: the prefill adds only
+        # its small private constants (pos_ids, pads, shapes)
+        extra = len(pf._params) - n_before
+        big = sum(1 for k, v in pf._params.items()
+                  if v.size > 4096 and k not in plain._params)
+        assert big == 0, (extra, big)
+
+    def test_batched_prefill_parity(self):
+        from smelter_tpu.runtime.generate import FusedBatchedGenerator
+
+        step_g, pf_g = self._pair()
+        plain = FusedBatchedGenerator(step_g, batch=2)
+        pf = FusedBatchedGenerator(step_g, batch=2, prefill_graph=pf_g)
+        prompts = [[5, 9, 2, 17, 3], [1, 4, 7, 2, 9]]
+        assert pf.generate(prompts, 6) == plain.generate(prompts, 6)
+
+    def test_sampled_prefill_reproducible(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        step_g, pf_g = self._pair()
+        pf = FusedGenerator(step_g, prefill_graph=pf_g)
+        p = [5, 9, 2, 17, 3]
+        a = pf.generate(p, 8, temperature=0.8, top_k=5, seed=3)
+        b = pf.generate(p, 8, temperature=0.8, top_k=5, seed=3)
+        assert a == b and len(a) == 13
