@@ -81,9 +81,27 @@ def _kernel(x_ref, pk_ref, s_ref, o_ref, *, g: int, k_half: int,
         o_ref[:] += acc
 
 
+def _auto_bn(n: int, group: int, ngh: int, mp: int, k: int) -> int:
+    """Widest N-block that fits a ~12 MB VMEM working set. A (group, bn)
+    block of the row-major (K/2, N) weight is contiguous ONLY at bn == n;
+    narrower blocks DMA `group` strided bn-byte chunks, which halves the
+    achieved HBM bandwidth at bn=512 (probe68/70) — so prefer full rows
+    and shrink only under VMEM pressure."""
+    budget = 12 << 20
+    bn = n
+    while bn > 128:
+        need = (2 * group * bn              # pk block, double-buffered
+                + 2 * ngh * bn * 4          # scales column slice
+                + mp * k * 2 + mp * bn * 4)  # x + out tile
+        if need <= budget and n % bn == 0:
+            return bn
+        bn -= 128
+    return 128
+
+
 @functools.partial(jax.jit,
                    static_argnames=("group", "block_n", "interpret"))
-def int4_matmul(x, pk, scales, *, group: int, block_n: int = 512,
+def int4_matmul(x, pk, scales, *, group: int, block_n: int | None = None,
                 interpret: bool | None = None):
     """x (M, K) float; pk (K/2, N) int8 half-split-packed 4-bit; scales
     (K/group, N) f32. Returns x @ dequant(w) as f32 (M, N).
@@ -96,7 +114,8 @@ def int4_matmul(x, pk, scales, *, group: int, block_n: int = 512,
     assert k == 2 * k_half and k_half % group == 0, (k, k_half, group)
     ngh = k_half // group
     assert scales.shape == (2 * ngh, n), (scales.shape, ngh, n)
-    bn = min(block_n, n)
+    mp0 = max(16, -(-m // 16) * 16)
+    bn = min(block_n, n) if block_n else _auto_bn(n, group, ngh, mp0, k)
     while n % bn:
         bn -= 128
     assert bn > 0 and n % bn == 0, (n, block_n)

@@ -173,22 +173,33 @@ def build_prefill(weights: dict, prompt_len: int, max_len: int = 32,
 def build_decode_step(weights: dict | None = None, vocab: int = 96,
                       dim: int = 64, heads: int = 4, kv_heads: int = 2,
                       ffn: int = 128, layers: int = 2, max_len: int = 32,
-                      seed: int = 0, moe_top_k: int = 2):
-    """(token (1,), pos (1,), k_cache_i/v_cache_i (max_len, kvd)) ->
-    (logits (1,vocab), updated caches). FusedGenerator-compatible."""
+                      seed: int = 0, moe_top_k: int = 2, chunk: int = 1):
+    """(token (chunk,), pos (1,), k_cache_i/v_cache_i (max_len, kvd)) ->
+    (logits (chunk, vocab), updated caches). FusedGenerator-compatible
+    at chunk=1; chunk>1 is the VERIFY step of speculative decoding
+    (runtime/speculative.py): `chunk` consecutive tokens starting at
+    position `pos` are processed in one causal forward — the cache rows
+    for all `chunk` positions are written before attention reads them,
+    and row i attends positions <= pos+i, so stale rows from rejected
+    speculation are never visible."""
     if weights is None:
         weights = make_weights(vocab, dim, heads, kv_heads, ffn, layers,
                                max_len, seed)
     hd = dim // heads
     kvd = kv_heads * hd
     g = heads // kv_heads
-    b = GraphBuilder("llama_step", opset=17)
-    token = b.input("token", (1,), dt.INT64)
+    c = chunk
+    b = GraphBuilder("llama_step" if c == 1 else f"llama_chunk{c}",
+                     opset=17)
+    token = b.input("token", (c,), dt.INT64)
     pos = b.input("pos", (1,), dt.INT64)
     cos, sin = (b.init(weights["cos"], "rope_cos"),
                 b.init(weights["sin"], "rope_sin"))
     pos2 = b.node("Reshape", [pos, b.init(np.array([1, 1], np.int64))])
-    x = b.node("Gather", [b.init(weights["wte"], "wte"), token], axis=0)  # (1,dim)
+    if c > 1:  # rotary positions pos..pos+c-1, shape (1, c)
+        pos2 = b.node("Add", [pos2, b.init(
+            np.arange(c, dtype=np.int64)[None], "chunk_arange2")])
+    x = b.node("Gather", [b.init(weights["wte"], "wte"), token], axis=0)  # (c,dim)
     cache_outs = []
     for li in range(layers):
         k_cache = b.input(f"k_cache_{li}", (max_len, kvd))
@@ -199,32 +210,50 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"], f"wq_{li}")])
         k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"], f"wk_{li}")])
         v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"], f"wv_{li}")])
-        q3 = b.node("Reshape", [q, b.init(np.array([1, 1, dim], np.int64))])
-        k3 = b.node("Reshape", [k, b.init(np.array([1, 1, kvd], np.int64))])
+        q3 = b.node("Reshape", [q, b.init(np.array([1, c, dim], np.int64))])
+        k3 = b.node("Reshape", [k, b.init(np.array([1, c, kvd], np.int64))])
         q3 = b.node("RotaryEmbedding", [q3, pos2, cos, sin], num_heads=heads)
         k3 = b.node("RotaryEmbedding", [k3, pos2, cos, sin], num_heads=kv_heads)
-        q = b.node("Reshape", [q3, b.init(np.array([1, dim], np.int64))])
-        k = b.node("Reshape", [k3, b.init(np.array([1, kvd], np.int64))])
+        q = b.node("Reshape", [q3, b.init(np.array([c, dim], np.int64))])
+        k = b.node("Reshape", [k3, b.init(np.array([c, kvd], np.int64))])
         idx = b.node("Reshape", [pos, b.init(np.array([1, 1], np.int64))])
+        if c > 1:  # scatter rows pos..pos+c-1, indices (c, 1)
+            idx = b.node("Add", [idx, b.init(
+                np.arange(c, dtype=np.int64)[:, None], "chunk_arange_col")])
         k_upd = b.node("ScatterND", [k_cache, idx, k])
         v_upd = b.node("ScatterND", [v_cache, idx, v])
         cache_outs += [(f"k_out_{li}", k_upd), (f"v_out_{li}", v_upd)]
-        # GQA: (kvh, g, 1, hd) @ (kvh, 1, hd, max_len) broadcast batch matmul
-        qh = b.node("Reshape", [q, b.init(np.array([kv_heads, g, 1, hd], np.int64))])
+        # GQA: (kvh, g, c, hd) @ (kvh, 1, hd, max_len) broadcast batch matmul
+        if c == 1:
+            qh = b.node("Reshape", [q, b.init(
+                np.array([kv_heads, g, 1, hd], np.int64))])
+        else:
+            qh = b.node("Reshape", [q, b.init(
+                np.array([c, kv_heads, g, hd], np.int64))])
+            qh = b.node("Transpose", [qh], perm=[1, 2, 0, 3])
         kh = b.node("Reshape", [k_upd, b.init(np.array([max_len, kv_heads, 1, hd], np.int64))])
         kh = b.node("Transpose", [kh], perm=[1, 2, 3, 0])   # (kvh,1,hd,max)
         vh = b.node("Reshape", [v_upd, b.init(np.array([max_len, kv_heads, 1, hd], np.int64))])
         vh = b.node("Transpose", [vh], perm=[1, 2, 0, 3])   # (kvh,1,max,hd)
-        scores = b.node("MatMul", [qh, kh])                 # (kvh,g,1,max)
+        scores = b.node("MatMul", [qh, kh])                 # (kvh,g,c,max)
         scores = b.node("Mul", [scores, b.init(np.float32(hd ** -0.5))])
         arange = b.init(np.arange(max_len, dtype=np.int64), f"ar_{li}")
-        valid = b.node("LessOrEqual", [arange, pos])
+        if c == 1:
+            valid = b.node("LessOrEqual", [arange, pos])    # (max,)
+        else:  # row i attends positions <= pos+i: (c, max)
+            rowpos = b.node("Add", [b.node("Reshape", [pos, b.init(
+                np.array([1, 1], np.int64), "pos11")]),
+                b.init(np.arange(c, dtype=np.int64)[:, None],
+                       "chunk_arange_col2")])               # (c,1)
+            valid = b.node("LessOrEqual", [arange, rowpos])
         mask = b.node("Where", [valid, b.init(np.float32(0.0)),
                                 b.init(np.float32(-1e9))])
         scores = b.node("Add", [scores, mask])
         attn = b.node("Softmax", [scores], axis=-1)
-        ctxv = b.node("MatMul", [attn, vh])                 # (kvh,g,1,hd)
-        ctxv = b.node("Reshape", [ctxv, b.init(np.array([1, dim], np.int64))])
+        ctxv = b.node("MatMul", [attn, vh])                 # (kvh,g,c,hd)
+        if c > 1:
+            ctxv = b.node("Transpose", [ctxv], perm=[2, 0, 1, 3])
+        ctxv = b.node("Reshape", [ctxv, b.init(np.array([c, dim], np.int64))])
         proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"], f"wo_{li}")])
         x = b.node("Add", [x, proj])
         h2 = b.node("SimplifiedLayerNormalization",

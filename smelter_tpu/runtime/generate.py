@@ -14,6 +14,58 @@ from __future__ import annotations
 import numpy as np
 
 
+def _arr_eq(a, b) -> bool:
+    return a is b or (a.shape == b.shape and a.dtype == b.dtype
+                      and np.array_equal(a, b))
+
+
+def _merge_params(params, host_map, graph, cfg):
+    """Merge a companion graph's params into `params`, sharing the device
+    buffer whenever name AND content match an already-uploaded array (the
+    model builders name weights by their weight-dict key and quantization
+    is deterministic, so prefill/chunk twins share every big weight).
+    Colliding names with DIFFERENT content — auto-named small constants
+    from separately built graphs — are renamed in `graph` in place first;
+    a rename of anything weight-sized is warned, since it means the
+    caller quantized the twins differently and HBM is being doubled.
+    Returns the companion's Executor."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from .executor import Executor
+
+    renames = {}
+    for name, want in list(graph.initializers.items()):
+        have = host_map.get(name)
+        if have is not None and not _arr_eq(have, want):
+            new = name + "__p"
+            while new in host_map or new in graph.initializers:
+                new += "_"
+            renames[name] = new
+            if want.nbytes > (1 << 20):
+                warnings.warn(
+                    f"companion graph initializer {name!r} "
+                    f"({want.nbytes >> 20} MB) differs from the step "
+                    f"graph's — weights are being duplicated on device; "
+                    f"build both graphs from one weight dict and "
+                    f"quantize them identically", stacklevel=3)
+    for old, new in renames.items():
+        graph.initializers[new] = graph.initializers.pop(old)
+    if renames:
+        for node in graph.nodes:
+            node.inputs = [renames.get(i, i) for i in node.inputs]
+    ex = Executor(graph, cfg)
+    plat = jax.default_backend()
+    for name in ex.param_names:
+        if name not in params:
+            arr = ex._param_host(name, plat)
+            params[name] = jax.device_put(jnp.asarray(arr))
+            host_map[name] = graph.initializers[name]
+    return ex
+
+
 def _cache_dtypes(step_graph, config, cache_names):
     """Dtypes to seed the KV caches with: the executor emits floating
     caches in its compute dtype, and the caches are CARRIED (lax.scan in
@@ -161,24 +213,11 @@ class FusedGenerator:
         self._config = cfg
         self._prefill_fn = None
         self._prefill_len = None
+        self._host_map = {n: step_graph.initializers[n]
+                          for n in self._params}
         if prefill_graph is not None:
-            pex = Executor(prefill_graph, cfg)
-            plat = jax.default_backend()
-            for name in pex.param_names:
-                want = prefill_graph.initializers[name]
-                have = step_graph.initializers.get(name)
-                if name in self._params and have is not None:
-                    if (have.shape != want.shape
-                            or have.dtype != want.dtype):
-                        raise ValueError(
-                            f"prefill/step initializer {name!r} differs "
-                            f"({want.shape}/{want.dtype} vs "
-                            f"{have.shape}/{have.dtype}) — build both "
-                            f"graphs from one weight dict and quantize "
-                            f"them identically")
-                else:  # prefill-only constant (pads, pos_ids, ...)
-                    self._params[name] = jax.device_put(
-                        jnp.asarray(pex._param_host(name, plat)))
+            pex = _merge_params(self._params, self._host_map,
+                                prefill_graph, cfg)
             self._prefill_fn = pex.build_fn()
             self._prefill_inputs = [v.name for v in prefill_graph.inputs]
             self._prefill_len = next(

@@ -1,0 +1,235 @@
+"""Speculative decoding: draft-and-verify greedy generation in ONE dispatch.
+
+A small DRAFT model proposes gamma tokens with cheap per-token steps; the
+TARGET model verifies all gamma+1 positions in one chunked causal forward
+(llama_style.build_decode_step(chunk=gamma+1)) that reads each weight
+ONCE for the whole chunk. Greedy acceptance: the longest prefix of draft
+tokens matching the target's argmax chain is kept, plus the target's own
+token at the first mismatch (or the bonus token when all match) — so the
+OUTPUT IS TOKEN-FOR-TOKEN IDENTICAL to plain greedy decoding of the
+target, regardless of draft quality; only the number of rounds varies.
+The whole rounds loop runs inside one jitted lax.while_loop: the host
+gets back the finished token buffer.
+
+Weight-HBM economics (the decode bottleneck, probe67/69): a round costs
+gamma draft-model reads + ONE target-model read for up to gamma+1
+tokens; with acceptance rate alpha the target stream amortizes to
+~1/(1 + alpha*gamma) of per-token decoding.
+
+Cache-staleness discipline (why no rewind is needed): a step at position
+p writes cache row p before any attention read of row p, and row i of a
+chunk attends only positions <= pos+i — so rows written by REJECTED
+speculation are overwritten by the chunk/step that later reaches those
+positions, before they are ever attended.
+
+Reference scope: none (the reference is a single-forward CNN engine,
+SURVEY.md §0); this is the modern LLM serving feature set the build
+mandate's continuous-batching north star implies (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .generate import _cache_dtypes
+
+
+class SpeculativeGenerator:
+    """Greedy speculative decoding over (target step, target chunk-step,
+    draft step) graphs.
+
+    target_step / target_chunk must be built from ONE weight dict (they
+    share device params by initializer name, like FusedGenerator's
+    prefill); draft_step is a separate (smaller) model with its own
+    params. ``prefill_graph`` optionally seeds the target caches with one
+    full-sequence forward (llama_style.build_prefill)."""
+
+    def __init__(self, target_step, target_chunk, draft_step, config=None,
+                 draft_config=None, prefill_graph=None):
+        import jax
+        import jax.numpy as jnp
+
+        from .config import Config
+        from .executor import Executor
+
+        cfg = config or Config()
+        dcfg = draft_config or cfg
+        ex_t = Executor(target_step, cfg)
+        self._params_t = ex_t.init_params()
+        self._step_t = ex_t.build_fn()
+        host_map = {n: target_step.initializers[n] for n in self._params_t}
+        # content-aware share-by-name (generate._merge_params): the big
+        # quantized weights are identical twins; colliding auto-named
+        # constants get renamed in the companion graph
+        from .generate import _merge_params
+
+        ex_c = _merge_params(self._params_t, host_map, target_chunk, cfg)
+        self._chunk_t = ex_c.build_fn()
+        ex_d = Executor(draft_step, dcfg)
+        self._params_d = ex_d.init_params()
+        self._step_d = ex_d.build_fn()
+
+        def names(g):
+            return [v.name for v in g.inputs]
+
+        self._in_t, self._in_c, self._in_d = (
+            names(target_step), names(target_chunk), names(draft_step))
+        self._cnames_t = [n for n in self._in_t
+                          if n.startswith(("k_cache_", "v_cache_"))]
+        self._cnames_d = [n for n in self._in_d
+                          if n.startswith(("k_cache_", "v_cache_"))]
+        shapes_t = {v.name: tuple(v.type.shape) for v in target_step.inputs}
+        shapes_d = {v.name: tuple(v.type.shape) for v in draft_step.inputs}
+        self._cshapes_t = [shapes_t[n] for n in self._cnames_t]
+        self._cshapes_d = [shapes_d[n] for n in self._cnames_d]
+        self._cdts_t = _cache_dtypes(target_step, cfg, self._cnames_t)
+        self._cdts_d = _cache_dtypes(draft_step, dcfg, self._cnames_d)
+        self.max_len = min(self._cshapes_t[0][0], self._cshapes_d[0][0])
+        cshape = next(v.type.shape for v in target_chunk.inputs
+                      if v.name == "token")
+        self.gamma = int(cshape[0]) - 1
+        if self.gamma < 1:
+            raise ValueError("target_chunk must take >= 2 tokens")
+
+        self._prefill_fn = None
+        self._prefill_len = None
+        if prefill_graph is not None:
+            ex_p = _merge_params(self._params_t, host_map, prefill_graph,
+                                 cfg)
+            self._prefill_fn = ex_p.build_fn()
+            self._in_p = names(prefill_graph)
+            self._prefill_len = next(
+                v.type.shape[0] for v in prefill_graph.inputs
+                if v.name == "tokens")
+
+        self._decode = jax.jit(self._make_decode(),
+                               static_argnames=("plen", "n_new",
+                                                "use_prefill"))
+        # measured per-call acceptance (host-visible diagnostics)
+        self.last_rounds = None
+        self.last_accept_rate = None
+
+    def _make_decode(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        gamma = self.gamma
+        step_t, chunk_t, step_d = self._step_t, self._chunk_t, self._step_d
+        prefill_fn = self._prefill_fn
+        in_t, in_c, in_d = self._in_t, self._in_c, self._in_d
+        cn_t, cn_d = list(self._cnames_t), list(self._cnames_d)
+
+        def ordered(names, cnames, tok, pos, caches):
+            by = {"token": tok, "pos": pos}
+            by.update(zip(cnames, caches))
+            return [by[n] for n in names]
+
+        def decode(pt, pd, prompt, plen, n_new, t_caches, d_caches,
+                   use_prefill=False):
+            buf = jnp.zeros((n_new + gamma + 1,), jnp.int32)
+
+            # ---- prompt phase ------------------------------------------
+            if use_prefill:
+                outs = prefill_fn(pt, prompt)
+                t_caches = list(outs[1:])
+                first = jnp.argmax(outs[0][plen - 1]).astype(jnp.int32)
+                buf = buf.at[0].set(first)
+                pos0, last0, done0 = plen, first, 1
+                d_len = plen  # draft consumes the whole prompt
+            else:
+                def t_feed(carry, pos):
+                    caches, tok = carry
+                    outs = step_t(pt, *ordered(in_t, cn_t, tok[None],
+                                               pos[None], caches))
+                    return (list(outs[1:]), prompt[pos + 1]), 0
+                (t_caches, _), _ = lax.scan(
+                    t_feed, (list(t_caches), prompt[0]),
+                    jnp.arange(plen - 1))
+                pos0, last0, done0 = plen - 1, prompt[plen - 1], 0
+                d_len = plen - 1
+
+            def d_feed(carry, pos):
+                caches, tok = carry
+                outs = step_d(pd, *ordered(in_d, cn_d, tok[None],
+                                           pos[None], caches))
+                nxt = prompt[jnp.minimum(pos + 1, plen - 1)]
+                return (list(outs[1:]), nxt), 0
+            (d_caches, _), _ = lax.scan(
+                d_feed, (list(d_caches), prompt[0]), jnp.arange(d_len))
+
+            # ---- speculative rounds ------------------------------------
+            def cond(carry):
+                return carry[6] < n_new
+
+            def round_(carry):
+                t_caches, d_caches, pos, last, prev, buf, n_done, rounds = \
+                    carry
+
+                # Draft scan with a CATCH-UP step (j = -1): after a fully
+                # accepted round the draft never ingested the last draft
+                # token, so each round re-feeds the token at pos-1 first —
+                # idempotent when already ingested (same row, same value),
+                # and exactly the missing ingest otherwise.
+                def dstep(c, j):
+                    caches, tok = c
+                    pp = jnp.maximum(pos + j, 0)
+                    outs = step_d(pd, *ordered(
+                        in_d, cn_d, tok[None], pp[None], caches))
+                    nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
+                    nxt = jnp.where(j < 0, last, nxt)
+                    return (list(outs[1:]), nxt), nxt
+                (d_caches, _), outs_d = lax.scan(
+                    dstep, (list(d_caches), prev), jnp.arange(-1, gamma))
+                drafts = outs_d[1:]  # d_1..d_gamma
+
+                toks = jnp.concatenate([last[None], drafts])  # (gamma+1,)
+                outs = chunk_t(pt, *ordered(in_c, cn_t, toks, pos[None],
+                                            t_caches))
+                t_caches = list(outs[1:])
+                tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
+                acc = jnp.cumprod(
+                    (drafts == tnext[:gamma]).astype(jnp.int32))
+                a = acc.sum()
+                # emit t_1..t_{gamma+1}; entries beyond a+1 are provisional
+                # and get overwritten by the next round's write at n_done+a+1
+                buf = lax.dynamic_update_slice(buf, tnext, (n_done,))
+                # token at the new pos-1 (next round's catch-up ingest)
+                prev2 = jnp.where(a > 0, tnext[jnp.maximum(a - 1, 0)], last)
+                return (t_caches, d_caches, pos + a + 1, tnext[a], prev2,
+                        buf, n_done + a + 1, rounds + 1)
+
+            prev0 = (prompt[plen - 1] if use_prefill
+                     else prompt[max(plen - 2, 0)]).astype(jnp.int32)
+            carry = (list(t_caches), list(d_caches),
+                     jnp.asarray(pos0, jnp.int32), last0.astype(jnp.int32),
+                     prev0, buf, jnp.asarray(done0, jnp.int32),
+                     jnp.asarray(0, jnp.int32))
+            carry = lax.while_loop(cond, round_, carry)
+            return carry[5][:n_new], carry[7]
+
+        return decode
+
+    def generate(self, prompt: list[int], n_new: int) -> list[int]:
+        """Greedy decode — identical tokens to FusedGenerator.generate on
+        the target model; rounds/acceptance recorded on self.last_*."""
+        import jax.numpy as jnp
+
+        n_new = min(n_new, self.max_len - len(prompt) - self.gamma)
+        if n_new < 1:
+            return list(prompt)
+        use_pf = (self._prefill_fn is not None
+                  and len(prompt) == self._prefill_len)
+        t_caches = [jnp.zeros(s, d)
+                    for s, d in zip(self._cshapes_t, self._cdts_t)]
+        d_caches = [jnp.zeros(s, d)
+                    for s, d in zip(self._cshapes_d, self._cdts_d)]
+        toks, rounds = self._decode(
+            self._params_t, self._params_d,
+            jnp.asarray(prompt, jnp.int32), plen=len(prompt), n_new=n_new,
+            t_caches=t_caches, d_caches=d_caches, use_prefill=use_pf)
+        self.last_rounds = int(rounds)
+        # tokens per round = 1 + accepted drafts
+        self.last_accept_rate = (
+            (n_new / self.last_rounds - 1.0) / self.gamma
+            if self.last_rounds else None)
+        return list(prompt) + [int(t) for t in np.asarray(toks)]
