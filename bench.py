@@ -173,6 +173,77 @@ def _bench_serving(args, st, g, shape) -> int:
     return 0
 
 
+DECODE_CFGS = {
+    "llama_tiny": dict(vocab=512, dim=256, heads=8, kv_heads=4, ffn=1024,
+                       layers=4),
+    "llama_1b": dict(vocab=32000, dim=2048, heads=16, kv_heads=8,
+                     ffn=5632, layers=24),
+    "llama_7b": dict(vocab=32000, dim=4096, heads=32, kv_heads=8,
+                     ffn=11008, layers=32),
+}
+
+
+def _bench_decode(args, st) -> int:
+    """Single-stream decode tok/s (FusedGenerator, K-differenced n_new so
+    dispatch+readback cancel — probe69 methodology). vs_baseline is the
+    same harness on per-channel int8 weights (the XLA fused path; bf16
+    does not fit HBM at the 7B geometry)."""
+    import gc
+
+    import jax
+
+    from smelter_tpu.models import llama_style
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.quant import quantize_weights
+    from smelter_tpu.runtime.generate import FusedGenerator
+
+    cfg = DECODE_CFGS[args.model]
+    max_len = 512 if cfg["dim"] > 512 else 64
+    quant = args.quant
+    if quant in ("int8-static", "none"):  # image-mode defaults
+        quant = "int4-g128"
+    w = llama_style.make_weights(max_len=max_len, **cfg)
+    prompt = list(range(1, 9))
+    n_lo, n_hi, reps = 16, 80, 3
+
+    def tok_s(mode):
+        g, _ = llama_style.build_decode_step(weights=w, max_len=max_len,
+                                             **cfg)
+        if mode:
+            quantize_weights(g, mode, min_elements=1 << 16)
+            run_passes(g, ["fuse_dequant_matmul", "dce"])
+        gen = FusedGenerator(g, st.Config(compute_dtype="bfloat16"))
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                gen.generate(prompt, n)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        timed(n_lo)  # compile + warm
+        per = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+        del gen
+        gc.collect()
+        jax.clear_caches()
+        return 1.0 / per
+
+    best = tok_s(quant)
+    base = tok_s("int8")
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"{args.model} decode tokens/sec single-stream "
+                  f"(quant={quant}, max_len={max_len}, bf16 activations, "
+                  f"K-differenced n={n_lo}->{n_hi}, vs int8-pc XLA path, "
+                  f"{dev.platform})",
+        "value": round(best, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(best / base, 3),
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="resnet50")
@@ -182,7 +253,7 @@ def main() -> int:
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--quant", default="int8-static",
                    choices=["none", "fp16", "int8", "int8-conv", "int8-static",
-                            "int8-pixel"],
+                            "int8-pixel", "int4-g128", "int8-g128"],
                    help="int8-static (default; folded requant epilogues beat "
                         "weight-only: 11592 vs 10500 img/s ResNet b128, "
                         "probe13) calibrates via a CPU subprocess and falls "
@@ -194,6 +265,10 @@ def main() -> int:
     p.add_argument("--serve", action="store_true",
                    help="measure continuous-batching serving (throughput + "
                         "p50 latency) instead of raw step time")
+    p.add_argument("--decode", action="store_true",
+                   help="LLM decode mode: single-stream tok/s on a "
+                        "llama-geometry model (--model llama_tiny/"
+                        "llama_1b/llama_7b; default quant int4-g128)")
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
@@ -206,6 +281,15 @@ def main() -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import smelter_tpu as st
+
+    if args.decode:
+        if args.model == "resnet50":
+            args.model = "llama_1b"
+        if args.model not in DECODE_CFGS:
+            p.error(f"unknown decode model {args.model!r}; available: "
+                    f"{', '.join(sorted(DECODE_CFGS))}")
+        return _bench_decode(args, st)
+
     from smelter_tpu.models import ZOO
 
     if args.model not in ZOO:
