@@ -138,4 +138,8 @@ def main(smoke: bool = False):
 if __name__ == "__main__":
     import sys
 
+    if "--only" in sys.argv:  # e.g. --only 7b:int4-g128 (auto-bn rerun)
+        size, arm = sys.argv[sys.argv.index("--only") + 1].split(":")
+        CONFIGS = {size: CONFIGS[size]}
+        ARMS[size] = [arm]
     main(smoke="--smoke" in sys.argv)

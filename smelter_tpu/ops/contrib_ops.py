@@ -533,10 +533,15 @@ def group_query_attention(ctx: Ctx, node: Node):
 
     Supported: separate or packed (key/value empty) projections, seqlens_k
     key-length masking, rotary via cos/sin caches, grouped-head broadcast,
-    and local_window_size (Mistral-style sliding window: the last `window`
-    keys including the current position are visible). Unsupported (raise):
-    static past buffers (the past_present_share_buffer serving pattern) —
-    use the FusedGenerator KV-cache path for decode serving.
+    local_window_size (Mistral-style sliding window: the last `window`
+    keys including the current position are visible), and the ORT-genai
+    serving pattern: past_key/past_value (B, H_kv, max_len, hd)
+    SHARED-BUFFER caches with per-batch lengths — new rows are scattered
+    at positions seqlens_k+1-S .. seqlens_k, rotary offsets follow, and
+    present_key/present_value return the updated buffers (the functional
+    analog of past_present_share_buffer=1; this is how an exported
+    llama/phi decode graph runs unmodified). Growing-concat past
+    (share_buffer=0) is intentionally not modeled — static shapes only.
     """
     h = int(node.attr("num_heads"))
     h_kv = int(node.attr("kv_num_heads"))
@@ -546,11 +551,10 @@ def group_query_attention(ctx: Ctx, node: Node):
            if len(node.inputs) > 1 and node.inputs[1] else None)
     value = (ctx.get(node.inputs[2])
              if len(node.inputs) > 2 and node.inputs[2] else None)
-    if (len(node.inputs) > 3 and node.inputs[3]) or \
-            (len(node.inputs) > 4 and node.inputs[4]):
-        raise NotSupportedError(
-            "GroupQueryAttention past_key/past_value buffers (use the "
-            "FusedGenerator KV-cache path for decode serving)")
+    past_k = (ctx.get(node.inputs[3])
+              if len(node.inputs) > 3 and node.inputs[3] else None)
+    past_v = (ctx.get(node.inputs[4])
+              if len(node.inputs) > 4 and node.inputs[4] else None)
     seqlens_k = (ctx.get(node.inputs[5])
                  if len(node.inputs) > 5 and node.inputs[5] else None)
     cos_cache = (ctx.get(node.inputs[7])
@@ -568,14 +572,52 @@ def group_query_attention(ctx: Ctx, node: Node):
         q = query.reshape(b, s, h, hd)
         k = key.reshape(b, s, h_kv, hd)
         v = value.reshape(b, s, h_kv, hd)
+    if past_k is not None:
+        if past_v is None or seqlens_k is None:
+            raise NotSupportedError(
+                "GroupQueryAttention past buffers require past_value and "
+                "seqlens_k")
+        tot = seqlens_k.astype(jnp.int32).reshape(b) + 1   # (B,)
+        pos = (tot - s)[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    else:
+        pos = (jnp.arange(s)[None, :].astype(jnp.int32)
+               + jnp.zeros((b, 1), jnp.int32))
     if int(node.attr("do_rotary", 0)):
         if cos_cache is None or sin_cache is None:
             raise NotSupportedError("GroupQueryAttention do_rotary without caches")
         inter = int(node.attr("rotary_interleaved", 0))
-        pos = jnp.arange(s)[None, :].astype(jnp.int32) + jnp.zeros((b, 1), jnp.int32)
         q = _apply_rotary(q, pos, cos_cache, sin_cache, inter)
         k = _apply_rotary(k, pos, cos_cache, sin_cache, inter)
+    scale = node.attr("scale")
+    scale = float(scale) if scale is not None else hd ** -0.5
     rep = h // h_kv
+    if past_k is not None:
+        # scatter the new rows into the shared buffer at per-batch
+        # positions (one-hot matmul — Mosaic/XLA-friendly, no gather)
+        maxlen = past_k.shape[2]
+        onehot = (pos[:, :, None]
+                  == jnp.arange(maxlen, dtype=jnp.int32)[None, None, :])
+        kc = jnp.einsum("bsm,bshd->bhmd", onehot.astype(k.dtype), k)
+        vc = jnp.einsum("bsm,bshd->bhmd", onehot.astype(v.dtype), v)
+        wrote = onehot.any(axis=1)[:, None, :, None]       # (B,1,max,1)
+        pres_k = jnp.where(wrote, kc, past_k.astype(k.dtype))
+        pres_v = jnp.where(wrote, vc, past_v.astype(v.dtype))
+        k_all = jnp.swapaxes(pres_k, 1, 2)                 # (B,max,Hkv,hd)
+        v_all = jnp.swapaxes(pres_v, 1, 2)
+        jm = jnp.arange(maxlen, dtype=jnp.int32)[None, None, None, :]
+        bias = jnp.where(jm <= pos[:, None, :, None], 0.0,
+                         -10000.0).astype(jnp.float32)     # (B,1,S,max)
+        if window > 0:
+            bias = bias + jnp.where(jm > pos[:, None, :, None] - window,
+                                    0.0, -10000.0).astype(jnp.float32)
+        out = _core_attention(q, jnp.repeat(k_all, rep, axis=2),
+                              jnp.repeat(v_all, rep, axis=2), bias, scale)
+        ctx.set(node.outputs[0], out.reshape(b, s, h * hd))
+        if len(node.outputs) > 1 and node.outputs[1]:
+            ctx.set(node.outputs[1], pres_k)
+        if len(node.outputs) > 2 and node.outputs[2]:
+            ctx.set(node.outputs[2], pres_v)
+        return
     kq = jnp.repeat(k, rep, axis=2)
     vq = jnp.repeat(v, rep, axis=2)
     t = k.shape[1]
@@ -589,8 +631,6 @@ def group_query_attention(ctx: Ctx, node: Node):
         # per ORT: seqlens_k = total key length - 1
         bias = bias + _mask_index_bias(
             seqlens_k.astype(jnp.int32) + 1, b, s, t, -10000.0)
-    scale = node.attr("scale")
-    scale = float(scale) if scale is not None else hd ** -0.5
     out = _core_attention(q, kq, vq, bias, scale)
     ctx.set(node.outputs[0], out.reshape(b, s, h * hd))
     if len(node.outputs) > 1 and node.outputs[1]:

@@ -426,6 +426,84 @@ class TestGQA:
                 got[b, :s_valid], want.reshape(B, S, H * HD)[b, :s_valid],
                 rtol=RTOL, atol=1e-2)
 
+    def _cached_graph(self, B, S, H, HKV, HD, MAXL):
+        import smelter_tpu as st
+        from smelter_tpu.ir.build import GraphBuilder
+
+        g = GraphBuilder("t", opset=17)
+        qi = g.input("q", (B, S, H * HD))
+        ki = g.input("k", (B, S, HKV * HD))
+        vi = g.input("v", (B, S, HKV * HD))
+        pk = g.input("pk", (B, HKV, MAXL, HD))
+        pv = g.input("pv", (B, HKV, MAXL, HD))
+        sl = g.input("sl", (B,), dtype=6)
+        outs = g.node("GroupQueryAttention", [qi, ki, vi, pk, pv, sl],
+                      outputs=["y", "prk", "prv"],
+                      num_heads=H, kv_num_heads=HKV)
+        return st.CompiledModel(g.finish(["y", "prk", "prv"]))
+
+    def test_shared_buffer_past_decode_parity(self, rng):
+        """ORT-genai serving pattern: prompt chunk into an empty shared
+        buffer, then per-token steps with growing seqlens_k — every
+        position must match the full causal no-cache form."""
+        B, T, H, HKV, HD, MAXL = 2, 7, 4, 2, 8, 12
+        S0 = 4
+        q = rng.standard_normal((B, T, H * HD)).astype(np.float32)
+        k = rng.standard_normal((B, T, HKV * HD)).astype(np.float32)
+        v = rng.standard_normal((B, T, HKV * HD)).astype(np.float32)
+        want = run_op("GroupQueryAttention", [q, k, v],
+                      dict(num_heads=H, kv_num_heads=HKV), n_outputs=1)
+        mp = self._cached_graph(B, S0, H, HKV, HD, MAXL)
+        zeros = np.zeros((B, HKV, MAXL, HD), np.float32)
+        sl = np.full((B,), S0 - 1, np.int32)
+        y, prk, prv = mp(q[:, :S0], k[:, :S0], v[:, :S0], zeros, zeros, sl)
+        np.testing.assert_allclose(y, want[:, :S0], rtol=RTOL, atol=1e-2)
+        ms = self._cached_graph(B, 1, H, HKV, HD, MAXL)
+        for t in range(S0, T):
+            sl = np.full((B,), t, np.int32)  # tot = t+1
+            y, prk, prv = ms(q[:, t:t + 1], k[:, t:t + 1], v[:, t:t + 1],
+                             prk, prv, sl)
+            np.testing.assert_allclose(y[:, 0], want[:, t], rtol=RTOL,
+                                       atol=1e-2, err_msg=f"pos {t}")
+        # present buffers carry the rotated-free raw K rows 0..T-1
+        np.testing.assert_allclose(
+            np.moveaxis(prk, 1, 2)[:, :T].reshape(B, T, HKV * HD), k,
+            rtol=RTOL, atol=ATOL)
+
+    def test_shared_buffer_per_batch_lengths(self, rng):
+        """Per-batch seqlens_k: each stream steps at its OWN position —
+        the continuous-batching shape. Reference: per-batch full runs."""
+        B, H, HKV, HD, MAXL = 2, 4, 2, 8, 10
+        lens = [5, 3]  # stream 0 decodes at position 5, stream 1 at 3
+        q = rng.standard_normal((B, 1, H * HD)).astype(np.float32)
+        k1 = rng.standard_normal((B, 1, HKV * HD)).astype(np.float32)
+        v1 = rng.standard_normal((B, 1, HKV * HD)).astype(np.float32)
+        hist_k = rng.standard_normal((B, max(lens), HKV * HD)).astype(np.float32)
+        hist_v = rng.standard_normal((B, max(lens), HKV * HD)).astype(np.float32)
+        pk = np.zeros((B, HKV, MAXL, HD), np.float32)
+        pv = np.zeros((B, HKV, MAXL, HD), np.float32)
+        for b, ln in enumerate(lens):
+            pk[b, :, :ln] = np.moveaxis(
+                hist_k[b, :ln].reshape(ln, HKV, HD), 0, 1)
+            pv[b, :, :ln] = np.moveaxis(
+                hist_v[b, :ln].reshape(ln, HKV, HD), 0, 1)
+        ms = self._cached_graph(B, 1, H, HKV, HD, MAXL)
+        sl = np.asarray(lens, np.int32)  # tot = len+1 (incl. new token)
+        y, prk, prv = ms(q, k1, v1, pk, pv, sl)
+        for b, ln in enumerate(lens):
+            kf = np.concatenate([hist_k[b:b + 1, :ln], k1[b:b + 1]], axis=1)
+            vf = np.concatenate([hist_v[b:b + 1, :ln], v1[b:b + 1]], axis=1)
+            kr = np.repeat(kf.reshape(1, ln + 1, HKV, HD), H // HKV, axis=2)
+            vr = np.repeat(vf.reshape(1, ln + 1, HKV, HD), H // HKV, axis=2)
+            want = sdpa(q[b:b + 1].reshape(1, 1, H, HD), kr, vr)
+            np.testing.assert_allclose(
+                y[b:b + 1], want.reshape(1, 1, H * HD), rtol=RTOL,
+                atol=1e-2, err_msg=f"stream {b}")
+            # the new row landed at position len
+            np.testing.assert_allclose(
+                prk[b, :, lens[b]],
+                k1[b, 0].reshape(HKV, HD), rtol=RTOL, atol=ATOL)
+
 
 class TestRotary:
     def _rotate_ref(self, x, pos, cos, sin, interleaved):
