@@ -82,18 +82,22 @@ def _kernel(x_ref, pk_ref, s_ref, o_ref, *, g: int, k_half: int,
 
 
 def _auto_bn(n: int, group: int, ngh: int, mp: int, k: int) -> int:
-    """Widest N-block that fits a ~12 MB VMEM working set. A (group, bn)
-    block of the row-major (K/2, N) weight is contiguous ONLY at bn == n;
-    narrower blocks DMA `group` strided bn-byte chunks, which halves the
-    achieved HBM bandwidth at bn=512 (probe68/70) — so prefer full rows
-    and shrink only under VMEM pressure."""
-    budget = 12 << 20
+    """Widest N-block whose working set fits the 16 MB scoped-VMEM limit
+    with margin. A (group, bn) block of the row-major (K/2, N) weight is
+    contiguous ONLY at bn == n; narrower blocks DMA `group` strided
+    bn-byte chunks, which costs 2-5x of the achieved HBM bandwidth at
+    bn=512 (probe68/70) — so prefer full rows and shrink only under VMEM
+    pressure. Mosaic double-buffers every grid-varying block (pk, scales,
+    out), so those count twice — the probe71 prefill compile OOMed at
+    18.2/16 MB because the single-buffer estimate missed that."""
+    budget = 10 << 20
     bn = n
     while bn > 128:
-        need = (2 * group * bn              # pk block, double-buffered
-                + 2 * ngh * bn * 4          # scales column slice
-                + mp * k * 2 + mp * bn * 4)  # x + out tile
-        if need <= budget and n % bn == 0:
+        need = (2 * (2 * group * bn)         # pk block, double-buffered
+                + 2 * (2 * ngh * bn * 4)     # scales column slice, dbl
+                + mp * k * 2                 # x: grid-invariant, single
+                + 2 * (mp * bn * 4))         # out tile, double-buffered
+        if need <= budget and n % bn == 0 and bn % 128 == 0:
             return bn
         bn -= 128
     return 128
@@ -114,6 +118,14 @@ def int4_matmul(x, pk, scales, *, group: int, block_n: int | None = None,
     assert k == 2 * k_half and k_half % group == 0, (k, k_half, group)
     ngh = k_half // group
     assert scales.shape == (2 * ngh, n), (scales.shape, ngh, n)
+    if m > 256:
+        # prefill/chunk shapes: cap the VMEM-resident x/out tiles by
+        # splitting M (weights re-stream per chunk; the big-M case is
+        # MXU-bound so the extra reads amortize)
+        outs = [int4_matmul(x[i:i + 256], pk, scales, group=group,
+                            block_n=block_n, interpret=interpret)
+                for i in range(0, m, 256)]
+        return jnp.concatenate(outs, axis=0)
     mp0 = max(16, -(-m // 16) * 16)
     bn = min(block_n, n) if block_n else _auto_bn(n, group, ngh, mp0, k)
     while n % bn:

@@ -49,7 +49,7 @@ class DecodeServer:
     """
 
     def __init__(self, step_graph, slots: int = 8, config=None,
-                 stop_tokens: tuple[int, ...] = ()):
+                 stop_tokens: tuple[int, ...] = (), prefill_graphs=()):
         import jax
         import jax.numpy as jnp
 
@@ -58,7 +58,8 @@ class DecodeServer:
 
         self.slots = slots
         self.stop_tokens = set(stop_tokens)
-        ex = Executor(step_graph, config or Config())
+        cfg = config or Config()
+        ex = Executor(step_graph, cfg)
         params = ex.init_params()
         fn = ex.build_fn()
         self._input_names = [v.name for v in step_graph.inputs]
@@ -94,10 +95,28 @@ class DecodeServer:
         # donate the caches: the old buffers are dead after each tick, so
         # XLA updates them in place instead of copying the whole KV set
         self._step_all = jax.jit(step_all, donate_argnums=(2,))
-        from ..runtime.generate import _cache_dtypes
+        # Prefill admission: a ladder of full-sequence prefill graphs
+        # (llama_style.build_prefill twins of the step graph) fills a new
+        # slot's cache rows in ONE forward instead of one prompt token per
+        # tick. Pad-up is safe — every cache row is written by the step
+        # that reaches its position before it is ever attended — so the
+        # smallest bucket >= len(prompt) serves any shorter prompt, and
+        # longer prompts prefill the largest bucket then feed the rest.
+        from ..runtime.generate import _cache_dtypes, _merge_params
 
-        cache_dts = _cache_dtypes(step_graph, config or Config(),
-                                  self._cache_names)
+        self._prefills: list[tuple[int, object]] = []
+        if prefill_graphs:
+            host_map = {n: step_graph.initializers[n] for n in params}
+            for g in prefill_graphs:
+                pex = _merge_params(params, host_map, g, cfg)
+                pfn = pex.build_fn()
+                plen = next(v.type.shape[0] for v in g.inputs
+                            if v.name == "tokens")
+                self._prefills.append(
+                    (plen, jax.jit(lambda toks, f=pfn: f(params, toks))))
+            self._prefills.sort(key=lambda t: t[0])
+
+        cache_dts = _cache_dtypes(step_graph, cfg, self._cache_names)
         self._caches = [jnp.zeros((slots,) + shapes[n], d)
                         for n, d in zip(self._cache_names, cache_dts)]
         self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n],
@@ -144,6 +163,28 @@ class DecodeServer:
 
     # -- slot loop -------------------------------------------------------
 
+    def _prefill_slot(self, i: int, prompt: list[int]) -> int:
+        """Fill slot i's cache rows with one prefill forward. Returns the
+        index of the last prompt token whose row was written (the slot
+        resumes exactly where the per-tick feed would have been). Prompts
+        longer than the largest bucket prefill that bucket and feed the
+        rest per tick; shorter ones pad up (pad rows are written-before-
+        read by later steps, so they are never observed)."""
+        import jax.numpy as jnp
+
+        n = len(prompt)
+        buckets = [p for p, _ in self._prefills]
+        ups = [p for p in buckets if p >= n]
+        p_len = min(ups) if ups else max(buckets)
+        fn = dict(self._prefills)[p_len]
+        eff = min(n, p_len)
+        toks = np.zeros((p_len,), np.int64)
+        toks[:eff] = prompt[:eff]
+        outs = fn(jnp.asarray(toks))
+        for j, c in enumerate(outs[1:]):
+            self._caches[j] = self._caches[j].at[i].set(c)
+        return eff - 1
+
     def _admit(self) -> None:
         import jax.numpy as jnp
 
@@ -155,9 +196,18 @@ class DecodeServer:
             except queue.Empty:
                 return
             n_new = min(n_new, self.max_len - len(prompt))
-            self._state[i] = _Slot(active=True, prompt=prompt, fed=0,
+            fed = pos = 0
+            last = prompt[0]
+            if self._prefills and len(prompt) > 1:
+                try:
+                    fed = self._prefill_slot(i, prompt)
+                    pos, last = fed, prompt[fed]
+                except Exception:  # noqa: BLE001 — fall back to per-tick
+                    fed = pos = 0
+                    last = prompt[0]
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
                                    generated=[], n_new=n_new,
-                                   last_token=prompt[0], pos=0, future=fut,
+                                   last_token=last, pos=pos, future=fut,
                                    context=context)
             try:
                 for j, n in enumerate(self._context_names):

@@ -427,6 +427,34 @@ class TestPackedInt4Fusion:
         assert "FusedDequantMatMulI4" not in ops
         assert "DequantizeLinear" in ops
 
+    def test_auto_bn_lane_aligned_and_chunked_m(self, rng):
+        """_auto_bn must stay a lane multiple that divides N within the
+        16MB scoped-VMEM limit (double-buffered blocks — the probe71
+        prefill compile OOM), and M > 256 splits into row chunks so
+        prefill-sized calls keep their tiles bounded."""
+        from smelter_tpu.kernels.int4_matmul import (_auto_bn, int4_matmul,
+                                                     pack_int4_half)
+        from smelter_tpu.quant.weight_quant import quantize_array_blocked
+
+        for n in (2048, 5632, 11008, 32000):
+            for k in (2048, 4096, 11008):
+                for mp in (16, 256):
+                    bn = _auto_bn(n, 128, k // 256, mp, k)
+                    assert bn % 128 == 0 and n % bn == 0, (n, k, mp, bn)
+                    need = (4 * 128 * bn + 4 * (k // 128) * bn * 4
+                            + mp * k * 2 + 2 * mp * bn * 4)
+                    assert need <= (16 << 20), (n, k, mp, bn, need)
+        m, k, n, g = 448, 512, 384, 64
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        q, s = quantize_array_blocked(w, 0, g, 7)
+        pk = pack_int4_half(np.asarray(q).astype(np.int8))
+        ref = x.astype(np.float64) @ (np.asarray(q).astype(np.float64)
+                                      * np.repeat(s, g, axis=0))
+        got = np.asarray(int4_matmul(x, pk, s, group=g, interpret=True))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, rel
+
     def test_scales_survive_bf16_compute(self):
         """Under compute_dtype=bfloat16 the grouped scales must stay f32
         (executor _SCALE_POS). Cancellation construction: two K-groups
