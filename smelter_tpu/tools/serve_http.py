@@ -194,6 +194,13 @@ def main(argv=None) -> int:
                    help="decode-step graph (token, pos, *caches) to serve "
                         "on POST /v1/generate via the one-dispatch fused "
                         "decoder")
+    p.add_argument("--decode-prefill", nargs="*", default=(),
+                   metavar="ONNX",
+                   help="prefill-graph bucket ladder (full-sequence twins "
+                        "of the decode step, e.g. llama_style."
+                        "build_prefill at several prompt lengths): new "
+                        "requests fill their KV cache rows in one forward "
+                        "instead of one prompt token per step/tick")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -232,16 +239,21 @@ def main(argv=None) -> int:
         from ..runtime.generate import FusedGenerator
 
         step_graph = st.load_model(args.decode_step)
+        prefills = [st.load_model(f) for f in args.decode_prefill]
         state["generator"] = FusedGenerator(
-            step_graph, st.Config(compute_dtype=args.dtype))
+            step_graph, st.Config(compute_dtype=args.dtype),
+            prefill_graph=prefills[0] if len(prefills) == 1 else None)
         if args.decode_slots:
             from ..serving.decode_server import DecodeServer
 
             state["decode_server"] = DecodeServer(
                 step_graph, slots=args.decode_slots,
-                config=st.Config(compute_dtype=args.dtype))
+                config=st.Config(compute_dtype=args.dtype),
+                prefill_graphs=prefills)
     elif args.decode_slots:
         p.error("--decode-slots requires --decode-step")
+    elif args.decode_prefill:
+        p.error("--decode-prefill requires --decode-step")
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

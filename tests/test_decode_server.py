@@ -117,3 +117,59 @@ class TestDecodeServerRobustness:
             assert len(good.result(timeout=60)) == 5
         finally:
             srv.shutdown()
+
+
+class TestPrefillAdmission:
+    """DecodeServer(prefill_graphs=...): admission fills a slot's cache
+    rows in one forward (bucket ladder; pad-up and partial-prefill both
+    safe because every row is written-before-read). Outputs must match
+    the per-tick feeding path exactly."""
+
+    CFG = dict(vocab=60, dim=128, heads=4, kv_heads=2, ffn=128, layers=2)
+
+    def _graphs(self, max_len=32, buckets=(4, 8)):
+        from smelter_tpu.models import llama_style
+
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step_g, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  **self.CFG)
+        pfs = [llama_style.build_prefill(w, prompt_len=p, max_len=max_len,
+                                         **self.CFG) for p in buckets]
+        return step_g, pfs
+
+    def test_prefill_admission_parity(self):
+        step_g, pfs = self._graphs()
+        plain = DecodeServer(step_g, slots=3)
+        pf = DecodeServer(step_g, slots=3, prefill_graphs=pfs)
+        try:
+            prompts = [
+                [5, 9, 2, 17],          # exact bucket 4
+                [1, 4],                 # pad-up into bucket 4
+                [7, 3, 9, 1, 2, 8, 6],  # bucket 8 pad-up
+                [2] * 12,               # longer than largest: partial
+                [9],                    # length-1: per-tick path
+            ]
+            want = [plain.submit(p, 6).result(timeout=120) for p in prompts]
+            got = [pf.submit(p, 6).result(timeout=120) for p in prompts]
+            assert got == want
+        finally:
+            plain.shutdown()
+            pf.shutdown()
+
+    def test_prefill_mixed_with_active_slots(self):
+        """Admitting with prefill while other slots are mid-decode must
+        not disturb them (the .at[slot].set scatter touches one row)."""
+        step_g, pfs = self._graphs()
+        plain = DecodeServer(step_g, slots=2)
+        pf = DecodeServer(step_g, slots=2, prefill_graphs=pfs)
+        try:
+            prompts = [[3, 7, 11, 2], [5, 1], [9, 2, 4, 8, 1],
+                       [6, 6, 6, 6], [1, 2, 3], [8, 4]]
+            futs_w = [plain.submit(p, 8) for p in prompts]
+            futs_g = [pf.submit(p, 8) for p in prompts]
+            want = [f.result(timeout=180) for f in futs_w]
+            got = [f.result(timeout=180) for f in futs_g]
+            assert got == want
+        finally:
+            plain.shutdown()
+            pf.shutdown()
