@@ -103,6 +103,33 @@ def _auto_bn(n: int, group: int, ngh: int, mp: int, k: int) -> int:
     return 128
 
 
+@functools.lru_cache(maxsize=None)
+def _vmappable(group: int, block_n: int | None, interpret: bool):
+    """custom_vmap wrapper: vmapping the kernel would otherwise add a
+    batch grid dimension that re-streams the WHOLE weight per batch
+    instance (ruinous for batched decode, where the weight stream is the
+    bottleneck). The rule collapses the batch into M — one kernel call,
+    weights read once."""
+    import jax.custom_batching
+
+    @jax.custom_batching.custom_vmap
+    def call(x, pk, scales):
+        return _int4_matmul(x, pk, scales, group=group, block_n=block_n,
+                            interpret=interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, x, pk, scales):  # noqa: ANN001
+        if in_batched != [True, False, False]:
+            raise NotImplementedError(
+                f"int4_matmul vmap over weights is unsupported "
+                f"(in_batched={in_batched})")
+        b, m, k = x.shape
+        out = call(x.reshape(b * m, k), pk, scales)
+        return out.reshape(b, m, -1), True
+
+    return call
+
+
 @functools.partial(jax.jit,
                    static_argnames=("group", "block_n", "interpret"))
 def int4_matmul(x, pk, scales, *, group: int, block_n: int | None = None,
@@ -110,9 +137,15 @@ def int4_matmul(x, pk, scales, *, group: int, block_n: int | None = None,
     """x (M, K) float; pk (K/2, N) int8 half-split-packed 4-bit; scales
     (K/group, N) f32. Returns x @ dequant(w) as f32 (M, N).
 
-    Requires K % (2*group) == 0 and N % 128 == 0 (callers gate)."""
+    Requires K % (2*group) == 0 and N % 128 == 0 (callers gate).
+    vmap-safe: the batch axis folds into M (weights stream once)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _vmappable(group, block_n, interpret)(x, pk, scales)
+
+
+def _int4_matmul(x, pk, scales, *, group: int, block_n: int | None,
+                 interpret: bool):
     m, k = x.shape
     k_half, n = pk.shape
     assert k == 2 * k_half and k_half % group == 0, (k, k_half, group)
@@ -122,8 +155,8 @@ def int4_matmul(x, pk, scales, *, group: int, block_n: int | None = None,
         # prefill/chunk shapes: cap the VMEM-resident x/out tiles by
         # splitting M (weights re-stream per chunk; the big-M case is
         # MXU-bound so the extra reads amortize)
-        outs = [int4_matmul(x[i:i + 256], pk, scales, group=group,
-                            block_n=block_n, interpret=interpret)
+        outs = [_int4_matmul(x[i:i + 256], pk, scales, group=group,
+                             block_n=block_n, interpret=interpret)
                 for i in range(0, m, 256)]
         return jnp.concatenate(outs, axis=0)
     mp0 = max(16, -(-m // 16) * 16)

@@ -455,6 +455,33 @@ class TestPackedInt4Fusion:
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 2e-2, rel
 
+    def test_vmap_collapses_into_m(self, rng):
+        """Batched decode: vmapping the kernel must fold the batch into M
+        (ONE pallas call, weights streamed once) — a plain batching rule
+        would re-stream the whole weight per batch instance."""
+        import jax
+        import jax.numpy as jnp
+
+        from smelter_tpu.kernels.int4_matmul import (int4_matmul,
+                                                     pack_int4_half)
+        from smelter_tpu.quant.weight_quant import quantize_array_blocked
+
+        B, m, k, n, g = 4, 1, 256, 384, 64
+        xb = rng.standard_normal((B, m, k)).astype(np.float32)
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        q, s = quantize_array_blocked(w, 0, g, 7)
+        pk = pack_int4_half(np.asarray(q).astype(np.int8))
+
+        def f(x):
+            return int4_matmul(x, jnp.asarray(pk), jnp.asarray(s), group=g,
+                               interpret=True)
+
+        got = np.asarray(jax.vmap(f)(xb))
+        want = np.stack([np.asarray(f(xb[i])) for i in range(B)])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        jx = str(jax.make_jaxpr(jax.vmap(f))(jnp.asarray(xb)))
+        assert jx.count("pallas_call") == 1, jx.count("pallas_call")
+
     def test_scales_survive_bf16_compute(self):
         """Under compute_dtype=bfloat16 the grouped scales must stay f32
         (executor _SCALE_POS). Cancellation construction: two K-groups
