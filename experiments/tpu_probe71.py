@@ -110,6 +110,26 @@ def main():
               f" ({tps*per_tok:.2f}x plain)", flush=True)
     breakeven = (t_round / per_tok - 1) / GAMMA
     print(f"[spec] breakeven acceptance: {breakeven:.2f}", flush=True)
+    del spec
+    gc.collect()
+    jax.clear_caches()
+
+    # ---- 3) batched decode aggregate (custom_vmap folds batch into M) --
+    from smelter_tpu.runtime.generate import FusedBatchedGenerator
+
+    for b in (8, 16):
+        bgen = FusedBatchedGenerator(step_g, batch=b, config=bf)
+        prompts = [p8] * b
+        bgen.generate(prompts, 16)
+        t_lo = timed(lambda: bgen.generate(prompts, 16))
+        t_hi = timed(lambda: bgen.generate(prompts, 80))
+        per_step = (t_hi - t_lo) / 64
+        print(f"[batched b{b}] {per_step*1e3:.2f} ms/step = "
+              f"{b/per_step:,.0f} tok/s aggregate "
+              f"({1/per_step:,.0f}/stream)", flush=True)
+        del bgen
+        gc.collect()
+        jax.clear_caches()
     print("DONE", flush=True)
 
 
