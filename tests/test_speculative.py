@@ -104,6 +104,20 @@ def test_int4_quantized_target(graphs):
     assert spec.generate(p, 12) == plain.generate(p, 12)
 
 
+def test_mixtral_moe_chunk_parity():
+    """chunk>1 + MoE FFNs (contrib MoE op on (c, dim) tokens): speculative
+    decode of a Mixtral-style target matches plain greedy."""
+    cfg = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+    w = llama_style.make_weights(max_len=32, n_experts=4, **cfg)
+    step, _ = llama_style.build_decode_step(w, max_len=32, **cfg)
+    chunk, _ = llama_style.build_decode_step(w, max_len=32, chunk=4, **cfg)
+    draft, _ = llama_style.build_decode_step(max_len=32, seed=5, **cfg)
+    plain = FusedGenerator(step)
+    spec = SpeculativeGenerator(step, chunk, draft)
+    p = [5, 9, 2]
+    assert spec.generate(p, 12) == plain.generate(p, 12)
+
+
 def test_merge_params_renames_colliding_constants():
     """_merge_params: same-named initializers with DIFFERENT content
     (auto-named constants from separately built graphs) must be renamed
