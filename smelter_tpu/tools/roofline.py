@@ -85,7 +85,19 @@ def model_roofline(graph, config=None) -> dict:
     # unpool scatters alone force ~16x more HBM traffic than graph I/O.
     scatter_bytes = sum(c.bytes for c in table
                         if c.op_type in _SCATTER_OPS)
-    t_hbm = (io_bytes + w_bytes + scatter_bytes) / TPU_V5E["hbm_gbps"]
+    # pure depthwise convs are the same kind of required traffic: XLA
+    # cannot fuse conv-to-conv, so a dwconv's input and output activations
+    # cross HBM at serving sizes regardless of schedule. dw3x3 runs ~4.5
+    # flops/byte — HBM-bound, NOT VPU-bound — so without this term the
+    # MobileNet bounds read ~3x looser than any schedule could reach
+    # (probe62's "measured dwconv tops out near 4 TF" is that HBM wall).
+    # (OpCost.bytes prices edges at their graph dtype (f32); activations
+    # run bf16 under the default config — halve, matching io_bytes.)
+    dw_bytes = sum(c.bytes / 2 for c in table
+                   if c.op_type == "Conv" and c.vpu_flops
+                   and c.vpu_flops == c.flops)
+    t_hbm = (io_bytes + w_bytes + scatter_bytes
+             + dw_bytes) / TPU_V5E["hbm_gbps"]
 
     # MXU, VPU and HBM pipelines can overlap, so the unbeatable bound is
     # the max of the three (not their sum)
