@@ -282,7 +282,8 @@ def fused_dequant_matmul_i4(ctx: Ctx, node: Node):
         m *= d
     x2 = x.reshape((m, k))
     if jax.default_backend() == "tpu":
-        y = int4_matmul(x2, pk, s, group=g)
+        bn = getattr(ctx.config, "int4_block_n", None) if ctx.config else None
+        y = int4_matmul(x2, pk, s, group=g, block_n=bn)
     else:
         w = unpack_int4_half(pk, k).astype(jnp.float32)
         rep = jnp.repeat(s.astype(jnp.float32), g, axis=0)

@@ -59,6 +59,10 @@ class Config:
     # TOP/s, experiments/tpu_probe12.py); adds one activation rounding step
     # (<=0.4%/element). Off by default: weight-only numerics unchanged.
     int8_activations: bool = False
+    # Packed-int4 kernel N-block override (kernels/int4_matmul.py): None
+    # uses the measured auto policy (full rows within the VMEM budget);
+    # an int forces block_n — the probe74 e2e sweep knob.
+    int4_block_n: int | None = None
     donate_inputs: bool = False
     # Sharding: name of a parallel.MeshPlan or None for single device.
     mesh: Any = None
