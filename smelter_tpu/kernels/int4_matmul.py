@@ -104,6 +104,64 @@ def _auto_bn(n: int, group: int, ngh: int, mp: int, k: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
+def _partitioned(group: int, block_n: int | None, interpret: bool):
+    """GSPMD partition rule: the SPMD partitioner cannot split an opaque
+    tpu_custom_call, so a TP-sharded weight would otherwise be
+    ALL-GATHERED around the kernel every step (defeating tensor
+    parallelism of the decode GEMMs). Rule: pk/scales column-sharded on
+    their last axis -> per-shard kernel on the local (K/2, N/tp) shard,
+    x replicated, output column-sharded — the Megatron column-parallel
+    contract. Falls back to the dequant composite per shard when the
+    local N is not a lane multiple."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def cp(x, pk, scales):
+        return _int4_matmul(x, pk, scales, group=group, block_n=block_n,
+                            interpret=interpret)
+
+    def _n_axis(arg_infos):
+        sh = arg_infos[1].sharding
+        spec = getattr(sh, "spec", None)
+        if spec is None or len(spec) < 2:
+            return None
+        return spec[1]
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, P(None, _n_axis(arg_infos)))
+
+    def partition(mesh, arg_infos, result_infos):
+        n_axis = _n_axis(arg_infos)
+        arg_sh = (NamedSharding(mesh, P(None, None)),
+                  NamedSharding(mesh, P(None, n_axis)),
+                  NamedSharding(mesh, P(None, n_axis)))
+        out_sh = NamedSharding(mesh, P(None, n_axis))
+
+        def lower(x, pk, scales):
+            if pk.shape[1] % 128:  # per-shard lane gate: exact fallback
+                k = 2 * pk.shape[0]
+                w = unpack_int4_half(pk, k).astype(jnp.float32)
+                rep = jnp.repeat(scales.astype(jnp.float32), group, axis=0)
+                return jnp.dot(x.astype(jnp.float32), w * rep,
+                               preferred_element_type=jnp.float32)
+            return _int4_matmul(x, pk, scales, group=group,
+                                block_n=block_n, interpret=interpret)
+
+        return mesh, lower, out_sh, arg_sh
+
+    # Shardy (the default partitioner in this jax) takes an einsum-like
+    # rule instead of the GSPMD callbacks; k/h/s never appear in the
+    # result, and the kernel needs the full K — declare them
+    # need-replication. Both forms provided (jax picks by partitioner).
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule="m k, h n, s n -> m n",
+                     need_replication_factors=("k", "h", "s"))
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
 def _vmappable(group: int, block_n: int | None, interpret: bool):
     """custom_vmap wrapper: vmapping the kernel would otherwise add a
     batch grid dimension that re-streams the WHOLE weight per batch
@@ -114,8 +172,7 @@ def _vmappable(group: int, block_n: int | None, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def call(x, pk, scales):
-        return _int4_matmul(x, pk, scales, group=group, block_n=block_n,
-                            interpret=interpret)
+        return _partitioned(group, block_n, interpret)(x, pk, scales)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, x, pk, scales):  # noqa: ANN001

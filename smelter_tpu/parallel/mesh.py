@@ -50,6 +50,15 @@ def _role_map(graph: Graph) -> dict[str, tuple[str, int]]:
                 roles.setdefault(ins[2], ("vector", 0))
         elif node.op_type == "MatMul" and len(ins) > 1:
             roles.setdefault(ins[1], ("matmul_rhs", -1))  # last axis
+        elif node.op_type == "FusedDequantMatMul" and len(ins) > 2:
+            # int8 weight (K, N) + per-column scales (N,): column-parallel
+            roles.setdefault(ins[1], ("matmul_rhs", -1))
+            roles.setdefault(ins[2], ("vector", 0))
+        elif node.op_type == "FusedDequantMatMulI4" and len(ins) > 2:
+            # packed (K/2, N) + grouped scales (2*ngh, N): both split on N;
+            # the kernel carries a custom_partitioning rule for this
+            roles.setdefault(ins[1], ("matmul_rhs", -1))
+            roles.setdefault(ins[2], ("matmul_rhs", -1))
         elif node.op_type in ("BatchNormalization", "InstanceNormalization",
                               "LayerNormalization", "GroupNormalization"):
             for name in ins[1:]:

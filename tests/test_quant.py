@@ -482,6 +482,46 @@ class TestPackedInt4Fusion:
         jx = str(jax.make_jaxpr(jax.vmap(f))(jnp.asarray(xb)))
         assert jx.count("pallas_call") == 1, jx.count("pallas_call")
 
+    def test_tp_sharded_int4_no_allgather(self, rng, eight_devices):
+        """custom_partitioning: column-sharded packed weights run the
+        kernel per shard — parity vs single device and ZERO all-gathers
+        of the weight in the compiled HLO (the partitioner would
+        otherwise replicate the opaque custom call's operands)."""
+        import jax
+
+        from smelter_tpu.parallel.mesh import (MeshPlan, param_shardings,
+                                               shard_params)
+
+        b = GraphBuilder("mlp", opset=21)
+        k, n = 256, 256
+        x_in = b.input("x", (4, k))
+        h = b.node("MatMul", [x_in, b.init(
+            rng.standard_normal((k, n)).astype(np.float32))])
+        h = b.node("Relu", [h])
+        y = b.node("MatMul", [h, b.init(
+            rng.standard_normal((n, k)).astype(np.float32))])
+        b.output(y, (4, k))
+        g = b.graph
+        quantize_weights(g, "int4-g64", min_elements=1)
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        assert sum(nd.op_type == "FusedDequantMatMulI4"
+                   for nd in g.nodes) == 2
+        ex = st.Executor(g)
+        x = rng.standard_normal((4, k)).astype(np.float32)
+        want = np.asarray(st.CompiledModel(g)(x)[0])
+        plan = MeshPlan.for_devices(8, tp=2)
+        with plan.mesh:
+            params = shard_params(ex, plan)
+            shs = param_shardings(ex, plan)
+            assert all(str(shs[nm].spec) == "PartitionSpec(None, 'tp')"
+                       for nm in params if nm.endswith("_pk4"))
+            jf = jax.jit(ex.build_fn(),
+                         in_shardings=(shs, plan.replicated()))
+            got = np.asarray(jf(params, x)[0])
+            hlo = jf.lower(params, x).compile().as_text()
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        assert "all-gather" not in hlo
+
     def test_scales_survive_bf16_compute(self):
         """Under compute_dtype=bfloat16 the grouped scales must stay f32
         (executor _SCALE_POS). Cancellation construction: two K-groups
