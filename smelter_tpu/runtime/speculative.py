@@ -11,6 +11,14 @@ target, regardless of draft quality; only the number of rounds varies.
 The whole rounds loop runs inside one jitted lax.while_loop: the host
 gets back the finished token buffer.
 
+Parity caveat (measured, probe75): "identical" means identical in the
+target's own numerics. Under bfloat16 the chunk form (M=gamma+1) and
+the step form (M=1) may round a logit differently at the last bf16 bit
+(max |dlogit| ~= 0.06 at 1.3B scale), so chains can diverge where the
+top-2 logit gap is EXACTLY zero at bf16 resolution — common for
+repetition cycles of random-weight models, vanishingly rare for trained
+ones. In float32 (and on CPU) parity is exact; the test suite pins it.
+
 Weight-HBM economics (the decode bottleneck, probe67/69): a round costs
 gamma draft-model reads + ONE target-model read for up to gamma+1
 tokens; with acceptance rate alpha the target stream amortizes to
