@@ -200,8 +200,10 @@ def _bench_decode(args, st) -> int:
     cfg = DECODE_CFGS[args.model]
     max_len = 512 if cfg["dim"] > 512 else 64
     quant = args.quant
-    if quant in ("int8-static", "none"):  # image-mode defaults
+    if quant == "int8-static":  # the image-mode default: remap for decode
         quant = "int4-g128"
+    elif quant == "none":  # explicit: honest unquantized bf16 arm
+        quant = None
     w = llama_style.make_weights(max_len=max_len, **cfg)
     prompt = list(range(1, 9))
     n_lo, n_hi, reps = 16, 80, 3
@@ -234,7 +236,8 @@ def _bench_decode(args, st) -> int:
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": f"{args.model} decode tokens/sec single-stream "
-                  f"(quant={quant}, max_len={max_len}, bf16 activations, "
+                  f"(quant={quant or 'bf16'}, max_len={max_len}, "
+                  f"bf16 activations, "
                   f"K-differenced n={n_lo}->{n_hi}, vs int8-pc XLA path, "
                   f"{dev.platform})",
         "value": round(best, 1),

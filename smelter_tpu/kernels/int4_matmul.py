@@ -217,7 +217,12 @@ def _int4_matmul(x, pk, scales, *, group: int, block_n: int | None,
                 for i in range(0, m, 256)]
         return jnp.concatenate(outs, axis=0)
     mp0 = max(16, -(-m // 16) * 16)
-    bn = min(block_n, n) if block_n else _auto_bn(n, group, ngh, mp0, k)
+    if block_n:
+        # user knob (Config.int4_block_n): clamp to a positive lane
+        # multiple so the divisor search below always terminates
+        bn = max(128, min(block_n, n) // 128 * 128)
+    else:
+        bn = _auto_bn(n, group, ngh, mp0, k)
     while n % bn:
         bn -= 128
     assert bn > 0 and n % bn == 0, (n, block_n)

@@ -211,18 +211,20 @@ class FusedGenerator:
         self._params = ex.init_params()
         self._step = ex.build_fn()
         self._config = cfg
-        self._prefill_fn = None
-        self._prefill_len = None
+        # prefill bucket ladder: {prompt_len: (fn, input_names)}
+        self._prefills: dict[int, tuple] = {}
         self._host_map = {n: step_graph.initializers[n]
                           for n in self._params}
         if prefill_graph is not None:
-            pex = _merge_params(self._params, self._host_map,
-                                prefill_graph, cfg)
-            self._prefill_fn = pex.build_fn()
-            self._prefill_inputs = [v.name for v in prefill_graph.inputs]
-            self._prefill_len = next(
-                v.type.shape[0] for v in prefill_graph.inputs
-                if v.name == "tokens")
+            graphs = (prefill_graph
+                      if isinstance(prefill_graph, (list, tuple))
+                      else [prefill_graph])
+            for g in graphs:
+                pex = _merge_params(self._params, self._host_map, g, cfg)
+                plen = next(v.type.shape[0] for v in g.inputs
+                            if v.name == "tokens")
+                self._prefills[plen] = (pex.build_fn(),
+                                        [v.name for v in g.inputs])
         self.input_names = [v.name for v in step_graph.inputs]
         self.cache_names = [n for n in self.input_names
                             if n.startswith(("k_cache_", "v_cache_"))]
@@ -245,13 +247,14 @@ class FusedGenerator:
         self._decode = jax.jit(
             self._make_decode(),
             static_argnames=("plen", "n_new", "top_k", "do_sample"))
-        self._decode_pf = None
-        if self._prefill_fn is not None:
-            self._decode_pf = jax.jit(
-                self._make_decode(use_prefill=True),
+        self._decode_pf = {
+            plen: jax.jit(
+                self._make_decode(use_prefill=plen),
                 static_argnames=("plen", "n_new", "top_k", "do_sample"))
+            for plen in self._prefills
+        }
 
-    def _make_decode(self, use_prefill: bool = False):
+    def _make_decode(self, use_prefill: int | None = None):
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -260,9 +263,8 @@ class FusedGenerator:
         input_names = list(self.input_names)
         cache_names = list(self.cache_names)
         context_names = list(self.context_names)
-        prefill_fn = self._prefill_fn if use_prefill else None
-        prefill_inputs = (list(self._prefill_inputs) if use_prefill
-                          else [])
+        prefill_fn, prefill_inputs = (
+            self._prefills[use_prefill] if use_prefill else (None, []))
 
         def decode(params, prompt, plen, n_new, caches, ctxs=(),
                    key=None, temperature=1.0, top_k=0, do_sample=False):
@@ -332,8 +334,8 @@ class FusedGenerator:
         n_new = min(n_new, self.max_len - len(prompt))
         if n_new < 1:
             return list(prompt)
-        use_pf = (self._decode_pf is not None
-                  and len(prompt) == self._prefill_len)
+        dec_pf = self._decode_pf.get(len(prompt))
+        use_pf = dec_pf is not None
         # prefill builds the caches itself; seed zeros only for the
         # scan-through-the-prompt path
         caches = [] if use_pf else [
@@ -360,7 +362,7 @@ class FusedGenerator:
                     f"({type(e).__name__}); recompiling", stacklevel=2)
                 del self._aot[aot_key]
         if toks is None:
-            dec = self._decode_pf if use_pf else self._decode
+            dec = dec_pf if use_pf else self._decode
             toks = dec(self._params, jnp.asarray(prompt, jnp.int32),
                        plen=len(prompt), n_new=n_new, caches=caches,
                        ctxs=ctxs, key=jax.random.PRNGKey(seed),
@@ -459,12 +461,13 @@ class FusedBatchedGenerator:
         axes = (None, 0, None, None, 0, 0, 0, None, None, None)
         self._decode = jax.jit(jax.vmap(decode, in_axes=axes),
                                static_argnums=(2, 3, 8, 9))
-        self._decode_pf = None
-        if self._single._prefill_fn is not None:
-            self._decode_pf = jax.jit(
-                jax.vmap(self._single._make_decode(use_prefill=True),
+        self._decode_pf = {
+            plen: jax.jit(
+                jax.vmap(self._single._make_decode(use_prefill=plen),
                          in_axes=axes),
                 static_argnums=(2, 3, 8, 9))
+            for plen in self._single._prefills
+        }
         self.max_len = self._single.max_len
 
     def generate(self, prompts: list[list[int]], n_new: int,
@@ -480,8 +483,8 @@ class FusedBatchedGenerator:
         n_new = min(n_new, self.max_len - plen)
         if n_new < 1:
             return [list(p) for p in prompts]
-        use_pf = (self._decode_pf is not None
-                  and plen == self._single._prefill_len)
+        dec_pf = self._decode_pf.get(plen)
+        use_pf = dec_pf is not None
         caches = [] if use_pf else [
             jnp.zeros((self.batch,) + s, d)
             for s, d in zip(self._single.cache_shapes,
@@ -490,7 +493,7 @@ class FusedBatchedGenerator:
                      for n in self._single.context_names)
         do_sample = temperature is not None or bool(top_k)
         keys = jax.random.split(jax.random.PRNGKey(seed), self.batch)
-        dec = self._decode_pf if use_pf else self._decode
+        dec = dec_pf if use_pf else self._decode
         toks = dec(self._single._params,
                    jnp.asarray(prompts, jnp.int32), plen, n_new,
                    caches, ctxs, keys,

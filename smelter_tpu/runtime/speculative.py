@@ -122,6 +122,7 @@ class SpeculativeGenerator:
         from jax import lax
 
         gamma = self.gamma
+        max_len = self.max_len
         step_t, chunk_t, step_d = self._step_t, self._chunk_t, self._step_d
         prefill_fn = self._prefill_fn
         in_t, in_c, in_d = self._in_t, self._in_c, self._in_d
@@ -166,8 +167,11 @@ class SpeculativeGenerator:
                 d_feed, (list(d_caches), prompt[0]), jnp.arange(d_len))
 
             # ---- speculative rounds ------------------------------------
+            limit = max_len  # chunk scatters rows pos..pos+gamma
+
             def cond(carry):
-                return carry[6] < n_new
+                return ((carry[6] < n_new)
+                        & (carry[2] <= limit - 1 - gamma))
 
             def round_(carry):
                 t_caches, d_caches, pos, last, prev, buf, n_done, rounds = \
@@ -213,7 +217,34 @@ class SpeculativeGenerator:
                      prev0, buf, jnp.asarray(done0, jnp.int32),
                      jnp.asarray(0, jnp.int32))
             carry = lax.while_loop(cond, round_, carry)
-            return carry[5][:n_new], carry[7]
+            t_caches2, _, pos, last, _, buf, n_done, rounds = carry
+
+            # ---- plain-step tail --------------------------------------
+            # Near the cache end the chunk's gamma+1-row scatter would
+            # spill past max_len, so the rounds loop stops early (cond's
+            # pos bound) with at most `gamma` tokens outstanding; finish
+            # them with single steps so the token contract matches
+            # FusedGenerator exactly (n_new = max_len - plen).
+            def tail(c, _):
+                t_caches, pos, last, buf, n_done = c
+                outs = step_t(pt, *ordered(in_t, cn_t, last[None],
+                                           pos[None], t_caches))
+                nxt = jnp.argmax(outs[0][0]).astype(jnp.int32)
+                do = n_done < n_new
+                buf = jnp.where(
+                    do, lax.dynamic_update_slice(buf, nxt[None], (n_done,)),
+                    buf)
+                pos = jnp.where(do, pos + 1, pos)
+                last = jnp.where(do, nxt, last)
+                n_done = jnp.where(do, n_done + 1, n_done)
+                return (list(outs[1:]), pos, last, buf, n_done), 0
+
+            def run_tail(op):
+                return lax.scan(tail, op, None, length=gamma)[0]
+
+            op = (t_caches2, pos, last, buf, n_done)
+            op = lax.cond(n_done < n_new, run_tail, lambda o: o, op)
+            return op[3][:n_new], rounds
 
         return decode
 
@@ -222,7 +253,7 @@ class SpeculativeGenerator:
         the target model; rounds/acceptance recorded on self.last_*."""
         import jax.numpy as jnp
 
-        n_new = min(n_new, self.max_len - len(prompt) - self.gamma)
+        n_new = min(n_new, self.max_len - len(prompt))
         if n_new < 1:
             return list(prompt)
         use_pf = (self._prefill_fn is not None

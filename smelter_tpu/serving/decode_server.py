@@ -117,6 +117,7 @@ class DecodeServer:
             self._prefills.sort(key=lambda t: t[0])
 
         cache_dts = _cache_dtypes(step_graph, cfg, self._cache_names)
+        self._cache_dts = cache_dts
         self._caches = [jnp.zeros((slots,) + shapes[n], d)
                         for n, d in zip(self._cache_names, cache_dts)]
         self._ctxs = [jnp.zeros((slots,) + self._ctx_shapes[n],
@@ -163,13 +164,15 @@ class DecodeServer:
 
     # -- slot loop -------------------------------------------------------
 
-    def _prefill_slot(self, i: int, prompt: list[int]) -> int:
-        """Fill slot i's cache rows with one prefill forward. Returns the
-        index of the last prompt token whose row was written (the slot
-        resumes exactly where the per-tick feed would have been). Prompts
-        longer than the largest bucket prefill that bucket and feed the
-        rest per tick; shorter ones pad up (pad rows are written-before-
-        read by later steps, so they are never observed)."""
+    def _prefill_slot(self, i: int, prompt: list[int]):
+        """Fill slot i's cache rows with one prefill forward. Returns
+        (fed, first_token): `fed` is the index of the last prompt token
+        whose row was written; `first_token` is the greedy first
+        generation (from the prefill logits at the prompt's last
+        position) when the WHOLE prompt fit the bucket, else None (the
+        remaining prompt feeds per tick). Prompts longer than the
+        largest bucket prefill that bucket; shorter ones pad up (pad
+        rows are written-before-read by later steps, never observed)."""
         import jax.numpy as jnp
 
         n = len(prompt)
@@ -183,7 +186,9 @@ class DecodeServer:
         outs = fn(jnp.asarray(toks))
         for j, c in enumerate(outs[1:]):
             self._caches[j] = self._caches[j].at[i].set(c)
-        return eff - 1
+        first = (int(np.asarray(outs[0][eff - 1]).argmax())
+                 if eff == n else None)
+        return eff - 1, first
 
     def _admit(self) -> None:
         import jax.numpy as jnp
@@ -198,15 +203,27 @@ class DecodeServer:
             n_new = min(n_new, self.max_len - len(prompt))
             fed = pos = 0
             last = prompt[0]
+            generated: list[int] = []
             if self._prefills and len(prompt) > 1:
                 try:
-                    fed = self._prefill_slot(i, prompt)
-                    pos, last = fed, prompt[fed]
+                    fed, first = self._prefill_slot(i, prompt)
+                    if first is not None:
+                        # whole prompt prefilled: the prefill logits
+                        # already yield the first generation
+                        generated = [first]
+                        pos, last = len(prompt), first
+                        if (len(generated) >= n_new
+                                or first in self.stop_tokens):
+                            fut.set_result(list(prompt) + generated)
+                            continue
+                    else:  # partial prefill: feed the rest per tick
+                        pos, last = fed, prompt[fed]
                 except Exception:  # noqa: BLE001 — fall back to per-tick
                     fed = pos = 0
                     last = prompt[0]
+                    generated = []
             self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
-                                   generated=[], n_new=n_new,
+                                   generated=generated, n_new=n_new,
                                    last_token=last, pos=pos, future=fut,
                                    context=context)
             try:
@@ -252,9 +269,10 @@ class DecodeServer:
                     # buffers: rebuild clean ones
                     self._caches = [
                         jnp.zeros((self.slots,) + tuple(c.shape[1:]),
-                                  jnp.float32) if getattr(c, "is_deleted",
-                                                          lambda: False)()
-                        else c for c in self._caches]
+                                  d) if getattr(c, "is_deleted",
+                                                lambda: False)()
+                        else c
+                        for c, d in zip(self._caches, self._cache_dts)]
                 continue
             with self._lock:
                 for i, s in enumerate(self._state):

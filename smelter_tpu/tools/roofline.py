@@ -91,11 +91,23 @@ def model_roofline(graph, config=None) -> dict:
     # flops/byte — HBM-bound, NOT VPU-bound — so without this term the
     # MobileNet bounds read ~3x looser than any schedule could reach
     # (probe62's "measured dwconv tops out near 4 TF" is that HBM wall).
-    # (OpCost.bytes prices edges at their graph dtype (f32); activations
-    # run bf16 under the default config — halve, matching io_bytes.)
-    dw_bytes = sum(c.bytes / 2 for c in table
-                   if c.op_type == "Conv" and c.vpu_flops
-                   and c.vpu_flops == c.flops)
+    # Count INTERIOR activation edges only, at bf16: weights are already
+    # in w_bytes and graph-boundary edges in io_bytes (the bound must
+    # stay a true lower bound — no double counting).
+    dw_names = {c.name for c in table
+                if c.op_type == "Conv" and c.vpu_flops
+                and c.vpu_flops == c.flops}
+    boundary = ({v.name for v in graph.inputs}
+                | {v.name for v in graph.outputs})
+    dw_bytes = 0
+    for node in graph.nodes:
+        if node.name not in dw_names:
+            continue
+        for e in (node.inputs[0], node.outputs[0]):
+            t = vt.get(e)
+            if t is not None and e not in boundary \
+                    and e not in graph.initializers:
+                dw_bytes += int(np.prod([int(d) for d in t.shape])) * 2
     t_hbm = (io_bytes + w_bytes + scatter_bytes
              + dw_bytes) / TPU_V5E["hbm_gbps"]
 

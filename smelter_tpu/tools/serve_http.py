@@ -242,7 +242,7 @@ def main(argv=None) -> int:
         prefills = [st.load_model(f) for f in args.decode_prefill]
         state["generator"] = FusedGenerator(
             step_graph, st.Config(compute_dtype=args.dtype),
-            prefill_graph=prefills[0] if len(prefills) == 1 else None)
+            prefill_graph=prefills or None)
         if args.decode_slots:
             from ..serving.decode_server import DecodeServer
 

@@ -211,6 +211,21 @@ class TestPrefill:
                   if v.size > 4096 and k not in plain._params)
         assert big == 0, (extra, big)
 
+    def test_prefill_bucket_ladder(self):
+        """A LIST of prefill graphs: each prompt length picks its exact
+        bucket; unmatched lengths fall back to the scan path."""
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        w = llama_style.make_weights(max_len=24, **self.CFG)
+        step_g, _ = llama_style.build_decode_step(w, max_len=24, **self.CFG)
+        pfs = [llama_style.build_prefill(w, prompt_len=p, max_len=24,
+                                         **self.CFG) for p in (3, 5)]
+        plain = FusedGenerator(step_g)
+        pf = FusedGenerator(step_g, prefill_graph=pfs)
+        assert sorted(pf._decode_pf) == [3, 5]
+        for p in ([5, 9, 2], [5, 9, 2, 17, 3], [1, 4]):
+            assert pf.generate(p, 6) == plain.generate(p, 6), p
+
     def test_batched_prefill_parity(self):
         from smelter_tpu.runtime.generate import FusedBatchedGenerator
 

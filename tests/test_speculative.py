@@ -104,6 +104,22 @@ def test_int4_quantized_target(graphs):
     assert spec.generate(p, 12) == plain.generate(p, 12)
 
 
+def test_tail_near_max_len(graphs):
+    """Near the cache end the chunk cannot scatter gamma+1 rows, so the
+    rounds loop stops early and a plain-step tail finishes — the token
+    contract (n_new = max_len - plen) must match FusedGenerator exactly
+    (regression: the old cap silently dropped up to gamma tokens)."""
+    _, step_t, chunk_t, step_d = graphs
+    plain = FusedGenerator(step_t)
+    spec = SpeculativeGenerator(step_t, chunk_t, step_d)
+    for plen, n in [(MAX_LEN - 6, 6), (MAX_LEN - 2, 2), (MAX_LEN - 1, 1),
+                    (MAX_LEN - 10, 99)]:
+        p = list(range(1, plen + 1))
+        a, b = plain.generate(p, n), spec.generate(p, n)
+        assert a == b, (plen, n)
+        assert len(a) == plen + min(n, MAX_LEN - plen)
+
+
 def test_mixtral_moe_chunk_parity():
     """chunk>1 + MoE FFNs (contrib MoE op on (c, dim) tokens): speculative
     decode of a Mixtral-style target matches plain greedy."""
