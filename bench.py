@@ -271,7 +271,9 @@ def main() -> int:
     p.add_argument("--decode", action="store_true",
                    help="LLM decode mode: single-stream tok/s on a "
                         "llama-geometry model (--model llama_tiny/"
-                        "llama_1b/llama_7b; default quant int4-g128)")
+                        "llama_1b/llama_7b; default quant int4-g128). "
+                        "llama_tiny is dispatch-noise-dominated over the "
+                        "dev tunnel — use llama_1b+ for real numbers")
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
