@@ -67,6 +67,22 @@ def make_weights(vocab: int = 96, dim: int = 64, heads: int = 4,
     return w
 
 
+def _emit_row_quant(b, x, c: int):
+    """Per-row symmetric int8 quantization of (c, kvd) rows: returns
+    (q int8 (c, kvd), s f32-domain (c, 1)). The int8-KV-cache recipe —
+    halves cache HBM (capacity AND long-context decode traffic)."""
+    ab = b.node("Abs", [x])
+    amax = b.node("ReduceMax", [ab], axes=[-1], keepdims=1)   # (c, 1)
+    s = b.node("Div", [amax, b.init(np.float32(127.0))])
+    s = b.node("Max", [s, b.init(np.float32(1e-8))])
+    q = b.node("Div", [x, s])
+    q = b.node("Round", [q])
+    q = b.node("Clip", [q, b.init(np.float32(-127.0)),
+                        b.init(np.float32(127.0))])
+    q = b.node("Cast", [q], to=dt.INT8)
+    return q, s
+
+
 def _emit_mlp(b, weights, li, h2, top_k: int = 2):
     """SwiGLU MLP, or — when the weight dict holds expert stacks — a
     Mixtral-style MoE block via the contrib MoE op (softmax-top-k routing,
@@ -99,7 +115,7 @@ def _emit_mlp(b, weights, li, h2, top_k: int = 2):
 def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                heads: int = 4, kv_heads: int = 2, ffn: int = 128,
                layers: int = 2, moe_top_k: int = 2,
-               cache_max_len: int | None = None):
+               cache_max_len: int | None = None, kv_quant: bool = False):
     """tokens (T,) -> logits (T, vocab), causal, contrib-op vocabulary.
 
     With ``cache_max_len`` the graph additionally emits the filled KV
@@ -138,8 +154,15 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                 t2 = b.node("Reshape",
                             [t3, b.init(np.array([seq_len, kvd], np.int64),
                                         f"kv2d_shape_{li}_{nm[0]}")])
-                b.node("Pad", [t2, pad], outputs=[nm])
-                cache_outs.append(nm)
+                if kv_quant:
+                    q2, s2 = _emit_row_quant(b, t2, seq_len)
+                    b.node("Pad", [q2, pad], outputs=[nm])
+                    b.node("Pad", [s2, pad],
+                           outputs=[nm.replace("_out_", "_scale_out_")])
+                    cache_outs += [nm, nm.replace("_out_", "_scale_out_")]
+                else:
+                    b.node("Pad", [t2, pad], outputs=[nm])
+                    cache_outs.append(nm)
         # SkipSimplifiedLayerNormalization: output 0 feeds the MLP, output 3
         # (input+skip sum) is the next residual — the ORT-genai pattern.
         outs = b.node("SkipSimplifiedLayerNormalization",
@@ -173,7 +196,8 @@ def build_prefill(weights: dict, prompt_len: int, max_len: int = 32,
 def build_decode_step(weights: dict | None = None, vocab: int = 96,
                       dim: int = 64, heads: int = 4, kv_heads: int = 2,
                       ffn: int = 128, layers: int = 2, max_len: int = 32,
-                      seed: int = 0, moe_top_k: int = 2, chunk: int = 1):
+                      seed: int = 0, moe_top_k: int = 2, chunk: int = 1,
+                      kv_quant: bool = False):
     """(token (chunk,), pos (1,), k_cache_i/v_cache_i (max_len, kvd)) ->
     (logits (chunk, vocab), updated caches). FusedGenerator-compatible
     at chunk=1; chunk>1 is the VERIFY step of speculative decoding
@@ -181,7 +205,12 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
     position `pos` are processed in one causal forward — the cache rows
     for all `chunk` positions are written before attention reads them,
     and row i attends positions <= pos+i, so stale rows from rejected
-    speculation are never visible."""
+    speculation are never visible.
+
+    kv_quant=True stores the caches as int8 with per-row scales
+    (k_cache_scale_i/v_cache_scale_i inputs, *_scale_out outputs):
+    halves cache HBM — long-context capacity AND decode traffic — at
+    ~0.4%/element cache rounding."""
     if weights is None:
         weights = make_weights(vocab, dim, heads, kv_heads, ffn, layers,
                                max_len, seed)
@@ -202,8 +231,14 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
     x = b.node("Gather", [b.init(weights["wte"], "wte"), token], axis=0)  # (c,dim)
     cache_outs = []
     for li in range(layers):
-        k_cache = b.input(f"k_cache_{li}", (max_len, kvd))
-        v_cache = b.input(f"v_cache_{li}", (max_len, kvd))
+        if kv_quant:
+            k_cache = b.input(f"k_cache_{li}", (max_len, kvd), dt.INT8)
+            k_cs = b.input(f"k_cache_scale_{li}", (max_len, 1))
+            v_cache = b.input(f"v_cache_{li}", (max_len, kvd), dt.INT8)
+            v_cs = b.input(f"v_cache_scale_{li}", (max_len, 1))
+        else:
+            k_cache = b.input(f"k_cache_{li}", (max_len, kvd))
+            v_cache = b.input(f"v_cache_{li}", (max_len, kvd))
         h = b.node("SimplifiedLayerNormalization",
                    [x, b.init(weights[f"norm1_{li}"], f"norm1_{li}")],
                    axis=-1, epsilon=1e-6)
@@ -220,9 +255,29 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
         if c > 1:  # scatter rows pos..pos+c-1, indices (c, 1)
             idx = b.node("Add", [idx, b.init(
                 np.arange(c, dtype=np.int64)[:, None], "chunk_arange_col")])
-        k_upd = b.node("ScatterND", [k_cache, idx, k])
-        v_upd = b.node("ScatterND", [v_cache, idx, v])
-        cache_outs += [(f"k_out_{li}", k_upd), (f"v_out_{li}", v_upd)]
+        if kv_quant:
+            # int8 KV cache: quantize the new rows, scatter q + scale,
+            # dequantize the WHOLE cache for attention (the convert+mul
+            # fuses into the attention matmul's operand stream — traffic
+            # stays int8 + one scale column)
+            kq, ks = _emit_row_quant(b, k, c)
+            vq, vs = _emit_row_quant(b, v, c)
+            k_upd = b.node("ScatterND", [k_cache, idx, kq])
+            ks_upd = b.node("ScatterND", [k_cs, idx, ks])
+            v_upd = b.node("ScatterND", [v_cache, idx, vq])
+            vs_upd = b.node("ScatterND", [v_cs, idx, vs])
+            cache_outs += [(f"k_out_{li}", k_upd),
+                           (f"k_scale_out_{li}", ks_upd),
+                           (f"v_out_{li}", v_upd),
+                           (f"v_scale_out_{li}", vs_upd)]
+            k_upd = b.node("Mul", [b.node("Cast", [k_upd], to=dt.FLOAT),
+                                   ks_upd])
+            v_upd = b.node("Mul", [b.node("Cast", [v_upd], to=dt.FLOAT),
+                                   vs_upd])
+        else:
+            k_upd = b.node("ScatterND", [k_cache, idx, k])
+            v_upd = b.node("ScatterND", [v_cache, idx, v])
+            cache_outs += [(f"k_out_{li}", k_upd), (f"v_out_{li}", v_upd)]
         # GQA: (kvh, g, c, hd) @ (kvh, 1, hd, max_len) broadcast batch matmul
         if c == 1:
             qh = b.node("Reshape", [q, b.init(

@@ -244,3 +244,85 @@ class TestPrefill:
         a = pf.generate(p, 8, temperature=0.8, top_k=5, seed=3)
         b = pf.generate(p, 8, temperature=0.8, top_k=5, seed=3)
         assert a == b and len(a) == 13
+
+
+class TestInt8KVCache:
+    """kv_quant=True: int8 caches with per-row scales — half the cache
+    HBM (long-context capacity + decode traffic). The quantization is
+    the same lossy function in the step, chunk, and prefill forms, so
+    generation parity across them stays EXACT; only vs the fp-cache
+    graph is it approximate."""
+
+    CFG = dict(vocab=96, dim=128, heads=4, kv_heads=2, ffn=256, layers=2)
+
+    def test_logits_close_to_fp_cache(self):
+        max_len = 32
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        sf = st.CompiledModel(
+            llama_style.build_decode_step(w, max_len=max_len, **self.CFG)[0])
+        sq = st.CompiledModel(
+            llama_style.build_decode_step(w, max_len=max_len, kv_quant=True,
+                                          **self.CFG)[0])
+        kvd = 64
+        cf = [np.zeros((max_len, kvd), np.float32) for _ in range(4)]
+        cq = []
+        for _ in range(2):
+            cq += [np.zeros((max_len, kvd), np.int8),
+                   np.zeros((max_len, 1), np.float32),
+                   np.zeros((max_len, kvd), np.int8),
+                   np.zeros((max_len, 1), np.float32)]
+        worst = 0.0
+        for p, t in enumerate([3, 17, 41, 8, 55, 2]):
+            of = sf(np.array([t]), np.array([p], np.int64), *cf)
+            cf = list(of[1:])
+            oq = sq(np.array([t]), np.array([p], np.int64), *cq)
+            cq = list(oq[1:])
+            worst = max(worst, float(
+                np.abs(of[0] - oq[0]).max() / np.abs(of[0]).max()))
+        assert worst < 0.03, worst
+
+    def test_prefill_and_speculative_parity(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+        from smelter_tpu.runtime.speculative import SpeculativeGenerator
+
+        max_len = 32
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step_q, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  kv_quant=True, **self.CFG)
+        chunk_q, _ = llama_style.build_decode_step(
+            w, max_len=max_len, chunk=5, kv_quant=True, **self.CFG)
+        pf_q = llama_style.build_prefill(w, prompt_len=5, max_len=max_len,
+                                         kv_quant=True, **self.CFG)
+        draft, _ = llama_style.build_decode_step(
+            max_len=max_len, seed=7, vocab=96, dim=32, heads=2, kv_heads=1,
+            ffn=64, layers=1)
+        plain = FusedGenerator(step_q)
+        p = [5, 9, 2, 17, 3]
+        want = plain.generate(p, 12)
+        assert FusedGenerator(step_q, prefill_graph=pf_q).generate(p, 12) \
+            == want
+        assert SpeculativeGenerator(step_q, chunk_q, draft).generate(
+            p, 12) == want
+        # int8 cache dtype actually engaged
+        assert any(str(d) == "int8" for d in plain.cache_dtypes)
+
+    def test_decode_server_int8_cache(self):
+        from smelter_tpu.serving.decode_server import DecodeServer
+
+        max_len = 32
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step_q, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  kv_quant=True, **self.CFG)
+        pf_q = llama_style.build_prefill(w, prompt_len=4, max_len=max_len,
+                                         kv_quant=True, **self.CFG)
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        gen = FusedGenerator(step_q)
+        srv = DecodeServer(step_q, slots=2, prefill_graphs=[pf_q])
+        try:
+            prompts = [[5, 9, 2, 17], [1, 4], [7, 3, 9]]
+            futs = [srv.submit(p, 6) for p in prompts]
+            got = [f.result(timeout=120) for f in futs]
+            assert got == [gen.generate(p, 6) for p in prompts]
+        finally:
+            srv.shutdown()
