@@ -144,23 +144,42 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
         v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"], f"wv_{li}")])
         q = b.node("RotaryEmbedding", [q, pos, cos, sin], num_heads=heads)
         k = b.node("RotaryEmbedding", [k, pos, cos, sin], num_heads=kv_heads)
+        if kv_quant:
+            # attend the SAME quantize-dequantize K/V the decode step will
+            # read from the int8 cache — otherwise prefill-seeded and
+            # scan-path generations diverge on near-tie logits (measured
+            # ~3.5% first-token flips with fp-attention prefill)
+            sh2d = b.init(np.array([seq_len, kvd], np.int64),
+                          f"kv2d_shape_{li}")
+            sh3d = b.init(np.array([1, seq_len, kvd], np.int64),
+                          f"kv3d_shape_{li}")
+            kq2, ks2 = _emit_row_quant(
+                b, b.node("Reshape", [k, sh2d]), seq_len)
+            vq2, vs2 = _emit_row_quant(
+                b, b.node("Reshape", [v, sh2d]), seq_len)
+            k = b.node("Reshape", [b.node("Mul", [
+                b.node("Cast", [kq2], to=dt.FLOAT), ks2]), sh3d])
+            v = b.node("Reshape", [b.node("Mul", [
+                b.node("Cast", [vq2], to=dt.FLOAT), vs2]), sh3d])
         att = b.node("GroupQueryAttention", [q, k, v],
                      num_heads=heads, kv_num_heads=kv_heads)
         proj = b.node("MatMul", [att, b.init(weights[f"wo_{li}"], f"wo_{li}")])
         if cache_max_len is not None:
             pad = b.init(np.array([0, 0, cache_max_len - seq_len, 0],
                                   np.int64), f"cache_pad_{li}")
-            for nm, t3 in ((f"k_out_{li}", k), (f"v_out_{li}", v)):
-                t2 = b.node("Reshape",
-                            [t3, b.init(np.array([seq_len, kvd], np.int64),
-                                        f"kv2d_shape_{li}_{nm[0]}")])
-                if kv_quant:
-                    q2, s2 = _emit_row_quant(b, t2, seq_len)
-                    b.node("Pad", [q2, pad], outputs=[nm])
-                    b.node("Pad", [s2, pad],
+            if kv_quant:
+                for nm, qv, sv in ((f"k_out_{li}", kq2, ks2),
+                                   (f"v_out_{li}", vq2, vs2)):
+                    b.node("Pad", [qv, pad], outputs=[nm])
+                    b.node("Pad", [sv, pad],
                            outputs=[nm.replace("_out_", "_scale_out_")])
                     cache_outs += [nm, nm.replace("_out_", "_scale_out_")]
-                else:
+            else:
+                for nm, t3 in ((f"k_out_{li}", k), (f"v_out_{li}", v)):
+                    t2 = b.node("Reshape",
+                                [t3, b.init(np.array([seq_len, kvd],
+                                                     np.int64),
+                                            f"kv2d_shape_{li}_{nm[0]}")])
                     b.node("Pad", [t2, pad], outputs=[nm])
                     cache_outs.append(nm)
         # SkipSimplifiedLayerNormalization: output 0 feeds the MLP, output 3

@@ -243,8 +243,9 @@ class SpeculativeGenerator:
                 return lax.scan(tail, op, None, length=gamma)[0]
 
             op = (t_caches2, pos, last, buf, n_done)
+            emitted_rounds = n_done - done0  # tokens from spec rounds only
             op = lax.cond(n_done < n_new, run_tail, lambda o: o, op)
-            return op[3][:n_new], rounds
+            return op[3][:n_new], rounds, emitted_rounds
 
         return decode
 
@@ -262,13 +263,14 @@ class SpeculativeGenerator:
                     for s, d in zip(self._cshapes_t, self._cdts_t)]
         d_caches = [jnp.zeros(s, d)
                     for s, d in zip(self._cshapes_d, self._cdts_d)]
-        toks, rounds = self._decode(
+        toks, rounds, emitted = self._decode(
             self._params_t, self._params_d,
             jnp.asarray(prompt, jnp.int32), plen=len(prompt), n_new=n_new,
             t_caches=t_caches, d_caches=d_caches, use_prefill=use_pf)
         self.last_rounds = int(rounds)
-        # tokens per round = 1 + accepted drafts
+        # tokens per round = 1 + accepted drafts; plain-step tail tokens
+        # (near max_len) are excluded — they carry no acceptance signal
         self.last_accept_rate = (
-            (n_new / self.last_rounds - 1.0) / self.gamma
+            (int(emitted) / self.last_rounds - 1.0) / self.gamma
             if self.last_rounds else None)
         return list(prompt) + [int(t) for t in np.asarray(toks)]

@@ -94,14 +94,27 @@ def model_roofline(graph, config=None) -> dict:
     # Count INTERIOR activation edges only, at bf16: weights are already
     # in w_bytes and graph-boundary edges in io_bytes (the bound must
     # stay a true lower bound — no double counting).
-    dw_names = {c.name for c in table
-                if c.op_type == "Conv" and c.vpu_flops
-                and c.vpu_flops == c.flops}
     boundary = ({v.name for v in graph.inputs}
                 | {v.name for v in graph.outputs})
+
+    def _is_depthwise(node) -> bool:
+        # detect directly from the node (ONNX node names are not unique
+        # and default to "" — never join by name): 1-channel groups,
+        # honoring the layout pass's HWIO weight storage like the
+        # profiler (runtime/profiler.py::op_cost_table)
+        if node.op_type != "Conv" or len(node.inputs) < 2:
+            return False
+        w = graph.initializers.get(node.inputs[1])
+        if w is None or w.ndim != 4 or int(node.attr("group", 1)) <= 1:
+            return False
+        cin_per_g = (w.shape[2]
+                     if node.attr("data_layout", "") == "NHWC"
+                     else w.shape[1])
+        return cin_per_g == 1
+
     dw_bytes = 0
     for node in graph.nodes:
-        if node.name not in dw_names:
+        if not _is_depthwise(node):
             continue
         for e in (node.inputs[0], node.outputs[0]):
             t = vt.get(e)

@@ -306,6 +306,26 @@ class TestInt8KVCache:
         # int8 cache dtype actually engaged
         assert any(str(d) == "int8" for d in plain.cache_dtypes)
 
+    def test_prefill_parity_randomized(self):
+        """Regression (round-4 review): with kv_quant the prefill graph
+        must attend the SAME quantize-dequant K/V the decode step reads
+        from the cache — fp-attention prefill flipped ~3.5% of first
+        tokens at near-tie logits. Randomized sweep, zero flips."""
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        max_len = 32
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step_q, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                  kv_quant=True, **self.CFG)
+        pf_q = llama_style.build_prefill(w, prompt_len=5, max_len=max_len,
+                                         kv_quant=True, **self.CFG)
+        plain = FusedGenerator(step_q)
+        pf = FusedGenerator(step_q, prefill_graph=pf_q)
+        rng = np.random.default_rng(0)
+        for _ in range(40):
+            p = [int(t) for t in rng.integers(0, self.CFG["vocab"], 5)]
+            assert pf.generate(p, 3) == plain.generate(p, 3), p
+
     def test_decode_server_int8_cache(self):
         from smelter_tpu.serving.decode_server import DecodeServer
 

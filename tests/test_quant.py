@@ -521,6 +521,36 @@ class TestPackedInt4Fusion:
             hlo = jf.lower(params, x).compile().as_text()
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
         assert "all-gather" not in hlo
+        # off-TPU the FUSED OP lowers to the XLA composite, so also jit
+        # the KERNEL directly (interpret mode) over the mesh: this is
+        # what actually exercises the custom_partitioning rule
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from smelter_tpu.kernels.int4_matmul import int4_matmul
+
+        fdq = next(nd for nd in g.nodes
+                   if nd.op_type == "FusedDequantMatMulI4")
+        pk = ex.graph.initializers[fdq.inputs[1]]
+        sc = ex.graph.initializers[fdq.inputs[2]]
+        xk = rng.standard_normal((4, k)).astype(np.float32)
+        want_k = np.asarray(int4_matmul(
+            jnp.asarray(xk), jnp.asarray(pk.astype(np.int8)),
+            jnp.asarray(sc), group=64, interpret=True))
+        with plan.mesh:
+            col = NamedSharding(plan.mesh, P(None, "tp"))
+            rep = NamedSharding(plan.mesh, P())
+            jk = jax.jit(lambda a, b, c: int4_matmul(
+                a, b, c, group=64, interpret=True),
+                in_shardings=(rep, col, col))
+            got_k = np.asarray(jk(jnp.asarray(xk),
+                                  jnp.asarray(pk.astype(np.int8)),
+                                  jnp.asarray(sc)))
+            hlo_k = jk.lower(jnp.asarray(xk),
+                             jnp.asarray(pk.astype(np.int8)),
+                             jnp.asarray(sc)).compile().as_text()
+        np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-5)
+        assert "all-gather" not in hlo_k
 
     def test_scales_survive_bf16_compute(self):
         """Under compute_dtype=bfloat16 the grouped scales must stay f32
