@@ -153,14 +153,17 @@ def build_full(weights: dict, seq_len: int, vocab: int = 96, dim: int = 64,
                           f"kv2d_shape_{li}")
             sh3d = b.init(np.array([1, seq_len, kvd], np.int64),
                           f"kv3d_shape_{li}")
-            kq2, ks2 = _emit_row_quant(
-                b, b.node("Reshape", [k, sh2d]), seq_len)
-            vq2, vs2 = _emit_row_quant(
-                b, b.node("Reshape", [v, sh2d]), seq_len)
+            k2d = b.node("Reshape", [k, sh2d])
+            v2d = b.node("Reshape", [v, sh2d])
+            kq2, ks2 = _emit_row_quant(b, k2d, seq_len)
+            vq2, vs2 = _emit_row_quant(b, v2d, seq_len)
+            # CastLike (not Cast-to-FLOAT): the dequant must stay in the
+            # runtime compute dtype, or f32 contaminates every layer
+            # downstream and the step/prefill dtype flows diverge
             k = b.node("Reshape", [b.node("Mul", [
-                b.node("Cast", [kq2], to=dt.FLOAT), ks2]), sh3d])
+                b.node("CastLike", [kq2, k2d]), ks2]), sh3d])
             v = b.node("Reshape", [b.node("Mul", [
-                b.node("Cast", [vq2], to=dt.FLOAT), vs2]), sh3d])
+                b.node("CastLike", [vq2, v2d]), vs2]), sh3d])
         att = b.node("GroupQueryAttention", [q, k, v],
                      num_heads=heads, kv_num_heads=kv_heads)
         proj = b.node("MatMul", [att, b.init(weights[f"wo_{li}"], f"wo_{li}")])
@@ -289,9 +292,12 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
                            (f"k_scale_out_{li}", ks_upd),
                            (f"v_out_{li}", v_upd),
                            (f"v_scale_out_{li}", vs_upd)]
-            k_upd = b.node("Mul", [b.node("Cast", [k_upd], to=dt.FLOAT),
+            # CastLike keeps the dequant in the compute dtype (see the
+            # build_full twin) — Cast-to-FLOAT would poison the residual
+            # stream to f32 from the first attention on
+            k_upd = b.node("Mul", [b.node("CastLike", [k_upd, k]),
                                    ks_upd])
-            v_upd = b.node("Mul", [b.node("Cast", [v_upd], to=dt.FLOAT),
+            v_upd = b.node("Mul", [b.node("CastLike", [v_upd, v]),
                                    vs_upd])
         else:
             k_upd = b.node("ScatterND", [k_cache, idx, k])

@@ -316,10 +316,16 @@ def _core_attention(q, k, v, bias, scale):
             scores = scores + bias.astype(jnp.float32)
         p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(q.dtype))
+    # mixed q/k dtypes arise when K/V were dequantized mid-graph (int8 KV
+    # caches emit f32) under a reduced compute dtype: promote — matching
+    # jnp's promotion in the primitive-op decode path, so chunk/prefill
+    # forms stay numerics-identical to the step form
+    ct = jnp.promote_types(q.dtype, k.dtype)
     if bias is not None:
-        bias = bias.astype(q.dtype)
-    return jax.nn.dot_product_attention(q, k, v.astype(q.dtype),
-                                        bias=bias, scale=scale)
+        bias = bias.astype(ct)
+    return jax.nn.dot_product_attention(q.astype(ct), k.astype(ct),
+                                        v.astype(ct), bias=bias,
+                                        scale=scale)
 
 
 def _attention_body(q, k, v, mask_index, attn_bias, past,

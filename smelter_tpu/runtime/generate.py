@@ -19,16 +19,36 @@ def _arr_eq(a, b) -> bool:
                       and np.array_equal(a, b))
 
 
+def _shallow_clone(graph):
+    """Structure-only clone: fresh node objects / input lists /
+    initializer dict, arrays shared by reference — _merge_params renames
+    edges, and mutating a caller-owned graph would corrupt OTHER
+    generator instances built from the same object (their build_fn
+    traces lazily, reading the graph at first call)."""
+    import copy
+
+    g2 = copy.copy(graph)
+    g2.nodes = [copy.copy(n) for n in graph.nodes]
+    for n in g2.nodes:
+        n.inputs = list(n.inputs)
+        n.outputs = list(n.outputs)
+    g2.initializers = dict(graph.initializers)
+    g2.inputs = list(graph.inputs)
+    g2.outputs = list(graph.outputs)
+    return g2
+
+
 def _merge_params(params, host_map, graph, cfg):
     """Merge a companion graph's params into `params`, sharing the device
     buffer whenever name AND content match an already-uploaded array (the
     model builders name weights by their weight-dict key and quantization
     is deterministic, so prefill/chunk twins share every big weight).
     Colliding names with DIFFERENT content — auto-named small constants
-    from separately built graphs — are renamed in `graph` in place first;
+    from separately built graphs — are renamed in a structure-only CLONE
+    of `graph` (the caller's object stays untouched and reusable);
     a rename of anything weight-sized is warned, since it means the
     caller quantized the twins differently and HBM is being doubled.
-    Returns the companion's Executor."""
+    Returns the companion's Executor (built on the clone)."""
     import warnings
 
     import jax
@@ -36,6 +56,7 @@ def _merge_params(params, host_map, graph, cfg):
 
     from .executor import Executor
 
+    graph = _shallow_clone(graph)
     renames = {}
     for name, want in list(graph.initializers.items()):
         have = host_map.get(name)

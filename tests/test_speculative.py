@@ -120,7 +120,37 @@ def test_tail_near_max_len(graphs):
         assert len(a) == plen + min(n, MAX_LEN - plen)
 
 
-def test_mixtral_moe_chunk_parity():
+def test_full_stack_composition_and_graph_reuse(graphs):
+    """int4 weights + int8 KV + prefill + speculative composed under
+    bf16, AND the same prefill/chunk graph objects reused across several
+    generator instances (regression: _merge_params used to rename edges
+    in the caller's graph, corrupting earlier lazily-traced instances)."""
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.quant import quantize_weights
+
+    cfg = dict(vocab=96, dim=128, heads=4, kv_heads=2, ffn=256, layers=2)
+    w = llama_style.make_weights(max_len=48, **cfg)
+
+    def q4(g):
+        quantize_weights(g, "int4-g32", min_elements=64)
+        run_passes(g, ["fuse_dequant_matmul", "dce"])
+        return g
+
+    kw = dict(max_len=48, kv_quant=True)
+    step = q4(llama_style.build_decode_step(w, **kw, **cfg)[0])
+    chunk = q4(llama_style.build_decode_step(w, chunk=5, **kw, **cfg)[0])
+    pf = q4(llama_style.build_prefill(w, prompt_len=8, **kw, **cfg))
+    draft, _ = llama_style.build_decode_step(
+        max_len=48, seed=7, vocab=96, dim=32, heads=2, kv_heads=1,
+        ffn=64, layers=1)
+    bf = st.Config(compute_dtype="bfloat16")
+    plain = FusedGenerator(step, bf, prefill_graph=pf)
+    spec = SpeculativeGenerator(step, chunk, draft, config=bf,
+                                prefill_graph=pf)  # pf reused
+    p = list(range(1, 9))
+    a = plain.generate(p, 16)  # traces AFTER spec merged the same pf
+    b = spec.generate(p, 16)
+    assert a == b, (a, b)
     """chunk>1 + MoE FFNs (contrib MoE op on (c, dim) tokens): speculative
     decode of a Mixtral-style target matches plain greedy."""
     cfg = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
