@@ -112,7 +112,8 @@ class SpeculativeGenerator:
 
         self._decode = jax.jit(self._make_decode(),
                                static_argnames=("plen", "n_new",
-                                                "use_prefill"))
+                                                "use_prefill", "top_k",
+                                                "do_sample"))
         # measured per-call acceptance (host-visible diagnostics)
         self.last_rounds = None
         self.last_accept_rate = None
@@ -134,14 +135,37 @@ class SpeculativeGenerator:
             return [by[n] for n in names]
 
         def decode(pt, pd, prompt, plen, n_new, t_caches, d_caches,
-                   use_prefill=False):
+                   use_prefill=False, key=None, temperature=1.0,
+                   top_k=0, do_sample=False):
+            import jax
+
             buf = jnp.zeros((n_new + gamma + 1,), jnp.int32)
+            if key is None:
+                key = jax.random.PRNGKey(0)
+
+            def dist(logits):
+                """The sampling distribution (temperature / top-k) —
+                applied identically to draft (q) and target (p) rows, as
+                the rejection-sampling guarantee requires."""
+                lg = logits.astype(jnp.float32) / temperature
+                if top_k:
+                    kth = lax.top_k(lg, top_k)[0][..., -1:]
+                    lg = jnp.where(lg < kth, -jnp.inf, lg)
+                return jax.nn.softmax(lg, axis=-1)
+
+            def sample_from(probs, k):
+                k, sub = jax.random.split(k)
+                return (jax.random.categorical(
+                    sub, jnp.log(probs + 1e-30)).astype(jnp.int32), k)
 
             # ---- prompt phase ------------------------------------------
             if use_prefill:
                 outs = prefill_fn(pt, prompt)
                 t_caches = list(outs[1:])
-                first = jnp.argmax(outs[0][plen - 1]).astype(jnp.int32)
+                if do_sample:
+                    first, key = sample_from(dist(outs[0][plen - 1]), key)
+                else:
+                    first = jnp.argmax(outs[0][plen - 1]).astype(jnp.int32)
                 buf = buf.at[0].set(first)
                 pos0, last0, done0 = plen, first, 1
                 d_len = plen  # draft consumes the whole prompt
@@ -174,8 +198,8 @@ class SpeculativeGenerator:
                         & (carry[2] <= limit - 1 - gamma))
 
             def round_(carry):
-                t_caches, d_caches, pos, last, prev, buf, n_done, rounds = \
-                    carry
+                (t_caches, d_caches, pos, last, prev, buf, n_done,
+                 rounds, k) = carry
 
                 # Draft scan with a CATCH-UP step (j = -1): after a fully
                 # accepted round the draft never ingested the last draft
@@ -183,41 +207,76 @@ class SpeculativeGenerator:
                 # idempotent when already ingested (same row, same value),
                 # and exactly the missing ingest otherwise.
                 def dstep(c, j):
-                    caches, tok = c
+                    caches, tok, kk = c
                     pp = jnp.maximum(pos + j, 0)
                     outs = step_d(pd, *ordered(
                         in_d, cn_d, tok[None], pp[None], caches))
-                    nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
+                    if do_sample:
+                        q = dist(outs[0][-1])
+                        nxt, kk = sample_from(q, kk)
+                    else:
+                        q = jnp.zeros((1,), jnp.float32)  # unused in greedy
+                        nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
                     nxt = jnp.where(j < 0, last, nxt)
-                    return (list(outs[1:]), nxt), nxt
-                (d_caches, _), outs_d = lax.scan(
-                    dstep, (list(d_caches), prev), jnp.arange(-1, gamma))
+                    return (list(outs[1:]), nxt, kk), (nxt, q)
+                (d_caches, _, k), (outs_d, q_all) = lax.scan(
+                    dstep, (list(d_caches), prev, k), jnp.arange(-1, gamma))
                 drafts = outs_d[1:]  # d_1..d_gamma
+                q_rows = q_all[1:]   # (gamma, vocab) draft distributions
 
                 toks = jnp.concatenate([last[None], drafts])  # (gamma+1,)
                 outs = chunk_t(pt, *ordered(in_c, cn_t, toks, pos[None],
                                             t_caches))
                 t_caches = list(outs[1:])
-                tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
-                acc = jnp.cumprod(
-                    (drafts == tnext[:gamma]).astype(jnp.int32))
-                a = acc.sum()
-                # emit t_1..t_{gamma+1}; entries beyond a+1 are provisional
+                if do_sample:
+                    # rejection sampling (Leviathan/Chen): accept draft i
+                    # with prob min(1, p_i(x_i)/q_i(x_i)); at the first
+                    # rejection resample from norm(max(p-q, 0)); bonus
+                    # token from p_gamma when all accepted — the output
+                    # distribution equals plain sampling from the target.
+                    p_rows = dist(outs[0])                   # (g+1, vocab)
+                    p_d = jnp.take_along_axis(
+                        p_rows[:gamma], drafts[:, None], -1)[:, 0]
+                    q_d = jnp.take_along_axis(
+                        q_rows, drafts[:, None], -1)[:, 0]
+                    k, sub = jax.random.split(k)
+                    u = jax.random.uniform(sub, (gamma,))
+                    ok = u * q_d <= p_d
+                    acc = jnp.cumprod(ok.astype(jnp.int32))
+                    a = acc.sum()
+                    p_a = p_rows[a]
+                    q_a = jnp.where(a < gamma,
+                                    q_rows[jnp.minimum(a, gamma - 1)],
+                                    jnp.zeros_like(p_a))
+                    resid = jnp.maximum(p_a - q_a, 0.0)
+                    base = jnp.where(resid.sum() > 1e-9, resid, p_a)
+                    resamp, k = sample_from(base, k)
+                    emit = jnp.concatenate(
+                        [drafts, drafts[-1:]]).at[a].set(resamp)
+                else:
+                    tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
+                    acc = jnp.cumprod(
+                        (drafts == tnext[:gamma]).astype(jnp.int32))
+                    a = acc.sum()
+                    emit = tnext
+                # emit tokens 1..a+1; entries beyond a+1 are provisional
                 # and get overwritten by the next round's write at n_done+a+1
-                buf = lax.dynamic_update_slice(buf, tnext, (n_done,))
-                # token at the new pos-1 (next round's catch-up ingest)
-                prev2 = jnp.where(a > 0, tnext[jnp.maximum(a - 1, 0)], last)
-                return (t_caches, d_caches, pos + a + 1, tnext[a], prev2,
-                        buf, n_done + a + 1, rounds + 1)
+                buf = lax.dynamic_update_slice(buf, emit, (n_done,))
+                # token at the new pos-1 (next round's catch-up ingest):
+                # position pos+a holds draft a (accepted) when a > 0
+                prev2 = jnp.where(a > 0, drafts[jnp.maximum(a - 1, 0)],
+                                  last)
+                return (t_caches, d_caches, pos + a + 1, emit[a], prev2,
+                        buf, n_done + a + 1, rounds + 1, k)
 
             prev0 = (prompt[plen - 1] if use_prefill
                      else prompt[max(plen - 2, 0)]).astype(jnp.int32)
             carry = (list(t_caches), list(d_caches),
                      jnp.asarray(pos0, jnp.int32), last0.astype(jnp.int32),
                      prev0, buf, jnp.asarray(done0, jnp.int32),
-                     jnp.asarray(0, jnp.int32))
+                     jnp.asarray(0, jnp.int32), key)
             carry = lax.while_loop(cond, round_, carry)
-            t_caches2, _, pos, last, _, buf, n_done, rounds = carry
+            t_caches2, _, pos, last, _, buf, n_done, rounds, key = carry
 
             # ---- plain-step tail --------------------------------------
             # Near the cache end the chunk's gamma+1-row scatter would
@@ -226,10 +285,13 @@ class SpeculativeGenerator:
             # them with single steps so the token contract matches
             # FusedGenerator exactly (n_new = max_len - plen).
             def tail(c, _):
-                t_caches, pos, last, buf, n_done = c
+                t_caches, pos, last, buf, n_done, k = c
                 outs = step_t(pt, *ordered(in_t, cn_t, last[None],
                                            pos[None], t_caches))
-                nxt = jnp.argmax(outs[0][0]).astype(jnp.int32)
+                if do_sample:
+                    nxt, k = sample_from(dist(outs[0][0]), k)
+                else:
+                    nxt = jnp.argmax(outs[0][0]).astype(jnp.int32)
                 do = n_done < n_new
                 buf = jnp.where(
                     do, lax.dynamic_update_slice(buf, nxt[None], (n_done,)),
@@ -237,21 +299,32 @@ class SpeculativeGenerator:
                 pos = jnp.where(do, pos + 1, pos)
                 last = jnp.where(do, nxt, last)
                 n_done = jnp.where(do, n_done + 1, n_done)
-                return (list(outs[1:]), pos, last, buf, n_done), 0
+                return (list(outs[1:]), pos, last, buf, n_done, k), 0
 
             def run_tail(op):
                 return lax.scan(tail, op, None, length=gamma)[0]
 
-            op = (t_caches2, pos, last, buf, n_done)
+            op = (t_caches2, pos, last, buf, n_done, key)
             emitted_rounds = n_done - done0  # tokens from spec rounds only
             op = lax.cond(n_done < n_new, run_tail, lambda o: o, op)
             return op[3][:n_new], rounds, emitted_rounds
 
         return decode
 
-    def generate(self, prompt: list[int], n_new: int) -> list[int]:
+    def generate(self, prompt: list[int], n_new: int,
+                 temperature: float | None = None, top_k: int = 0,
+                 seed: int = 0) -> list[int]:
         """Greedy decode — identical tokens to FusedGenerator.generate on
-        the target model; rounds/acceptance recorded on self.last_*."""
+        the target model; rounds/acceptance recorded on self.last_*.
+
+        With temperature/top_k: SAMPLED speculative decoding via
+        rejection sampling (accept draft i with prob min(1, p/q), first
+        rejection resamples from norm(max(p-q, 0)), full acceptance
+        samples the bonus from p) — the output DISTRIBUTION equals plain
+        sampling from the target (distribution-tested); individual
+        tokens differ from FusedGenerator's sampled chain because the
+        PRNG key is consumed in a different order."""
+        import jax
         import jax.numpy as jnp
 
         n_new = min(n_new, self.max_len - len(prompt))
@@ -259,6 +332,7 @@ class SpeculativeGenerator:
             return list(prompt)
         use_pf = (self._prefill_fn is not None
                   and len(prompt) == self._prefill_len)
+        do_sample = temperature is not None or bool(top_k)
         t_caches = [jnp.zeros(s, d)
                     for s, d in zip(self._cshapes_t, self._cdts_t)]
         d_caches = [jnp.zeros(s, d)
@@ -266,7 +340,11 @@ class SpeculativeGenerator:
         toks, rounds, emitted = self._decode(
             self._params_t, self._params_d,
             jnp.asarray(prompt, jnp.int32), plen=len(prompt), n_new=n_new,
-            t_caches=t_caches, d_caches=d_caches, use_prefill=use_pf)
+            t_caches=t_caches, d_caches=d_caches, use_prefill=use_pf,
+            key=jax.random.PRNGKey(seed),
+            temperature=np.float32(1.0 if temperature is None
+                                   else temperature),
+            top_k=int(top_k), do_sample=do_sample)
         self.last_rounds = int(rounds)
         # tokens per round = 1 + accepted drafts; plain-step tail tokens
         # (near max_len) are excluded — they carry no acceptance signal

@@ -151,6 +151,9 @@ def test_full_stack_composition_and_graph_reuse(graphs):
     a = plain.generate(p, 16)  # traces AFTER spec merged the same pf
     b = spec.generate(p, 16)
     assert a == b, (a, b)
+
+
+def test_mixtral_moe_chunk_parity():
     """chunk>1 + MoE FFNs (contrib MoE op on (c, dim) tokens): speculative
     decode of a Mixtral-style target matches plain greedy."""
     cfg = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
@@ -199,3 +202,53 @@ def test_merge_params_renames_colliding_constants():
     # the shared weight was NOT duplicated
     assert "w_shared" in params and "w_shared__p" not in params
     assert any("const_1__p" in n for n in params), sorted(params)
+
+
+class TestSampledSpeculative:
+    """Rejection-sampling speculative decode: output DISTRIBUTION equals
+    plain sampling from the target (tokens differ — the key is consumed
+    in a different order)."""
+
+    def test_deterministic_and_greedy_collapse(self, graphs):
+        _, step_t, chunk_t, step_d = graphs
+        spec = SpeculativeGenerator(step_t, chunk_t, step_d)
+        p = [5, 9, 2]
+        a = spec.generate(p, 10, temperature=0.9, top_k=8, seed=5)
+        assert a == spec.generate(p, 10, temperature=0.9, top_k=8, seed=5)
+        assert len(a) == 13
+        # temperature -> 0 collapses to the greedy chain
+        assert spec.generate(p, 10, temperature=1e-4, seed=11) \
+            == spec.generate(p, 10)
+
+    def test_first_token_distribution_matches_target(self):
+        """Marginal of the first sampled token vs the target's EXACT
+        distribution: total variation within sampling noise (and no
+        worse than plain sampling measured the same way)."""
+        import collections
+
+        cfg = dict(vocab=12, dim=64, heads=4, kv_heads=2, ffn=128,
+                   layers=2)
+        max_len = 16
+        wt = llama_style.make_weights(max_len=max_len, **cfg)
+        step, _ = llama_style.build_decode_step(wt, max_len=max_len, **cfg)
+        chunk, _ = llama_style.build_decode_step(wt, max_len=max_len,
+                                                 chunk=4, **cfg)
+        draft, _ = llama_style.build_decode_step(
+            max_len=max_len, seed=7, vocab=12, dim=32, heads=2,
+            kv_heads=1, ffn=64, layers=1)
+        spec = SpeculativeGenerator(step, chunk, draft)
+        p = [3, 7, 1]
+        temp, n = 1.1, 300
+        full = st.CompiledModel(llama_style.build_full(wt, seq_len=3,
+                                                       **cfg))
+        logits = np.asarray(full(np.asarray(p, np.int64))[0][2],
+                            np.float64)
+        pz = np.exp(logits / temp - np.max(logits / temp))
+        pz /= pz.sum()
+        cnt = collections.Counter()
+        for s in range(n):
+            cnt[spec.generate(p, 1, temperature=temp, seed=s)[3]] += 1
+        emp = np.array([cnt.get(i, 0) for i in range(12)],
+                       np.float64) / n
+        tv = 0.5 * np.abs(emp - pz).sum()
+        assert tv < 0.15, tv  # ~2x the expected sqrt(k/n)/2 noise
