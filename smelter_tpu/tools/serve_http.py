@@ -124,11 +124,13 @@ def make_handler(server_state):
                     {"outputs": [o.tolist() for o in outs]}).encode())
 
         def _generate(self):
-            """POST /v1/generate {"prompt": [ints], "n_new": N} -> tokens.
+            """POST /v1/generate {"prompt": [ints], "n_new": N,
+            "temperature": t?, "top_k": k?, "seed": s?} -> tokens.
 
-            Served by a FusedGenerator (one dispatch per request); enabled
-            when the server was started with a decode-step graph (a
-            "generator" entry in the state dict)."""
+            Served by a FusedGenerator — or a SpeculativeGenerator when
+            the server was started with --decode-draft/--decode-chunk —
+            one dispatch per request; sampling params are optional
+            (greedy without them)."""
             gen = server_state.get("generator")
             if gen is None:
                 self._send(404, b'{"error": "no decode model loaded"}')
@@ -138,6 +140,12 @@ def make_handler(server_state):
                 payload = json.loads(self.rfile.read(length))
                 prompt = [int(t) for t in payload["prompt"]]
                 n_new = int(payload.get("n_new", 16))
+                temperature = payload.get("temperature")
+                top_k = int(payload.get("top_k", 0))
+                seed = int(payload.get("seed", 0))
+                sampled = temperature is not None or top_k
+                if temperature is not None:
+                    temperature = float(temperature)
                 if not prompt:
                     raise ValueError("prompt must be non-empty")
                 # cross-attention decoders (e.g. models/speech_decoder.py)
@@ -155,13 +163,23 @@ def make_handler(server_state):
                                           gen.context_types.get(n, _np.float32))
                            for n in gen.context_names}
                 dsrv = server_state.get("decode_server")
-                if dsrv is not None:
+                spec = server_state.get("spec_generator")
+                if spec is not None and ctx is None:
+                    # speculative decoding (draft+verify, one dispatch);
+                    # greedy is token-identical to the plain generator
+                    toks = spec.generate(
+                        prompt, n_new, temperature=temperature,
+                        top_k=top_k, seed=seed)
+                elif dsrv is not None and not sampled:
                     # continuous batching: concurrent requests share the
                     # slot loop instead of serializing whole decodes
+                    # (greedy-only; sampled requests take the fused path)
                     toks = dsrv.submit(prompt, n_new,
                                        context=ctx).result(timeout=600)
                 else:
-                    toks = gen.generate(prompt, n_new, context=ctx)
+                    toks = gen.generate(prompt, n_new, context=ctx,
+                                        temperature=temperature,
+                                        top_k=top_k, seed=seed)
             except Exception as e:  # noqa: BLE001
                 self._send(400, json.dumps({"error": str(e)[:500]}).encode())
                 return
@@ -201,6 +219,12 @@ def main(argv=None) -> int:
                         "build_prefill at several prompt lengths): new "
                         "requests fill their KV cache rows in one forward "
                         "instead of one prompt token per step/tick")
+    p.add_argument("--decode-draft", default=None, metavar="ONNX",
+                   help="draft decode-step graph: serve /v1/generate via "
+                        "SPECULATIVE decoding (requires --decode-chunk)")
+    p.add_argument("--decode-chunk", default=None, metavar="ONNX",
+                   help="verify chunk-step graph (build_decode_step with "
+                        "chunk=gamma+1, same weights as --decode-step)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -243,6 +267,16 @@ def main(argv=None) -> int:
         state["generator"] = FusedGenerator(
             step_graph, st.Config(compute_dtype=args.dtype),
             prefill_graph=prefills or None)
+        if args.decode_draft or args.decode_chunk:
+            if not (args.decode_draft and args.decode_chunk):
+                p.error("--decode-draft and --decode-chunk go together")
+            from ..runtime.speculative import SpeculativeGenerator
+
+            state["spec_generator"] = SpeculativeGenerator(
+                step_graph, st.load_model(args.decode_chunk),
+                st.load_model(args.decode_draft),
+                config=st.Config(compute_dtype=args.dtype),
+                prefill_graph=prefills[0] if len(prefills) == 1 else None)
         if args.decode_slots:
             from ..serving.decode_server import DecodeServer
 
@@ -254,6 +288,8 @@ def main(argv=None) -> int:
         p.error("--decode-slots requires --decode-step")
     elif args.decode_prefill:
         p.error("--decode-prefill requires --decode-step")
+    elif args.decode_draft or args.decode_chunk:
+        p.error("--decode-draft/--decode-chunk require --decode-step")
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:
