@@ -310,3 +310,53 @@ class TestUint8Ingest:
         with urllib.request.urlopen(req2, timeout=120) as r:
             want = np.asarray(json.loads(r.read())["outputs"][0])
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestSpeculativeEndpoint:
+    """POST /v1/generate through a SpeculativeGenerator (--decode-draft/
+    --decode-chunk): greedy token-identical to the fused path; sampling
+    params deterministic per seed."""
+
+    @pytest.fixture(scope="class")
+    def spec_server(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.runtime.generate import FusedGenerator
+        from smelter_tpu.runtime.speculative import SpeculativeGenerator
+
+        cfg = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96, layers=2)
+        w = llama_style.make_weights(max_len=24, **cfg)
+        step_g, _ = llama_style.build_decode_step(w, max_len=24, **cfg)
+        chunk_g, _ = llama_style.build_decode_step(w, max_len=24, chunk=4,
+                                                   **cfg)
+        draft_g, _ = llama_style.build_decode_step(
+            max_len=24, seed=9, vocab=60, dim=32, heads=2, kv_heads=1,
+            ffn=64, layers=1)
+        state = {"servers": {}, "default": None,
+                 "generator": FusedGenerator(step_g),
+                 "spec_generator": SpeculativeGenerator(step_g, chunk_g,
+                                                        draft_g),
+                 "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+        httpd.shutdown()
+
+    def _post(self, base, payload):
+        req = urllib.request.Request(
+            base + "/v1/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())["tokens"]
+
+    def test_greedy_matches_fused(self, spec_server):
+        base, state = spec_server
+        p = [5, 9, 2]
+        got = self._post(base, {"prompt": p, "n_new": 8})
+        assert got == state["generator"].generate(p, 8)
+
+    def test_sampled_deterministic(self, spec_server):
+        base, _ = spec_server
+        body = {"prompt": [5, 9, 2], "n_new": 8, "temperature": 0.8,
+                "top_k": 10, "seed": 3}
+        assert self._post(base, body) == self._post(base, body)
