@@ -304,3 +304,281 @@ class DecodeServer:
                 except queue.Empty:
                     break
                 fut.set_exception(RuntimeError("server shut down"))
+
+
+class SpecDecodeServer:
+    """Speculative continuous batching: every tick runs ONE vmapped
+    draft-and-verify round across all slots (gamma draft steps + one
+    (gamma+1)-token chunk verify per slot) instead of a single step —
+    up to gamma+1 tokens per slot per tick at high draft acceptance,
+    with greedy outputs token-identical to DecodeServer's.
+
+    Prompt handling needs no separate program: a slot still consuming
+    its prompt passes its next tokens as FORCED drafts (accepted
+    unconditionally — they are ground truth), so prompts also ingest at
+    gamma+1 tokens/tick and the draft model sees them naturally. With
+    ``prefill_graphs`` (target twins) a new slot's target cache fills in
+    one forward instead; the draft then starts blind for that prompt —
+    acceptance suffers, correctness never does (the verify step is the
+    target itself). Pass ``draft_prefill_graphs`` to prefill the draft
+    too.
+
+    Host keeps the full token sequence per slot, so all positions /
+    previous-token bookkeeping stays host-side; the device returns only
+    (emit (B, gamma+1), accepted (B,)) plus the updated caches.
+    """
+
+    def __init__(self, step_graph, chunk_graph, draft_graph,
+                 slots: int = 4, config=None, draft_config=None,
+                 stop_tokens: tuple[int, ...] = (), prefill_graphs=(),
+                 draft_prefill_graphs=()):
+        import jax
+        import jax.numpy as jnp
+
+        from ..runtime.config import Config
+        from ..runtime.executor import Executor
+        from ..runtime.generate import _cache_dtypes, _merge_params
+
+        self.slots = slots
+        self.stop_tokens = set(stop_tokens)
+        cfg = config or Config()
+        dcfg = draft_config or cfg
+        ex_t = Executor(step_graph, cfg)
+        params_t = ex_t.init_params()
+        host_t = {n: step_graph.initializers[n] for n in params_t}
+        ex_c = _merge_params(params_t, host_t, chunk_graph, cfg)
+        chunk_fn = ex_c.build_fn()
+        ex_d = Executor(draft_graph, dcfg)
+        params_d = ex_d.init_params()
+        step_d = ex_d.build_fn()
+
+        def names(g):
+            return [v.name for v in g.inputs]
+
+        in_c, in_d = names(chunk_graph), names(draft_graph)
+        cn_t = [n for n in names(step_graph)
+                if n.startswith(("k_cache_", "v_cache_"))]
+        cn_d = [n for n in in_d if n.startswith(("k_cache_", "v_cache_"))]
+        shapes_t = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
+        shapes_d = {v.name: tuple(v.type.shape) for v in draft_graph.inputs}
+        dts_t = _cache_dtypes(step_graph, cfg, cn_t)
+        dts_d = _cache_dtypes(draft_graph, dcfg, cn_d)
+        self.max_len = min(shapes_t[cn_t[0]][0], shapes_d[cn_d[0]][0])
+        gamma = next(v.type.shape[0] for v in chunk_graph.inputs
+                     if v.name == "token") - 1
+        if gamma < 1:
+            raise ValueError("chunk_graph must take >= 2 tokens")
+        self.gamma = gamma
+
+        # target-side prefill ladder (reuses DecodeServer mechanics)
+        self._prefills = []
+        for g, store, params, base_host in (
+                (prefill_graphs, "_prefills", params_t, host_t),
+                (draft_prefill_graphs, "_d_prefills", params_d,
+                 {n: draft_graph.initializers[n] for n in params_d})):
+            out = []
+            for pg in g:
+                pex = _merge_params(params, base_host, pg,
+                                    cfg if store == "_prefills" else dcfg)
+                plen = next(v.type.shape[0] for v in pg.inputs
+                            if v.name == "tokens")
+                out.append((plen, jax.jit(
+                    lambda toks, f=pex.build_fn(), p=params: f(p, toks))))
+            out.sort(key=lambda t: t[0])
+            setattr(self, store, out)
+
+        def ordered(nms, cnames, tok, pos, caches):
+            by = {"token": tok, "pos": pos}
+            by.update(zip(cnames, caches))
+            return [by[n] for n in nms]
+
+        def round_one(tok, prev, pos, forced, n_forced, free, *caches):
+            nc = len(cn_t)
+            t_caches = list(caches[:nc])
+            d_caches = list(caches[nc:])
+
+            def dstep(c, j):
+                dc, tk = c
+                pp = jnp.maximum(pos + j, 0)
+                outs = step_d(params_d, *ordered(in_d, cn_d, tk[None],
+                                                 pp[None], dc))
+                nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
+                nxt = jnp.where(j < n_forced,
+                                forced[jnp.minimum(jnp.maximum(j, 0),
+                                                   gamma - 1)], nxt)
+                nxt = jnp.where(j < 0, tok, nxt)
+                return (list(outs[1:]), nxt), nxt
+            (d_caches, _), outs_d = jax.lax.scan(
+                dstep, (d_caches, prev), jnp.arange(-1, gamma))
+            drafts = outs_d[1:]
+
+            toks = jnp.concatenate([tok[None], drafts])
+            outs = chunk_fn(params_t, *ordered(in_c, cn_t, toks,
+                                               pos[None], t_caches))
+            t_caches = list(outs[1:])
+            tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
+            # beyond the forced (prompt) region, draft agreement counts
+            # only once the prompt is fully consumed (`free`): mid-prompt
+            # "agreement" would walk past prompt tokens without ever
+            # ingesting them
+            ok = ((jnp.arange(gamma) < n_forced)
+                  | (free & (drafts == tnext[:gamma])))
+            a = jnp.cumprod(ok.astype(jnp.int32)).sum()
+            return tnext, a, *t_caches, *d_caches
+
+        self._round_all = jax.jit(
+            jax.vmap(round_one), donate_argnums=tuple(
+                range(6, 6 + len(cn_t) + len(cn_d))))
+        self._t_caches = [jnp.zeros((slots,) + shapes_t[n], d)
+                          for n, d in zip(cn_t, dts_t)]
+        self._d_caches = [jnp.zeros((slots,) + shapes_d[n], d)
+                          for n, d in zip(cn_d, dts_d)]
+        self._state = [_Slot() for _ in range(slots)]
+        self._pending: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._shutdown = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # public API matches DecodeServer
+    submit = DecodeServer.submit
+    stats = DecodeServer.stats
+    shutdown = DecodeServer.shutdown
+
+    def _admit(self) -> None:
+        import jax.numpy as jnp
+
+        for i, s in enumerate(self._state):
+            if s.active:
+                continue
+            try:
+                prompt, n_new, context, fut = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            if context:
+                fut.set_exception(ValueError(
+                    "SpecDecodeServer does not take context arrays"))
+                continue
+            n_new = min(n_new, self.max_len - len(prompt) - self.gamma)
+            if n_new < 1:
+                fut.set_result(list(prompt))
+                continue
+            fed = 0
+            for graphs, caches in ((self._prefills, self._t_caches),
+                                   (self._d_prefills, self._d_caches)):
+                if not graphs or len(prompt) < 2:
+                    continue
+                try:
+                    buckets = [p for p, _ in graphs]
+                    ups = [p for p in buckets if p >= len(prompt)]
+                    p_len = min(ups) if ups else max(buckets)
+                    eff = min(len(prompt), p_len)
+                    toks = np.zeros((p_len,), np.int64)
+                    toks[:eff] = prompt[:eff]
+                    outs = dict(graphs)[p_len](jnp.asarray(toks))
+                    for j, c in enumerate(outs[1:]):
+                        caches[j] = caches[j].at[i].set(c)
+                    if caches is self._t_caches:
+                        fed = eff - 1
+                except Exception:  # noqa: BLE001 — forced-draft fallback
+                    if caches is self._t_caches:
+                        fed = 0
+            # fed = index of last prompt token whose TARGET row is valid;
+            # pos = next position to process; the tick consumes tokens
+            # prompt[fed..] as forced drafts until the prompt is done
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
+                                   generated=[], n_new=n_new,
+                                   last_token=prompt[fed], pos=fed,
+                                   future=fut, context=None)
+
+    def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        g = self.gamma
+        while not self._shutdown:
+            with self._lock:
+                self._admit()
+                active = [s for s in self._state if s.active]
+            if not active:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            toks = np.zeros((self.slots,), np.int32)
+            prevs = np.zeros((self.slots,), np.int32)
+            pos = np.zeros((self.slots,), np.int32)
+            forced = np.zeros((self.slots, g), np.int32)
+            n_forced = np.zeros((self.slots,), np.int32)
+            free = np.zeros((self.slots,), bool)
+            for i, s in enumerate(self._state):
+                if not s.active:
+                    continue
+                seq = s.prompt + s.generated
+                toks[i] = seq[s.pos]
+                prevs[i] = seq[max(s.pos - 1, 0)]
+                pos[i] = s.pos
+                rem = s.prompt[s.pos + 1:s.pos + 1 + g]
+                n_forced[i] = len(rem)
+                forced[i, :len(rem)] = rem
+                free[i] = s.pos + 1 + len(rem) >= len(s.prompt)
+            try:
+                outs = self._round_all(
+                    jnp.asarray(toks), jnp.asarray(prevs),
+                    jnp.asarray(pos), jnp.asarray(forced),
+                    jnp.asarray(n_forced), jnp.asarray(free),
+                    *self._t_caches, *self._d_caches)
+                emit, acc = np.asarray(outs[0]), np.asarray(outs[1])
+                nt = len(self._t_caches)
+                self._t_caches = list(outs[2:2 + nt])
+                self._d_caches = list(outs[2 + nt:])
+            except Exception as e:  # noqa: BLE001 — fail requests, not
+                # the serving thread; donated caches may be consumed
+                with self._lock:
+                    for i, s in enumerate(self._state):
+                        if s.active and s.future is not None:
+                            s.future.set_exception(e)
+                        self._state[i] = _Slot()
+                    def _fresh(caches):
+                        return [jnp.zeros(c.shape, c.dtype)
+                                if getattr(c, "is_deleted",
+                                           lambda: False)() else c
+                                for c in caches]
+                    self._t_caches = _fresh(self._t_caches)
+                    self._d_caches = _fresh(self._d_caches)
+                continue
+            with self._lock:
+                for i, s in enumerate(self._state):
+                    if not s.active:
+                        continue
+                    a = int(acc[i])
+                    nf = int(n_forced[i])
+                    plen = len(s.prompt)
+                    # a token emitted for sequence position pos+j+1 is
+                    # GENERATED only once past the prompt; a mid-prompt
+                    # bonus (window ends inside the prompt) is discarded
+                    new = [int(emit[i, j]) for j in range(nf, a + 1)
+                           if s.pos + j + 1 >= plen]
+                    s.pos += a + 1
+                    done = False
+                    for tok in new:
+                        s.generated.append(tok)
+                        if (len(s.generated) >= s.n_new
+                                or tok in self.stop_tokens):
+                            done = True
+                            # discard any over-generated tail
+                            s.generated = s.generated[
+                                :min(len(s.generated), s.n_new)]
+                            break
+                    if done:
+                        s.future.set_result(list(s.prompt) + s.generated)
+                        self._state[i] = _Slot()
+        with self._lock:
+            for s in self._state:
+                if s.active and s.future is not None and not s.future.done():
+                    s.future.set_exception(RuntimeError("server shut down"))
+            while True:
+                try:
+                    *_rest, fut = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                fut.set_exception(RuntimeError("server shut down"))

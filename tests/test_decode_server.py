@@ -173,3 +173,82 @@ class TestPrefillAdmission:
         finally:
             plain.shutdown()
             pf.shutdown()
+
+
+class TestSpecDecodeServer:
+    """Speculative continuous batching: every tick is a vmapped
+    draft-and-verify round; prompt tokens ride as forced-accepted drafts
+    (gamma+1/tick ingestion). Greedy outputs must be token-identical to
+    FusedGenerator/DecodeServer."""
+
+    CFG = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96, layers=2)
+    PROMPTS = [[5, 9, 2, 17], [1, 4], [7, 3, 9, 1, 2, 8, 6], [2] * 9, [9]]
+
+    @pytest.fixture(scope="class")
+    def graphs(self):
+        from smelter_tpu.models import llama_style
+
+        w = llama_style.make_weights(max_len=32, **self.CFG)
+        step, _ = llama_style.build_decode_step(w, max_len=32, **self.CFG)
+        chunk, _ = llama_style.build_decode_step(w, max_len=32, chunk=4,
+                                                 **self.CFG)
+        draft, _ = llama_style.build_decode_step(
+            max_len=32, seed=9, vocab=60, dim=32, heads=2, kv_heads=1,
+            ffn=64, layers=1)
+        pfs = [llama_style.build_prefill(w, prompt_len=p, max_len=32,
+                                         **self.CFG) for p in (4, 8)]
+        return w, step, chunk, draft, pfs
+
+    def _want(self, step, n=6):
+        gen = FusedGenerator(step)
+        return [gen.generate(p, n) for p in self.PROMPTS]
+
+    def test_parity_forced_draft_prompts(self, graphs):
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        _, step, chunk, draft, _ = graphs
+        srv = SpecDecodeServer(step, chunk, draft, slots=3)
+        try:
+            futs = [srv.submit(p, 6) for p in self.PROMPTS]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            srv.shutdown()
+        assert got == self._want(step)
+
+    def test_parity_with_prefill_admission(self, graphs):
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        _, step, chunk, draft, pfs = graphs
+        srv = SpecDecodeServer(step, chunk, draft, slots=2,
+                               prefill_graphs=pfs)
+        try:
+            futs = [srv.submit(p, 6) for p in self.PROMPTS]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            srv.shutdown()
+        assert got == self._want(step)
+
+    def test_self_draft_and_stop_tokens(self, graphs):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        w, step, chunk, _, _ = graphs
+        draft_self, _ = llama_style.build_decode_step(w, max_len=32,
+                                                      **self.CFG)
+        want = self._want(step, 8)
+        srv = SpecDecodeServer(step, chunk, draft_self, slots=2)
+        try:
+            futs = [srv.submit(p, 8) for p in self.PROMPTS[:3]]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            srv.shutdown()
+        assert got == want[:3]
+        # stop token mid-run truncates exactly like DecodeServer
+        stop = want[0][5]
+        srv2 = SpecDecodeServer(step, chunk, draft_self, slots=2,
+                                stop_tokens=(stop,))
+        try:
+            got2 = srv2.submit(self.PROMPTS[0], 8).result(timeout=120)
+        finally:
+            srv2.shutdown()
+        assert got2 == want[0][:6]
