@@ -164,18 +164,19 @@ def make_handler(server_state):
                            for n in gen.context_names}
                 dsrv = server_state.get("decode_server")
                 spec = server_state.get("spec_generator")
-                if spec is not None and ctx is None:
+                if dsrv is not None and not sampled:
+                    # continuous batching (plain or speculative slots):
+                    # concurrent requests share the tick loop instead of
+                    # serializing whole decodes (greedy-only; sampled
+                    # requests take a one-dispatch path below)
+                    toks = dsrv.submit(prompt, n_new,
+                                       context=ctx).result(timeout=600)
+                elif spec is not None and ctx is None:
                     # speculative decoding (draft+verify, one dispatch);
                     # greedy is token-identical to the plain generator
                     toks = spec.generate(
                         prompt, n_new, temperature=temperature,
                         top_k=top_k, seed=seed)
-                elif dsrv is not None and not sampled:
-                    # continuous batching: concurrent requests share the
-                    # slot loop instead of serializing whole decodes
-                    # (greedy-only; sampled requests take the fused path)
-                    toks = dsrv.submit(prompt, n_new,
-                                       context=ctx).result(timeout=600)
                 else:
                     toks = gen.generate(prompt, n_new, context=ctx,
                                         temperature=temperature,
@@ -270,6 +271,7 @@ def main(argv=None) -> int:
         if args.decode_draft or args.decode_chunk:
             if not (args.decode_draft and args.decode_chunk):
                 p.error("--decode-draft and --decode-chunk go together")
+        if args.decode_draft and not args.decode_slots:
             from ..runtime.speculative import SpeculativeGenerator
 
             state["spec_generator"] = SpeculativeGenerator(
@@ -277,7 +279,18 @@ def main(argv=None) -> int:
                 st.load_model(args.decode_draft),
                 config=st.Config(compute_dtype=args.dtype),
                 prefill_graph=prefills[0] if len(prefills) == 1 else None)
-        if args.decode_slots:
+        if args.decode_slots and args.decode_draft:
+            # speculative continuous batching: the slot tick is a
+            # vmapped draft-and-verify round
+            from ..serving.decode_server import SpecDecodeServer
+
+            state["decode_server"] = SpecDecodeServer(
+                step_graph, st.load_model(args.decode_chunk),
+                st.load_model(args.decode_draft),
+                slots=args.decode_slots,
+                config=st.Config(compute_dtype=args.dtype),
+                prefill_graphs=prefills)
+        elif args.decode_slots:
             from ..serving.decode_server import DecodeServer
 
             state["decode_server"] = DecodeServer(
