@@ -290,3 +290,70 @@ def fused_dequant_matmul_i4(ctx: Ctx, node: Node):
         y = jnp.dot(x2.astype(jnp.float32), w * rep,
                     preferred_element_type=jnp.float32)
     ctx.set(node.outputs[0], y.astype(x.dtype).reshape(lead + (n,)))
+
+
+# test hook: force the Pallas ragged kernel (interpret off-TPU) so CPU
+# e2e tests can exercise the kernel path the TPU lowering takes
+_FORCE_RAGGED_KERNEL = False
+
+
+def _ragged_kernel_ok(max_len: int, kvd: int, hd: int, dtype) -> bool:
+    """Mosaic-envelope gate for the ragged decode-attention kernel: the
+    per-head VMEM column slice needs lane-aligned heads, and the row
+    block must be a legal sublane multiple for the cache dtype."""
+    import numpy as np
+
+    from ..kernels.ragged_decode_attention import _pick_block
+
+    if hd % 128 or kvd % 128:
+        return False
+    bs = _pick_block(max_len, kvd, np.dtype(dtype).itemsize, 256)
+    sub = {1: 32, 2: 16}.get(np.dtype(dtype).itemsize, 8)
+    return bs % sub == 0
+
+
+@register("RaggedDecodeAttention")
+def ragged_decode_attention_op(ctx: Ctx, node: Node):
+    """Decode-step attention over a static KV cache, reading only rows
+    <= pos + chunk - 1 (passes/ragged_attention.py emits it; the dense
+    chain it replaced reads all max_len rows every step — probe78: 537
+    MB/step at 7B/4k). Inputs: (q (c, dim), k (L, kvd), v (L, kvd),
+    pos (1,)) or the int8-KV form (q, kq int8, ks (L,1), vq, vs, pos)."""
+    import jax
+
+    from ..kernels.ragged_decode_attention import (
+        ragged_decode_attention, ragged_decode_attention_reference)
+
+    q = ctx.get(node.inputs[0])
+    quant = len(node.inputs) == 6
+    if quant:
+        k = ctx.get(node.inputs[1])
+        ks = ctx.get(node.inputs[2])
+        v = ctx.get(node.inputs[3])
+        vs = ctx.get(node.inputs[4])
+        pos = ctx.get(node.inputs[5])
+    else:
+        k = ctx.get(node.inputs[1])
+        v = ctx.get(node.inputs[2])
+        pos = ctx.get(node.inputs[3])
+        ks = vs = None
+    heads = int(node.attr("num_heads"))
+    kvh = int(node.attr("kv_heads"))
+    c = int(node.attr("chunk", 1))
+    scale = float(node.attr("scale"))
+    dim = q.shape[-1]
+    hd = dim // heads
+    g = heads // kvh
+    max_len, kvd = k.shape
+    # (c, dim) -> (kvh, g*c, hd); row r = g_idx*c + c_idx (c minor)
+    qh = q.reshape(c, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
+        kvh, g * c, hd)
+    use_kernel = _FORCE_RAGGED_KERNEL or (
+        jax.default_backend() == "tpu"
+        and _ragged_kernel_ok(max_len, kvd, hd, k.dtype))
+    fn = ragged_decode_attention if use_kernel \
+        else ragged_decode_attention_reference
+    out = fn(qh, k, v, pos.reshape(()), ks, vs,
+             c=c, kv_heads=kvh, scale=scale)
+    out = out.reshape(kvh, g, c, hd).transpose(2, 0, 1, 3).reshape(c, dim)
+    ctx.set(node.outputs[0], out.astype(q.dtype))

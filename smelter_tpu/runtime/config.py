@@ -63,6 +63,15 @@ class Config:
     # uses the measured auto policy (full rows within the VMEM budget);
     # an int forces block_n — the probe74 e2e sweep knob.
     int4_block_n: int | None = None
+    # Ragged decode attention: the decode generators/servers rewrite the
+    # step/verify graphs' masked cache attention into RaggedDecodeAttention
+    # (passes/ragged_attention.py), whose TPU kernel reads only cache rows
+    # <= pos instead of all max_len every token
+    # (kernels/ragged_decode_attention.py; probe78: the dense form costs
+    # 537 MB/step of K/V at 7B/4k, and the waste scales with server
+    # occupancy). Numerics: dense-identical off-TPU; flash-streaming
+    # summation order on TPU.
+    ragged_attention: bool = False
     donate_inputs: bool = False
     # Sharding: name of a parallel.MeshPlan or None for single device.
     mesh: Any = None

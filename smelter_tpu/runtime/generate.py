@@ -87,6 +87,21 @@ def _merge_params(params, host_map, graph, cfg):
     return ex
 
 
+def _decode_graph(graph, cfg):
+    """Apply the config's decode-graph rewrites on a structure-only clone
+    (the caller's graph object stays untouched and reusable). Currently:
+    Config.ragged_attention fuses the masked cache attention into
+    RaggedDecodeAttention (passes/ragged_attention.py) so the TPU kernel
+    reads only the live cache prefix per step."""
+    if cfg is None or not getattr(cfg, "ragged_attention", False):
+        return graph
+    from ..passes.pass_manager import run_passes
+
+    g2 = _shallow_clone(graph)
+    run_passes(g2, ["fuse_ragged_attention", "dce"])
+    return g2
+
+
 def _cache_dtypes(step_graph, config, cache_names):
     """Dtypes to seed the KV caches with: the executor emits floating
     caches in its compute dtype, and the caches are CARRIED (lax.scan in
@@ -108,6 +123,7 @@ class Generator:
         from .executor import CompiledModel
 
         cfg = config or Config()
+        step_graph = _decode_graph(step_graph, cfg)
         self.model = CompiledModel(step_graph, cfg)
         cache_inputs = [v for v in step_graph.inputs
                         if v.name.startswith(("k_cache_", "v_cache_"))]
@@ -158,6 +174,7 @@ class BatchedGenerator:
 
         self.batch = batch
         cfg = config or Config()
+        step_graph = _decode_graph(step_graph, cfg)
         ex = Executor(step_graph, cfg)
         params = ex.init_params()
         fn = ex.build_fn()
@@ -228,6 +245,7 @@ class FusedGenerator:
         from .executor import Executor
 
         cfg = config or Config()
+        step_graph = _decode_graph(step_graph, cfg)
         ex = Executor(step_graph, cfg)
         self._params = ex.init_params()
         self._step = ex.build_fn()

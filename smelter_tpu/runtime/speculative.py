@@ -62,6 +62,11 @@ class SpeculativeGenerator:
 
         cfg = config or Config()
         dcfg = draft_config or cfg
+        from .generate import _decode_graph
+
+        target_step = _decode_graph(target_step, cfg)
+        target_chunk = _decode_graph(target_chunk, cfg)
+        draft_step = _decode_graph(draft_step, dcfg)
         ex_t = Executor(target_step, cfg)
         self._params_t = ex_t.init_params()
         self._step_t = ex_t.build_fn()

@@ -56,9 +56,12 @@ class DecodeServer:
         from ..runtime.config import Config
         from ..runtime.executor import Executor
 
+        from ..runtime.generate import _decode_graph
+
         self.slots = slots
         self.stop_tokens = set(stop_tokens)
         cfg = config or Config()
+        step_graph = _decode_graph(step_graph, cfg)
         ex = Executor(step_graph, cfg)
         params = ex.init_params()
         fn = ex.build_fn()
@@ -337,12 +340,16 @@ class SpecDecodeServer:
 
         from ..runtime.config import Config
         from ..runtime.executor import Executor
-        from ..runtime.generate import _cache_dtypes, _merge_params
+        from ..runtime.generate import (_cache_dtypes, _decode_graph,
+                                        _merge_params)
 
         self.slots = slots
         self.stop_tokens = set(stop_tokens)
         cfg = config or Config()
         dcfg = draft_config or cfg
+        step_graph = _decode_graph(step_graph, cfg)
+        chunk_graph = _decode_graph(chunk_graph, cfg)
+        draft_graph = _decode_graph(draft_graph, dcfg)
         ex_t = Executor(step_graph, cfg)
         params_t = ex_t.init_params()
         host_t = {n: step_graph.initializers[n] for n in params_t}

@@ -226,6 +226,10 @@ def main(argv=None) -> int:
     p.add_argument("--decode-chunk", default=None, metavar="ONNX",
                    help="verify chunk-step graph (build_decode_step with "
                         "chunk=gamma+1, same weights as --decode-step)")
+    p.add_argument("--ragged-attention", action="store_true",
+                   help="fuse decode-step attention into the ragged "
+                        "cache-prefix kernel (reads only rows <= pos per "
+                        "step; kernels/ragged_decode_attention.py)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -260,14 +264,15 @@ def main(argv=None) -> int:
         )
         default = default or name
     state = {"servers": servers, "default": default, "verbose": args.verbose}
+    dec_cfg = st.Config(compute_dtype=args.dtype,
+                        ragged_attention=args.ragged_attention)
     if args.decode_step:
         from ..runtime.generate import FusedGenerator
 
         step_graph = st.load_model(args.decode_step)
         prefills = [st.load_model(f) for f in args.decode_prefill]
         state["generator"] = FusedGenerator(
-            step_graph, st.Config(compute_dtype=args.dtype),
-            prefill_graph=prefills or None)
+            step_graph, dec_cfg, prefill_graph=prefills or None)
         if args.decode_draft or args.decode_chunk:
             if not (args.decode_draft and args.decode_chunk):
                 p.error("--decode-draft and --decode-chunk go together")
@@ -276,8 +281,7 @@ def main(argv=None) -> int:
 
             state["spec_generator"] = SpeculativeGenerator(
                 step_graph, st.load_model(args.decode_chunk),
-                st.load_model(args.decode_draft),
-                config=st.Config(compute_dtype=args.dtype),
+                st.load_model(args.decode_draft), config=dec_cfg,
                 prefill_graph=prefills[0] if len(prefills) == 1 else None)
         if args.decode_slots and args.decode_draft:
             # speculative continuous batching: the slot tick is a
@@ -287,15 +291,13 @@ def main(argv=None) -> int:
             state["decode_server"] = SpecDecodeServer(
                 step_graph, st.load_model(args.decode_chunk),
                 st.load_model(args.decode_draft),
-                slots=args.decode_slots,
-                config=st.Config(compute_dtype=args.dtype),
+                slots=args.decode_slots, config=dec_cfg,
                 prefill_graphs=prefills)
         elif args.decode_slots:
             from ..serving.decode_server import DecodeServer
 
             state["decode_server"] = DecodeServer(
-                step_graph, slots=args.decode_slots,
-                config=st.Config(compute_dtype=args.dtype),
+                step_graph, slots=args.decode_slots, config=dec_cfg,
                 prefill_graphs=prefills)
     elif args.decode_slots:
         p.error("--decode-slots requires --decode-step")

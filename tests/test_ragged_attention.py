@@ -1,0 +1,229 @@
+"""Ragged decode attention: kernel parity (interpret mode), fusion-pass
+numerics preservation, and end-to-end generator/server parity with the
+Config.ragged_attention flag (kernels/ragged_decode_attention.py,
+passes/ragged_attention.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import smelter_tpu as st
+from smelter_tpu.kernels.ragged_decode_attention import (
+    ragged_decode_attention,
+    ragged_decode_attention_reference,
+)
+from smelter_tpu.models import llama_style
+
+CFG = dict(vocab=64, dim=32, heads=4, kv_heads=2, ffn=64, layers=2,
+           max_len=32)
+
+
+# -- kernel vs dense reference (interpret mode) ---------------------------
+
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize("pos", [0, 5, 29])
+def test_kernel_matches_reference(rng, c, pos):
+    kvh, g, hd, L = 4, 2, 16, 64
+    q = jnp.asarray(rng.standard_normal((kvh, g * c, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, kvh * hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, kvh * hd)), jnp.float32)
+    got = ragged_decode_attention(q, k, v, pos, c=c, kv_heads=kvh,
+                                  scale=0.25, block=16)
+    want = ragged_decode_attention_reference(q, k, v, pos, c=c,
+                                             kv_heads=kvh, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_kernel_int8_kv(rng):
+    kvh, g, c, hd, L = 2, 2, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((kvh, g * c, hd)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 127, (L, kvh * hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 127, (L, kvh * hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, 1)) * 0.1 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, 1)) * 0.1 + 1e-3, jnp.float32)
+    got = ragged_decode_attention(q, kq, vq, 11, ks, vs, c=c, kv_heads=kvh,
+                                  scale=0.25, block=8)
+    want = ragged_decode_attention_reference(q, kq, vq, 11, ks, vs, c=c,
+                                             kv_heads=kvh, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_ignores_stale_rows(rng):
+    """Rows past pos must not affect the output (slot reuse leaves the
+    previous occupant's K/V there — or worse)."""
+    kvh, g, hd, L, pos = 2, 1, 16, 32, 9
+    q = jnp.asarray(rng.standard_normal((kvh, g, hd)), jnp.float32)
+    k = rng.standard_normal((L, kvh * hd)).astype(np.float32)
+    v = rng.standard_normal((L, kvh * hd)).astype(np.float32)
+    k2, v2 = k.copy(), v.copy()
+    k2[pos + 1:] = np.inf
+    v2[pos + 1:] = np.inf
+    a = ragged_decode_attention(q, jnp.asarray(k), jnp.asarray(v), pos,
+                                c=1, kv_heads=kvh, scale=0.25, block=8)
+    b = ragged_decode_attention(q, jnp.asarray(k2), jnp.asarray(v2), pos,
+                                c=1, kv_heads=kvh, scale=0.25, block=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_kernel_vmap_slot_batch(rng):
+    """vmap (the slot-server shape) routes onto the batched grid with
+    per-slot position clamps."""
+    kvh, g, c, hd, L, B = 2, 2, 1, 16, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, kvh, g * c, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, kvh * hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, kvh * hd)), jnp.float32)
+    pos = jnp.asarray([0, 7, 30, 15], jnp.int32)
+    got = jax.vmap(lambda a, b_, d, p: ragged_decode_attention(
+        a, b_, d, p, c=c, kv_heads=kvh, scale=0.5, block=8))(q, k, v, pos)
+    want = jnp.stack([
+        ragged_decode_attention_reference(q[i], k[i], v[i], pos[i], c=c,
+                                          kv_heads=kvh, scale=0.5)
+        for i in range(B)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_kernel_vmap_unbatched_pos(rng):
+    """FusedBatchedGenerator's scan carries one shared pos: the vmap rule
+    broadcasts unbatched operands."""
+    kvh, hd, L, B = 2, 16, 32, 3
+    q = jnp.asarray(rng.standard_normal((B, kvh, 1, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, kvh * hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, kvh * hd)), jnp.float32)
+    got = jax.vmap(lambda a, b_, d: ragged_decode_attention(
+        a, b_, d, 12, c=1, kv_heads=kvh, scale=0.5, block=8))(q, k, v)
+    want = jnp.stack([
+        ragged_decode_attention_reference(q[i], k[i], v[i], 12, c=1,
+                                          kv_heads=kvh, scale=0.5)
+        for i in range(B)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+# -- fusion pass ----------------------------------------------------------
+
+def _random_inputs(g, rng, chunk):
+    args = []
+    for v in g.inputs:
+        if v.name == "token":
+            args.append(jnp.asarray(rng.integers(0, 64, (chunk,)),
+                                    jnp.int32))
+        elif v.name == "pos":
+            args.append(jnp.asarray([3], jnp.int32))
+        elif v.type.np_dtype == np.int8:
+            args.append(jnp.asarray(
+                rng.integers(-100, 100, tuple(v.type.shape)), jnp.int8))
+        elif np.issubdtype(v.type.np_dtype, np.floating):
+            args.append(jnp.asarray(
+                rng.standard_normal(tuple(v.type.shape)) * 0.05,
+                jnp.float32))
+        else:
+            args.append(jnp.zeros(tuple(v.type.shape), v.type.np_dtype))
+    return args
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_fuse_pass_parity(rng, kv_quant, chunk):
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.runtime.executor import Executor
+    from smelter_tpu.runtime.generate import _shallow_clone
+
+    g, _ = llama_style.build_decode_step(chunk=chunk, kv_quant=kv_quant,
+                                         **CFG)
+    g2 = _shallow_clone(g)
+    run_passes(g2, ["fuse_ragged_attention", "dce"])
+    fused = [n for n in g2.nodes if n.op_type == "RaggedDecodeAttention"]
+    assert len(fused) == CFG["layers"]
+    # int8-KV graphs fuse to the 6-input form (kernel reads int8 rows)
+    assert all(len(n.inputs) == (6 if kv_quant else 4) for n in fused)
+    assert [v.name for v in g.inputs] == [v.name for v in g2.inputs]
+    args = _random_inputs(g, rng, chunk)
+    ex1, ex2 = Executor(g), Executor(g2)
+    o1 = ex1.build_fn()(ex1.init_params(), *args)
+    o2 = ex2.build_fn()(ex2.init_params(), *args)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-5, rtol=1e-4)
+
+
+def test_pass_skips_mismatched_mask():
+    """A not-quite-decode mask (wrong arange) must not fuse."""
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.runtime.generate import _shallow_clone
+
+    g, _ = llama_style.build_decode_step(**CFG)
+    g2 = _shallow_clone(g)
+    for name, arr in list(g2.initializers.items()):
+        if name.startswith("ar_"):
+            g2.initializers[name] = arr[::-1].copy()
+    assert run_passes(g2, ["fuse_ragged_attention"]) is g2
+    assert not [n for n in g2.nodes
+                if n.op_type == "RaggedDecodeAttention"]
+
+
+# -- end-to-end flag parity ------------------------------------------------
+
+def test_fused_generator_flag_parity():
+    from smelter_tpu.runtime.generate import FusedGenerator
+
+    g, _ = llama_style.build_decode_step(**CFG)
+    outs = {f: FusedGenerator(g, st.Config(ragged_attention=f))
+            .generate([1, 2, 3], 10) for f in (False, True)}
+    assert outs[False] == outs[True]
+
+
+def test_decode_server_flag_parity():
+    from smelter_tpu.serving.decode_server import DecodeServer
+
+    g, _ = llama_style.build_decode_step(**CFG)
+    res = {}
+    for f in (False, True):
+        srv = DecodeServer(g, slots=3, config=st.Config(ragged_attention=f))
+        futs = [srv.submit([1, 2, 3], 6), srv.submit([5, 6], 5),
+                srv.submit([9], 4)]
+        res[f] = [x.result(timeout=120) for x in futs]
+        srv.shutdown()
+    assert res[False] == res[True]
+
+
+def test_spec_server_flag_parity():
+    from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+    g, w = llama_style.build_decode_step(**CFG)
+    gc_, _ = llama_style.build_decode_step(w, chunk=3, **CFG)
+    dw = llama_style.make_weights(vocab=64, dim=16, heads=2, kv_heads=1,
+                                  ffn=32, layers=1, max_len=32, seed=7)
+    dg, _ = llama_style.build_decode_step(
+        dw, vocab=64, dim=16, heads=2, kv_heads=1, ffn=32, layers=1,
+        max_len=32)
+    res = {}
+    for f in (False, True):
+        srv = SpecDecodeServer(g, gc_, dg, slots=2,
+                               config=st.Config(ragged_attention=f))
+        futs = [srv.submit([1, 2, 3], 6), srv.submit([5, 6], 5)]
+        res[f] = [x.result(timeout=180) for x in futs]
+        srv.shutdown()
+    assert res[False] == res[True]
+
+
+def test_forced_kernel_e2e_parity():
+    """Drive the actual Pallas kernel (interpret mode) through the scan
+    generator — the exact program the TPU lowering runs."""
+    import smelter_tpu.ops.fused_ops as fo
+    from smelter_tpu.runtime.generate import FusedGenerator
+
+    g, _ = llama_style.build_decode_step(**CFG)
+    base = FusedGenerator(g, st.Config()).generate([1, 2, 3], 5)
+    fo._FORCE_RAGGED_KERNEL = True
+    try:
+        got = FusedGenerator(g, st.Config(ragged_attention=True)) \
+            .generate([1, 2, 3], 5)
+    finally:
+        fo._FORCE_RAGGED_KERNEL = False
+    assert got == base
