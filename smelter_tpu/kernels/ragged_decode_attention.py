@@ -104,7 +104,10 @@ def _kernel(pos_ref, *refs, c: int, g: int, hd: int, bs: int, kvh: int,
 
 def _pick_block(max_len: int, kvd: int, itemsize: int, block: int) -> int:
     """Largest row-block that divides max_len and keeps the k+v blocks
-    (double-buffered by the pipeline) within a conservative VMEM slice."""
+    (double-buffered by the pipeline) within a conservative VMEM slice.
+    Bigger blocks amortize the per-grid-step latency (the per-head MXU
+    dots are tiny at decode shapes) at the cost of reading one larger
+    first block at short positions — probe82 sweeps the tradeoff."""
     budget = 8 << 20
     bs = min(block, max_len)
     while max_len % bs:
@@ -117,10 +120,13 @@ def _pick_block(max_len: int, kvd: int, itemsize: int, block: int) -> int:
 def _batched(q, k, v, ks, vs, pos, *, c: int, kv_heads: int, scale: float,
              block: int, interpret: bool):
     """q (B, kvh, g*c, hd); k/v (B, L, kvh*hd); ks/vs (B, L, 1) f32 or
-    None; pos (B,) int32. Returns (B, kvh, g*c, hd) in q.dtype."""
+    None; pos (B,) int32. Returns (B, kvh, g*c, hd) in q.dtype.
+    kv_heads is the GLOBAL head count (documentation + cache key); the
+    kernel derives the local count from q so the TP partition rule can
+    run it per-shard on a head slice."""
     bsz, kvh, gc, hd = q.shape
     _, max_len, kvd = k.shape
-    assert kvh == kv_heads and kvd == kvh * hd, (q.shape, k.shape, kv_heads)
+    assert kvd == kvh * hd, (q.shape, k.shape)
     assert gc % c == 0, (gc, c)
     g = gc // c
     quant = ks is not None
@@ -175,6 +181,70 @@ def _batched(q, k, v, ks, vs, pos, *, c: int, kv_heads: int, scale: float,
 
 
 @functools.lru_cache(maxsize=None)
+def _partitioned(c: int, kv_heads: int, scale: float, block: int,
+                 quant: bool, interpret: bool):
+    """GSPMD/Shardy partition rule over the BATCHED core: TP shards the
+    decode attention by kv head — q on its head axis, caches on their
+    compound (head, hd) last axis — and the SPMD partitioner cannot split
+    an opaque tpu_custom_call, so sharded caches would otherwise be
+    ALL-GATHERED around the kernel every step (the int4_matmul lesson:
+    a kernel in a serving loop needs vmap AND partitioning rules). Rule:
+    per-shard kernel on the local head slice; positions/slot axis ride
+    along (slots may shard over dp)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    kw = dict(c=c, kv_heads=kv_heads, scale=scale, block=block,
+              interpret=interpret)
+
+    if quant:
+        @custom_partitioning
+        def cp(q, k, ks, v, vs, pos):
+            return _batched(q, k, v, ks, vs, pos, **kw)
+        rule = "b h m d, b l (h d), b l u, b l (h d), b l u, b -> b h m d"
+        nrf = ("l", "m", "d", "u")
+    else:
+        @custom_partitioning
+        def cp(q, k, v, pos):
+            return _batched(q, k, v, None, None, pos, **kw)
+        rule = "b h m d, b l (h d), b l (h d), b -> b h m d"
+        nrf = ("l", "m", "d")
+
+    def _axes(arg_infos):
+        spec = getattr(arg_infos[0].sharding, "spec", None)  # q
+        if spec is None or len(spec) < 2:
+            return None, None
+        return spec[0], spec[1]  # (slot axis, head axis)
+
+    def infer(mesh, arg_infos, result_infos):
+        b_ax, h_ax = _axes(arg_infos)
+        return NamedSharding(mesh, P(b_ax, h_ax, None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        b_ax, h_ax = _axes(arg_infos)
+        qs = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        cs = NamedSharding(mesh, P(b_ax, None, h_ax))
+        ss = NamedSharding(mesh, P(b_ax, None, None))
+        ps = NamedSharding(mesh, P(b_ax))
+        arg_sh = ((qs, cs, ss, cs, ss, ps) if quant else (qs, cs, cs, ps))
+
+        def lower(*args):
+            if quant:
+                q, k, ks, v, vs, pos = args
+            else:
+                (q, k, v, pos), ks, vs = args, None, None
+            return _batched(q, k, v, ks, vs, pos, **kw)
+
+        return mesh, lower, qs, arg_sh
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule, need_replication_factors=nrf)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
 def _vmappable(c: int, kv_heads: int, scale: float, block: int,
                quant: bool, interpret: bool):
     """custom_vmap wrapper: the slot servers jit(vmap(step)) over slots —
@@ -183,19 +253,17 @@ def _vmappable(c: int, kv_heads: int, scale: float, block: int,
     without the per-slot clamp)."""
     import jax.custom_batching
 
-    kw = dict(c=c, kv_heads=kv_heads, scale=scale, block=block,
-              interpret=interpret)
+    cp = _partitioned(c, kv_heads, scale, block, quant, interpret)
 
     if quant:
         @jax.custom_batching.custom_vmap
         def call(q, k, ks, v, vs, pos):
-            return _batched(q[None], k[None], v[None], ks[None], vs[None],
-                            pos[None], **kw)[0]
+            return cp(q[None], k[None], ks[None], v[None], vs[None],
+                      pos[None])[0]
     else:
         @jax.custom_batching.custom_vmap
         def call(q, k, v, pos):
-            return _batched(q[None], k[None], v[None], None, None,
-                            pos[None], **kw)[0]
+            return cp(q[None], k[None], v[None], pos[None])[0]
 
     @call.def_vmap
     def _rule(axis_size, in_batched, *args):  # noqa: ANN001
@@ -206,17 +274,16 @@ def _vmappable(c: int, kv_heads: int, scale: float, block: int,
         full = [bcast(a, b) for a, b in zip(args, in_batched)]
         if quant:
             q, k, ks, v, vs, pos = full
-        else:
-            q, k, v, pos = full
-            ks = vs = None
-        return _batched(q, k, v, ks, vs, pos, **kw), True
+            return cp(q, k, ks, v, vs, pos), True
+        q, k, v, pos = full
+        return cp(q, k, v, pos), True
 
     return call
 
 
 def ragged_decode_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
                             c: int, kv_heads: int, scale: float,
-                            block: int = 256,
+                            block: int = 1024,
                             interpret: bool | None = None):
     """One stream: q (kvh, g*c, hd); k/v (max_len, kvh*hd) float — or int8
     with per-row f32 scales k_scale/v_scale (max_len, 1); pos () or (1,)

@@ -307,7 +307,7 @@ def _ragged_kernel_ok(max_len: int, kvd: int, hd: int, dtype) -> bool:
 
     if hd % 128 or kvd % 128:
         return False
-    bs = _pick_block(max_len, kvd, np.dtype(dtype).itemsize, 256)
+    bs = _pick_block(max_len, kvd, np.dtype(dtype).itemsize, 1024)
     sub = {1: 32, 2: 16}.get(np.dtype(dtype).itemsize, 8)
     return bs % sub == 0
 
@@ -351,9 +351,15 @@ def ragged_decode_attention_op(ctx: Ctx, node: Node):
     use_kernel = _FORCE_RAGGED_KERNEL or (
         jax.default_backend() == "tpu"
         and _ragged_kernel_ok(max_len, kvd, hd, k.dtype))
-    fn = ragged_decode_attention if use_kernel \
-        else ragged_decode_attention_reference
-    out = fn(qh, k, v, pos.reshape(()), ks, vs,
-             c=c, kv_heads=kvh, scale=scale)
+    if use_kernel:
+        blk = (getattr(ctx.config, "ragged_block", None)
+               if ctx.config else None)
+        out = ragged_decode_attention(
+            qh, k, v, pos.reshape(()), ks, vs, c=c, kv_heads=kvh,
+            scale=scale, **({"block": int(blk)} if blk else {}))
+    else:
+        out = ragged_decode_attention_reference(
+            qh, k, v, pos.reshape(()), ks, vs,
+            c=c, kv_heads=kvh, scale=scale)
     out = out.reshape(kvh, g, c, hd).transpose(2, 0, 1, 3).reshape(c, dim)
     ctx.set(node.outputs[0], out.astype(q.dtype))

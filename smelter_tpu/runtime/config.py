@@ -72,6 +72,10 @@ class Config:
     # occupancy). Numerics: dense-identical off-TPU; flash-streaming
     # summation order on TPU.
     ragged_attention: bool = False
+    # Ragged-kernel cache row-block override (None = the auto policy:
+    # largest block within the VMEM budget; bigger blocks amortize
+    # per-grid-step latency at long positions — probe82's knob).
+    ragged_block: int | None = None
     donate_inputs: bool = False
     # Sharding: name of a parallel.MeshPlan or None for single device.
     mesh: Any = None

@@ -227,3 +227,60 @@ def test_forced_kernel_e2e_parity():
     finally:
         fo._FORCE_RAGGED_KERNEL = False
     assert got == base
+
+
+def test_tp_sharded_kernel_no_allgather(rng, eight_devices):
+    """custom_partitioning (Shardy compound-factor rule): kv-head-sharded
+    q and head-block-sharded caches run the kernel per shard — parity vs
+    unsharded and ZERO all-gathers of the cache in the compiled HLO."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smelter_tpu.parallel.mesh import MeshPlan
+
+    kvh, g, c, hd, L = 8, 2, 1, 16, 64
+    q = jnp.asarray(rng.standard_normal((kvh, g * c, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, kvh * hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, kvh * hd)), jnp.float32)
+    want = np.asarray(ragged_decode_attention(
+        q, k, v, 13, c=c, kv_heads=kvh, scale=0.25, block=16))
+    plan = MeshPlan.for_devices(8, tp=2)
+    with plan.mesh:
+        qs = NamedSharding(plan.mesh, P("tp", None, None))
+        cs = NamedSharding(plan.mesh, P(None, "tp"))
+        jf = jax.jit(
+            lambda a, b_, d: ragged_decode_attention(
+                a, b_, d, 13, c=c, kv_heads=kvh, scale=0.25, block=16),
+            in_shardings=(qs, cs, cs))
+        got = np.asarray(jf(q, k, v))
+        hlo = jf.lower(q, k, v).compile().as_text()
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+    assert "all-gather" not in hlo
+
+
+def test_tp_sharded_kernel_int8(rng, eight_devices):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smelter_tpu.parallel.mesh import MeshPlan
+
+    kvh, c, hd, L = 4, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((kvh, c, hd)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 127, (L, kvh * hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 127, (L, kvh * hd)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, 1)) * 0.1 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, 1)) * 0.1 + 1e-3, jnp.float32)
+    want = np.asarray(ragged_decode_attention(
+        q, kq, vq, 9, ks, vs, c=c, kv_heads=kvh, scale=0.25, block=8))
+    plan = MeshPlan.for_devices(8, tp=2)
+    with plan.mesh:
+        qs = NamedSharding(plan.mesh, P("tp", None, None))
+        cs = NamedSharding(plan.mesh, P(None, "tp"))
+        rs = NamedSharding(plan.mesh, P(None, None))
+        jf = jax.jit(
+            lambda a, b_, d, e, f_: ragged_decode_attention(
+                a, b_, d, 9, e, f_, c=c, kv_heads=kvh, scale=0.25,
+                block=8),
+            in_shardings=(qs, cs, cs, rs, rs))
+        got = np.asarray(jf(q, kq, vq, ks, vs))
+        hlo = jf.lower(q, kq, vq, ks, vs).compile().as_text()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    assert "all-gather" not in hlo
