@@ -112,8 +112,16 @@ def _pick_block(max_len: int, kvd: int, itemsize: int, block: int) -> int:
     bs = min(block, max_len)
     while max_len % bs:
         bs -= 1
+    # shrink within the divisors of max_len: a bs that does not divide
+    # max_len would silently drop the tail cache rows in _batched
     while bs > 8 and 2 * 2 * bs * kvd * itemsize > budget:
-        bs //= 2
+        nxt = bs - 1
+        while nxt > 8 and max_len % nxt:
+            nxt -= 1
+        if nxt == bs or max_len % nxt:
+            break
+        bs = nxt
+    assert max_len % bs == 0, (max_len, bs)
     return bs
 
 
@@ -202,20 +210,33 @@ def _partitioned(c: int, kv_heads: int, scale: float, block: int,
         @custom_partitioning
         def cp(q, k, ks, v, vs, pos):
             return _batched(q, k, v, ks, vs, pos, **kw)
+        # need_replication_factors must follow factor-appearance order in
+        # the rule (b=0, h=1, m=2, d=3, l=4, u=5) — Shardy's verifier
+        # rejects unsorted special-factor indices.
         rule = "b h m d, b l (h d), b l u, b l (h d), b l u, b -> b h m d"
-        nrf = ("l", "m", "d", "u")
+        nrf = ("m", "d", "l", "u")
     else:
         @custom_partitioning
         def cp(q, k, v, pos):
             return _batched(q, k, v, None, None, pos, **kw)
         rule = "b h m d, b l (h d), b l (h d), b -> b h m d"
-        nrf = ("l", "m", "d")
+        nrf = ("m", "d", "l")
 
     def _axes(arg_infos):
         spec = getattr(arg_infos[0].sharding, "spec", None)  # q
-        if spec is None or len(spec) < 2:
-            return None, None
-        return spec[0], spec[1]  # (slot axis, head axis)
+        b_ax = h_ax = None
+        if spec is not None and len(spec) >= 2:
+            b_ax, h_ax = spec[0], spec[1]
+        if h_ax is None or b_ax is None:
+            # q may arrive replicated while the caches carry the TP
+            # sharding (e.g. q produced by a replicated projection):
+            # read the k cache's (b, l, (h d)) spec — its last axis is
+            # the head axis, its first the slot axis.
+            kspec = getattr(arg_infos[1].sharding, "spec", None)
+            if kspec is not None and len(kspec) >= 3:
+                b_ax = b_ax if b_ax is not None else kspec[0]
+                h_ax = h_ax if h_ax is not None else kspec[2]
+        return b_ax, h_ax
 
     def infer(mesh, arg_infos, result_infos):
         b_ax, h_ax = _axes(arg_infos)
