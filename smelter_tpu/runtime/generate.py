@@ -451,10 +451,24 @@ class FusedGenerator:
             self._params, prompt, plen=plen, n_new=n_new, caches=caches,
             ctxs=ctxs, key=key, temperature=temp,
             top_k=int(top_k), do_sample=do_sample)
-        payload = serialize_executable.serialize(lowered.compile())
+        compiled = lowered.compile()
+        payload = serialize_executable.serialize(compiled)
+        # record the compile-time device count: deserialize_and_load
+        # defaults execution_devices to ALL local devices, and an
+        # executable compiled for 1 device then demands N input shards
+        # at execution and is rejected (the runtime/artifact.py probe53
+        # lesson, same fix)
+        try:
+            import jax
+
+            sh = jax.tree_util.tree_leaves(compiled.input_shardings[0])[0]
+            dc = len(sh.device_set)
+        except Exception:  # noqa: BLE001
+            dc = 1
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
-        f = p / f"decode_{plen}_{n_new}_{int(top_k)}_{int(do_sample)}.xla"
+        f = p / (f"decode_{plen}_{n_new}_{int(top_k)}_{int(do_sample)}"
+                 f"_{dc}.xla")
         f.write_bytes(pickle.dumps(payload))
         return str(f)
 
@@ -468,15 +482,25 @@ class FusedGenerator:
 
         from jax.experimental import serialize_executable
 
+        import jax
+
         self._aot = getattr(self, "_aot", {})
         n = 0
         for f in sorted(Path(path).glob("decode_*.xla")):
             try:
-                plen, n_new, top_k, ds = (int(v) for v in
-                                          f.stem.split("_")[1:5])
+                fields = [int(v) for v in f.stem.split("_")[1:6]]
+                plen, n_new, top_k, ds = fields[:4]
+                # 5th field = compile-time device count (older files
+                # lack it; assume 1). Pin execution_devices to it — the
+                # default (all local devices) makes a 1-device
+                # executable demand N input shards and reject.
+                dc = fields[4] if len(fields) > 4 else 1
+                if len(jax.devices()) < dc:
+                    continue
                 payload = pickle.loads(f.read_bytes())
                 self._aot[(plen, n_new, top_k, bool(ds))] = \
-                    serialize_executable.deserialize_and_load(*payload)
+                    serialize_executable.deserialize_and_load(
+                        *payload, execution_devices=jax.devices()[:dc])
                 n += 1
             except Exception:  # noqa: BLE001 — version-mismatched file
                 continue

@@ -166,7 +166,20 @@ class TestAotDecode:
         gen2 = FusedGenerator(step_g)
         assert gen2.aot_load(tmp_path) == 2
         assert (3, 8, 0, False) in gen2._aot
-        assert gen2.generate([3, 7, 11], 8) == want
+        # the executable must actually run — the self-heal fallback
+        # deletes the entry and warns; both are regressions (the r4
+        # suite silently recompiled because execution_devices defaulted
+        # to all 8 virtual devices)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            assert gen2.generate([3, 7, 11], 8) == want
+        assert (3, 8, 0, False) in gen2._aot
         s1 = gen.generate([3, 7, 11], 8, temperature=0.8, top_k=5, seed=3)
-        s2 = gen2.generate([3, 7, 11], 8, temperature=0.8, top_k=5, seed=3)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            s2 = gen2.generate([3, 7, 11], 8, temperature=0.8, top_k=5,
+                               seed=3)
+        assert (3, 8, 5, True) in gen2._aot
         assert s1 == s2
