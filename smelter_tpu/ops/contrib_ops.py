@@ -742,7 +742,7 @@ def embed_layer_norm(ctx: Ctx, node: Node):
         ctx.set(node.outputs[2], e)
 
 
-@register("MatMulNBits")
+@register("MatMulNBits", static={1, 2, 3, 4})
 def matmul_nbits(ctx: Ctx, node: Node):
     """Block-quantized (4/8-bit) weight matmul — the LLM weight format of
     onnxruntime-genai exports.
@@ -907,7 +907,7 @@ def _moe_core(node: Node, x, router, w1, b1, w2, b2, w3, b3):
     return out.astype(x.dtype).reshape(lead + (x.shape[-1],))
 
 
-@register("QMoE")
+@register("QMoE", static={2, 3, 5, 6, 8, 9})
 def qmoe_contrib(ctx: Ctx, node: Node):
     """Quantized MoE (Phi-3.5-MoE-class): 4- or 8-bit symmetric per-column
     expert weights with f32 scales. Packed weights/scales are initializers

@@ -655,7 +655,7 @@ def group_normalization(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
-@register("custom_group_norm")
+@register("custom_group_norm", static={1})
 def custom_group_norm(ctx: Ctx, node: Node):
     """The reference's custom GroupNorm op: inputs [x, groups, gamma, beta]
     with groups/gamma/beta as tensors (Converters.swift:1272-1300,
@@ -764,7 +764,7 @@ def _as_str(v) -> str:
     return v.decode() if isinstance(v, bytes) else str(v)
 
 
-@register("Upsample")
+@register("Upsample", static={1})
 def upsample(ctx: Ctx, node: Node):
     """Upsample-7 (scales attr) / Upsample-9 (scales input). The linear mode
     honors config.upsample_align_corners, defaulting to align_corners=True to
@@ -804,7 +804,7 @@ def _spatial_axes(node: Node, ndim: int) -> tuple[int, ...]:
     return tuple(range(2, ndim))
 
 
-@register("Resize", since=10)
+@register("Resize", since=10, static={1, 2, 3})
 def resize(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     mode = _as_str(node.attr("mode", "nearest"))
@@ -921,7 +921,7 @@ def deform_conv(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y.astype(x.dtype))
 
 
-@register("AffineGrid", since=20)
+@register("AffineGrid", since=20, static={1})
 def affine_grid(ctx: Ctx, node: Node):
     """Sampling grid from affine matrices (pairs with GridSample): theta
     (N,2,3) + size (N,C,H,W) -> (N,H,W,2), or the 3-D (N,3,4) form. The

@@ -57,7 +57,7 @@ def dequantize_linear(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
-@register("QuantizeLinear", since=10)
+@register("QuantizeLinear", since=10, static={1, 2})
 def quantize_linear(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = node.attr("axis", 1)
@@ -75,7 +75,7 @@ def quantize_linear(ctx: Ctx, node: Node):
         return _scale_shape(p, x.ndim, axis)
 
     # Static scale: fold the reciprocal at trace time (turns the VPU
-    # division into a constant multiply; see _STATIC_POSITIONS).
+    # division into a constant multiply; see @register static=...).
     s_c = ctx.static(node.inputs[1], required=False)
     if s_c is not None:
         inv = shaped(np.reciprocal(np.asarray(s_c, np.float64)), np_mode=True)
@@ -152,7 +152,7 @@ def _requant(y_f32, scale, zp, ctx, node):
     return jnp.clip(y, info.min, info.max).astype(out_dtype)
 
 
-@register("QLinearMatMul", since=10)
+@register("QLinearMatMul", since=10, static={1, 2, 4, 5, 6, 7})
 def qlinear_matmul(ctx: Ctx, node: Node):
     """Full quantized matmul: dequant A/B -> matmul -> requant to y dtype.
     Extension over the ONNX spec: per-output-column B scales are accepted
@@ -216,7 +216,7 @@ def _in_val(ctx: Ctx, node: Node, i: int):
     return None, ctx.get(name)
 
 
-@register("QLinearConv", since=10)
+@register("QLinearConv", since=10, static={1, 2, 4, 5, 6, 7, 8})
 def qlinear_conv(ctx: Ctx, node: Node):
     from .nn import _conv_attrs, _layout, _spatial_dim_numbers
     from . import padding as P
@@ -224,7 +224,7 @@ def qlinear_conv(ctx: Ctx, node: Node):
 
     x_raw = ctx.get(node.inputs[0])
     # Scales/zero-points are trace-time constants when they come from
-    # initializers (_STATIC_POSITIONS): the whole requant epilogue then
+    # initializers (@register static positions): the whole requant epilogue then
     # folds to one constant multiply-add — acc*m + b — instead of the
     # runtime mul/bias/divide chain (VERDICT r1 item 3: requant folding).
     cs = [_in_val(ctx, node, i) for i in (1, 2, 4, 5, 6, 7, 8)]

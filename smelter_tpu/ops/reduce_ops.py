@@ -28,7 +28,7 @@ def _axes_for(ctx: Ctx, node: Node, ndim: int, axes_input_since: int = 18):
 
 
 def _reduce(op_type: str, fn):
-    @register(op_type)
+    @register(op_type, static={1})
     def _lower(ctx: Ctx, node: Node, _fn=fn):
         x = ctx.get(node.inputs[0])
         axes = _axes_for(ctx, node, x.ndim)
@@ -86,7 +86,7 @@ def argmin(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y.astype(jnp.int32))  # int64 unavailable without x64
 
 
-@register("CumSum", since=11)
+@register("CumSum", since=11, static={1})
 def cumsum(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = int(ctx.static(node.inputs[1]).reshape(-1)[0])
@@ -104,7 +104,7 @@ def cumsum(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], y)
 
 
-@register("TopK", since=10)
+@register("TopK", since=10, static={1})
 def topk(ctx: Ctx, node: Node):
     import jax
 

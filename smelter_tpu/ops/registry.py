@@ -22,31 +22,57 @@ from ..ir.errors import (
 )
 from ..ir.graph import Graph, Node
 
-# op_type -> list of (since_opset, fn) sorted at resolve time.
-_REGISTRY: dict[str, list[tuple[int, Callable]]] = {}
+# op_type -> list of (since_opset, fn, static_positions) sorted at
+# resolve time.
+_REGISTRY: dict[str, list[tuple[int, Callable, frozenset[int]]]] = {}
 
 
-def register(op_type: str, since: int = 1):
-    """Register a lowering for `op_type`, valid for opset >= `since`."""
+def register(op_type: str, since: int = 1,
+             static: set[int] | frozenset[int] = frozenset()):
+    """Register a lowering for `op_type`, valid for opset >= `since`.
+
+    `static` declares the input POSITIONS this lowering reads as
+    trace-time constants via `ctx.static(...)` — an initializer used
+    *only* in such positions is folded into the compiled program instead
+    of becoming a runtime param (the analog of the reference folding
+    Constant nodes into its tensor dict, Converters.swift:716-727).
+    Declaring it here, at the lowering, keeps the fold self-maintaining:
+    a new op that calls ctx.static on an input MUST list that position
+    or the constant is uploaded as a param every call."""
 
     def deco(fn: Callable) -> Callable:
-        _REGISTRY.setdefault(op_type, []).append((since, fn))
+        _REGISTRY.setdefault(op_type, []).append(
+            (since, fn, frozenset(static)))
         return fn
 
     return deco
 
 
-def resolve(op_type: str, opset: int) -> Callable:
+def _best(op_type: str, opset: int):
     cands = _REGISTRY.get(op_type)
     if not cands:
         raise UnknownOpError(op_type, opset)
     best = None
-    for since, fn in cands:
-        if since <= opset and (best is None or since > best[0]):
-            best = (since, fn)
+    for entry in cands:
+        if entry[0] <= opset and (best is None or entry[0] > best[0]):
+            best = entry
     if best is None:
         raise UnknownOpError(op_type, opset)
-    return best[1]
+    return best
+
+
+def resolve(op_type: str, opset: int) -> Callable:
+    return _best(op_type, opset)[1]
+
+
+def static_positions(op_type: str, opset: int) -> frozenset[int]:
+    """Input positions the resolved lowering consumes as trace-time
+    constants; empty for unknown ops (the executor's resolve loop
+    reports those with a proper error)."""
+    try:
+        return _best(op_type, opset)[2]
+    except UnknownOpError:
+        return frozenset()
 
 
 def registered_ops() -> list[str]:

@@ -49,7 +49,7 @@ def constant(ctx: Ctx, node: Node):
     raise NotSupportedError(f"Constant node {node.name!r} without value attr")
 
 
-@register("ConstantOfShape", since=9)
+@register("ConstantOfShape", since=9, static={0})
 def constant_of_shape(ctx: Ctx, node: Node):
     shape = tuple(int(d) for d in ctx.static(node.inputs[0]).reshape(-1))
     value = node.attr("value")
@@ -74,7 +74,7 @@ def size_op(ctx: Ctx, node: Node):
     ctx.set_static(node.outputs[0], np.asarray(int(np.prod(x.shape)), np.int64))
 
 
-@register("Range", since=11)
+@register("Range", since=11, static={0, 1, 2})
 def range_op(ctx: Ctx, node: Node):
     start, limit, delta = (ctx.static(n).reshape(()) for n in node.inputs[:3])
     ctx.set_static(node.outputs[0], np.arange(start, limit, delta))
@@ -96,7 +96,7 @@ def _resolve_reshape(shape_spec: np.ndarray, in_shape: tuple[int, ...], allowzer
     return tuple(out)
 
 
-@register("Reshape")
+@register("Reshape", static={1})
 def reshape(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     if ctx.opset >= 5:
@@ -121,7 +121,7 @@ def flatten(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], x.reshape((lead, -1)))
 
 
-@register("Squeeze")
+@register("Squeeze", static={1})
 def squeeze(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     if ctx.opset >= 13:
@@ -140,7 +140,7 @@ def squeeze(ctx: Ctx, node: Node):
         ctx.set_static(node.outputs[0], st.reshape(y.shape))
 
 
-@register("Unsqueeze")
+@register("Unsqueeze", static={1})
 def unsqueeze(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     if ctx.opset >= 13:
@@ -182,7 +182,7 @@ def concat(ctx: Ctx, node: Node):
         ctx.set_static(node.outputs[0], np.concatenate(statics, axis=axis))
 
 
-@register("Split", since=2)
+@register("Split", since=2, static={1})
 def split(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = node.attr("axis", 0)
@@ -212,7 +212,7 @@ def split(ctx: Ctx, node: Node):
         ctx.set(out_name, x[tuple(idx)])
 
 
-@register("Slice")
+@register("Slice", static={1, 2, 3, 4})
 def slice_op(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     if ctx.opset >= 10:
@@ -267,7 +267,7 @@ def gather_elements(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], jnp.take_along_axis(x, indices, axis=axis))
 
 
-@register("Expand", since=8)
+@register("Expand", since=8, static={1})
 def expand(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     shape = tuple(int(d) for d in ctx.static(node.inputs[1]).reshape(-1))
@@ -276,14 +276,14 @@ def expand(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], jnp.broadcast_to(x, out_shape))
 
 
-@register("Tile")
+@register("Tile", static={1})
 def tile(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     reps = tuple(int(r) for r in ctx.static(node.inputs[1]).reshape(-1))
     ctx.set(node.outputs[0], jnp.tile(x, reps))
 
 
-@register("Pad")
+@register("Pad", static={1, 2})
 def pad(ctx: Ctx, node: Node):
     """constant/reflect/edge pad over any dims (parity: Converters.swift:942-989
     supports channel+spatial constant/reflect/edge on images)."""

@@ -28,55 +28,21 @@ from ..ops.registry import Ctx, lower_node
 from ..utils import dtypes as dt
 from .config import Config
 
-# Input positions that ops consume as trace-time constants. An initializer
-# used *only* in these positions never becomes a runtime param — it is folded
-# into the compiled program (the analog of the reference folding Constant
-# nodes into its tensor dict, Converters.swift:716-727).
-_STATIC_POSITIONS: dict[str, set[int]] = {
-    "Reshape": {1},
-    "Squeeze": {1},
-    "Unsqueeze": {1},
-    "Expand": {1},
-    "Tile": {1},
-    "Pad": {1, 2},
-    "Slice": {1, 2, 3, 4},
-    "Resize": {1, 2, 3},
-    "Upsample": {1},
-    "Split": {1},
-    "CumSum": {1},
-    "TopK": {1},
-    "ConstantOfShape": {0},
-    "Range": {0, 1, 2},
-    "custom_group_norm": {1},
-    "ReduceMean": {1},
-    "ReduceSum": {1},
-    "ReduceMax": {1},
-    "ReduceMin": {1},
-    "ReduceProd": {1},
-    "ReduceL1": {1},
-    "ReduceL2": {1},
-    "ReduceSumSquare": {1},
-    "ReduceLogSumExp": {1},
-    # Quant scales/zero-points/bias: folded into the requant epilogue as
-    # trace-time constants (one combined multiplier m = x_s*w_s/y_s
-    # instead of a runtime mul/bias/divide chain; ops/quant_ops.py).
-    "QuantizeLinear": {1, 2},
-    "QLinearConv": {1, 2, 4, 5, 6, 7, 8},
-    "QLinearMatMul": {1, 2, 4, 5, 6, 7},
-    # Block-quantized weights: unpacked host-side at trace time
-    # (ops/contrib_ops.py::matmul_nbits) — never uploaded as-is.
-    "MatMulNBits": {1, 2, 3, 4},
-    "QMoE": {2, 3, 5, 6, 8, 9},
-    "AffineGrid": {1},
-}
-
-
 def split_params(graph: Graph) -> tuple[list[str], list[str]]:
-    """Partition initializer names into (runtime params, static-only)."""
+    """Partition initializer names into (runtime params, static-only).
+
+    The static input positions are declared at each lowering's
+    @register(..., static={...}) site (ops/registry.py) — an initializer
+    used *only* in such positions never becomes a runtime param; it is
+    folded into the compiled program (the analog of the reference
+    folding Constant nodes into its tensor dict,
+    Converters.swift:716-727)."""
+    from ..ops.registry import static_positions
+
     dynamic: set[str] = set()
     static_only_candidates: set[str] = set(graph.initializers)
     for node in graph.nodes:
-        static_pos = _STATIC_POSITIONS.get(node.op_type, set())
+        static_pos = static_positions(node.op_type, graph.opset)
         for i, name in enumerate(node.inputs):
             if name in graph.initializers and i not in static_pos:
                 dynamic.add(name)

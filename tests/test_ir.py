@@ -256,3 +256,70 @@ class TestInt4Packing:
         back = tensor_to_numpy(tp)
         np.testing.assert_array_equal(back.astype(np.int32),
                                       vals.astype(np.int32))
+
+
+class TestStaticPositions:
+    """@register(..., static={...}) declarations drive the executor's
+    param split (VERDICT r4 #8: the hand-maintained table could silently
+    miss new ops — ReduceLogSum's axes input was exactly such a miss)."""
+
+    def _split(self, g):
+        from smelter_tpu.runtime.executor import split_params
+
+        return split_params(g)
+
+    def test_reshape_shape_is_static_only(self):
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("s", opset=21)
+        x = b.input("x", (2, 6))
+        shp = b.init(np.asarray([2, 3, 2], np.int64), "shp")
+        y = b.node("Reshape", [x, shp])
+        b.output(y, (2, 3, 2))
+        params, static = self._split(b.graph)
+        assert "shp" in static and "shp" not in params
+
+    def test_reduce_logsum_axes_static(self):
+        # the op the old table missed: its axes initializer must fold
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("s", opset=21)
+        x = b.input("x", (2, 3, 4))
+        ax = b.init(np.asarray([2], np.int64), "ax")
+        y = b.node("ReduceLogSum", [x, ax])
+        b.output(y, (2, 3))
+        params, static = self._split(b.graph)
+        assert "ax" in static and "ax" not in params
+
+    def test_weight_stays_runtime_param(self):
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("s", opset=21)
+        x = b.input("x", (2, 4))
+        w = b.init(np.zeros((4, 3), np.float32), "w")
+        y = b.node("MatMul", [x, w])
+        b.output(y, (2, 3))
+        params, static = self._split(b.graph)
+        assert "w" in params and "w" not in static
+
+    def test_dual_use_initializer_is_param(self):
+        # used BOTH statically (Reshape shape) and dynamically (Add rhs):
+        # must remain a runtime param
+        from smelter_tpu.ir.build import GraphBuilder
+
+        b = GraphBuilder("s", opset=21)
+        x = b.input("x", (3,))
+        c = b.init(np.asarray([1, 3], np.int64), "c")
+        x2 = b.node("Reshape", [x, c])
+        y = b.node("Add", [x2, b.node("Cast", [c], to=1)])
+        b.output(y, (1, 3))
+        params, _ = self._split(b.graph)
+        assert "c" in params
+
+    def test_registry_reports_positions(self):
+        from smelter_tpu.ops.registry import static_positions
+
+        assert static_positions("Reshape", 21) == frozenset({1})
+        assert static_positions("Slice", 21) == frozenset({1, 2, 3, 4})
+        assert static_positions("NoSuchOp", 21) == frozenset()
+        assert static_positions("MatMul", 21) == frozenset()
