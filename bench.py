@@ -247,6 +247,129 @@ def _bench_decode(args, st) -> int:
     return 0
 
 
+def _bench_serve_decode(args, st) -> int:
+    """Continuous-batching DECODE serving: aggregate generated tok/s
+    through the slot loop. Default drives SpecDecodeServer (vmapped
+    draft-and-verify ticks) with a 4L/256d draft and reports the
+    MEASURED voluntary acceptance; --spec-draft self uses the target as
+    its own draft (acceptance 1.0 — the upper bound); --spec-draft none
+    benches plain DecodeServer. vs_baseline = aggregate tok/s vs plain
+    DecodeServer on the same workload (so the line captures what
+    speculation buys end-to-end through the slot loop, dispatch
+    round-trips included)."""
+    import gc
+
+    import jax
+
+    from smelter_tpu.models import llama_style
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.quant import quantize_weights
+    from smelter_tpu.serving.decode_server import (DecodeServer,
+                                                   SpecDecodeServer)
+
+    cfg = DECODE_CFGS[args.model]
+    max_len = 512 if cfg["dim"] > 512 else 64
+    quant = args.quant
+    if quant == "int8-static":
+        quant = "int4-g128"
+    elif quant == "none":
+        quant = None
+    gamma = args.gamma
+    slots = args.batch if args.batch <= 64 else 8
+    kvq = bool(args.kv_quant)  # graph-level: the builders emit int8 caches
+    scfg = st.Config(compute_dtype=args.dtype,
+                     ragged_attention=bool(args.ragged))
+
+    def q(g):
+        if quant:
+            quantize_weights(g, quant, min_elements=1 << 16)
+            run_passes(g, ["fuse_dequant_matmul", "dce"])
+        return g
+
+    w = llama_style.make_weights(max_len=max_len, **cfg)
+    step = q(llama_style.build_decode_step(w, max_len=max_len,
+                                           kv_quant=kvq, **cfg)[0])
+    pf_lens = [64] if max_len <= 64 else [64, 256]
+    pfs = [q(llama_style.build_prefill(w, prompt_len=p, max_len=max_len,
+                                       kv_quant=kvq, **cfg))
+           for p in pf_lens]
+
+    rng = np.random.default_rng(0)
+    prompts = [[int(t) for t in rng.integers(1, cfg["vocab"] - 1, n)]
+               for n in rng.integers(8, min(48, max_len // 4),
+                                     args.requests)]
+    n_new = args.new_tokens
+
+    def run(srv):
+        futs = [srv.submit(pr, n_new) for pr in prompts[:2]]
+        for f in futs:
+            f.result(timeout=1800)  # warm (compile) outside the clock
+        t0 = time.perf_counter()
+        futs = [srv.submit(pr, n_new) for pr in prompts]
+        tot = 0
+        for pr, f in zip(prompts, futs):
+            tot += len(f.result(timeout=3600)) - len(pr)
+        wall = time.perf_counter() - t0
+        stats = srv.stats()
+        srv.shutdown()
+        del srv
+        gc.collect()
+        return tot / wall, stats
+
+    plain_tps, _ = run(DecodeServer(step, slots=slots, config=scfg,
+                                    prefill_graphs=pfs))
+
+    draft_kind = args.spec_draft
+    if draft_kind == "none":
+        dev = jax.devices()[0]
+        print(json.dumps({
+            "metric": f"{args.model} decode serving aggregate tok/s "
+                      f"(DecodeServer, slots={slots}, "
+                      f"quant={quant or 'bf16'}, kv_quant={kvq}, "
+                      f"ragged={bool(args.ragged)}, n_new={n_new}, "
+                      f"{dev.platform})",
+            "value": round(plain_tps, 1),
+            "unit": "tokens/sec",
+            "vs_baseline": 1.0,
+        }))
+        return 0
+
+    chunk = q(llama_style.build_decode_step(w, max_len=max_len,
+                                            chunk=gamma + 1, kv_quant=kvq,
+                                            **cfg)[0])
+    if draft_kind == "self":
+        draft = q(llama_style.build_decode_step(w, max_len=max_len,
+                                                kv_quant=kvq, **cfg)[0])
+        dpfs = pfs
+    else:  # tiny independent 4L/256d draft (probe75/79 geometry)
+        dcfg = dict(vocab=cfg["vocab"], dim=256, heads=8, kv_heads=4,
+                    ffn=1024, layers=4)
+        dw = llama_style.make_weights(max_len=max_len, seed=7, **dcfg)
+        draft = llama_style.build_decode_step(dw, max_len=max_len,
+                                              **dcfg)[0]
+        dpfs = [llama_style.build_prefill(dw, prompt_len=p,
+                                          max_len=max_len, **dcfg)
+                for p in pf_lens]
+    spec_tps, stats = run(SpecDecodeServer(
+        step, chunk, draft, slots=slots, config=scfg,
+        prefill_graphs=pfs, draft_prefill_graphs=dpfs))
+    acc = stats.get("accept_rate")
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"{args.model} speculative decode serving aggregate "
+                  f"tok/s (SpecDecodeServer, slots={slots}, "
+                  f"gamma={gamma}, draft={draft_kind}, measured "
+                  f"acceptance={acc if acc is None else round(acc, 3)}, "
+                  f"quant={quant or 'bf16'}, kv_quant={kvq}, "
+                  f"ragged={bool(args.ragged)}, n_new={n_new}, vs plain "
+                  f"DecodeServer {plain_tps:.1f} tok/s, {dev.platform})",
+        "value": round(spec_tps, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(spec_tps / plain_tps, 3),
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="resnet50")
@@ -274,6 +397,23 @@ def main() -> int:
                         "llama_1b/llama_7b; default quant int4-g128). "
                         "llama_tiny is dispatch-noise-dominated over the "
                         "dev tunnel — use llama_1b+ for real numbers")
+    p.add_argument("--serve-decode", action="store_true",
+                   help="continuous-batching decode serving: aggregate "
+                        "tok/s through the DecodeServer/SpecDecodeServer "
+                        "slot loop (--model llama_tiny/llama_1b/llama_7b; "
+                        "--spec-draft tiny|self|none)")
+    p.add_argument("--spec-draft", default="tiny",
+                   choices=["tiny", "self", "none"],
+                   help="serve-decode draft: tiny = independent 4L/256d "
+                        "(measured acceptance), self = target drafts "
+                        "itself (acceptance 1.0 upper bound), none = "
+                        "plain DecodeServer only")
+    p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--new-tokens", type=int, default=64)
+    p.add_argument("--kv-quant", action="store_true",
+                   help="serve-decode: int8 KV caches")
+    p.add_argument("--ragged", action="store_true",
+                   help="serve-decode: ragged decode attention")
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
@@ -287,12 +427,14 @@ def main() -> int:
 
     import smelter_tpu as st
 
-    if args.decode:
+    if args.decode or args.serve_decode:
         if args.model == "resnet50":
             args.model = "llama_1b"
         if args.model not in DECODE_CFGS:
             p.error(f"unknown decode model {args.model!r}; available: "
                     f"{', '.join(sorted(DECODE_CFGS))}")
+        if args.serve_decode:
+            return _bench_serve_decode(args, st)
         return _bench_decode(args, st)
 
     from smelter_tpu.models import ZOO

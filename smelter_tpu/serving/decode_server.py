@@ -445,13 +445,29 @@ class SpecDecodeServer:
         self._lock = threading.Lock()
         self._shutdown = False
         self._wake = threading.Event()
+        # acceptance accounting (voluntary draft positions only — forced
+        # prompt ingestion always "accepts" and would inflate the rate)
+        self._ticks = 0
+        self._acc_num = 0
+        self._acc_den = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     # public API matches DecodeServer
     submit = DecodeServer.submit
-    stats = DecodeServer.stats
     shutdown = DecodeServer.shutdown
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "slots": self.slots,
+                "active": sum(s.active for s in self._state),
+                "queued": self._pending.qsize(),
+                "ticks": self._ticks,
+                "accept_rate": (self._acc_num / self._acc_den
+                                if self._acc_den else None),
+                "gamma": self.gamma,
+            }
 
     def _admit(self) -> None:
         import jax.numpy as jnp
@@ -554,11 +570,15 @@ class SpecDecodeServer:
                     self._d_caches = _fresh(self._d_caches)
                 continue
             with self._lock:
+                self._ticks += 1
                 for i, s in enumerate(self._state):
                     if not s.active:
                         continue
                     a = int(acc[i])
                     nf = int(n_forced[i])
+                    if free[i] and g > nf:
+                        self._acc_den += g - nf
+                        self._acc_num += max(0, a - nf)
                     plen = len(s.prompt)
                     # a token emitted for sequence position pos+j+1 is
                     # GENERATED only once past the prompt; a mid-prompt

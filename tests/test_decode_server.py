@@ -252,3 +252,29 @@ class TestSpecDecodeServer:
         finally:
             srv2.shutdown()
         assert got2 == want[0][:6]
+
+    def test_acceptance_stats(self, graphs):
+        """Voluntary acceptance accounting: self-draft -> 1.0, the
+        tiny independent random draft -> near zero; forced prompt
+        ingestion must not inflate the rate (bench.py --serve-decode
+        reports this number)."""
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        w, step, chunk, draft, _ = graphs
+        draft_self, _ = llama_style.build_decode_step(w, max_len=32,
+                                                      **self.CFG)
+        rates = {}
+        for name, d in (("self", draft_self), ("tiny", draft)):
+            srv = SpecDecodeServer(step, chunk, d, slots=2)
+            try:
+                futs = [srv.submit(p, 8) for p in self.PROMPTS[:3]]
+                for f in futs:
+                    f.result(timeout=180)
+                st_ = srv.stats()
+            finally:
+                srv.shutdown()
+            assert st_["ticks"] > 0 and st_["gamma"] == 3
+            rates[name] = st_["accept_rate"]
+        assert rates["self"] == pytest.approx(1.0)
+        assert rates["tiny"] < 0.5
