@@ -278,3 +278,112 @@ class TestSpecDecodeServer:
             rates[name] = st_["accept_rate"]
         assert rates["self"] == pytest.approx(1.0)
         assert rates["tiny"] < 0.5
+
+
+class TestBucketedDecodeServer:
+    """KV bucket ladder: mixed-length workloads hold less cache HBM than
+    slots x max_len while producing DecodeServer-identical tokens
+    (VERDICT r4 #5; probe78's caches-not-weights memory constraint)."""
+
+    CFG = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96, layers=2)
+
+    def _buckets(self, w, lens=(16, 64), slots=(3, 2), prefills=False):
+        from smelter_tpu.models import llama_style
+
+        out = []
+        for L, n in zip(lens, slots):
+            step, _ = llama_style.build_decode_step(w, max_len=L,
+                                                    **self.CFG)
+            pfs = ([llama_style.build_prefill(w, prompt_len=min(8, L // 2),
+                                              max_len=L, **self.CFG)]
+                   if prefills else [])
+            out.append({"step": step, "slots": n, "prefills": pfs})
+        return out
+
+    def test_parity_and_memory(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import (
+            BucketedDecodeServer, DecodeServer)
+
+        w = llama_style.make_weights(max_len=64, **self.CFG)
+        step64, _ = llama_style.build_decode_step(w, max_len=64,
+                                                  **self.CFG)
+        prompts = [[5, 9, 2], [1] * 10, [7, 3] * 12, [4], [2, 8, 6, 1]]
+        flat = DecodeServer(step64, slots=5)
+        try:
+            want = [flat.submit(p, 6).result(timeout=180) for p in prompts]
+            flat_bytes = flat.cache_bytes()
+        finally:
+            flat.shutdown()
+
+        srv = BucketedDecodeServer(self._buckets(w))
+        try:
+            futs = [srv.submit(p, 6) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+            assert srv.cache_bytes() < srv.uniform_cache_bytes()
+            # (3x16 + 2x64) / (5x64) rows = 55% of the flat allocation
+            assert srv.cache_bytes() <= 0.56 * flat_bytes
+        finally:
+            srv.shutdown()
+        assert got == want
+
+    def test_routing_and_spill(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import BucketedDecodeServer
+
+        w = llama_style.make_weights(max_len=64, **self.CFG)
+        srv = BucketedDecodeServer(self._buckets(w))
+        try:
+            # short fits the 16-bucket; long must land in the 64-bucket
+            short = srv.submit([3, 1], 4)
+            long = srv.submit([9] * 30, 8)
+            assert short.result(timeout=120) and long.result(timeout=120)
+            st_ = srv.stats()
+            assert [b["max_len"] for b in st_["buckets"]] == [16, 64]
+            # over-long: largest bucket rejects like DecodeServer
+            bad = srv.submit([1] * 64, 4)
+            with pytest.raises(ValueError):
+                bad.result(timeout=60)
+        finally:
+            srv.shutdown()
+
+    def test_weights_shared_not_duplicated(self):
+        import warnings
+
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import BucketedDecodeServer
+
+        w = llama_style.make_weights(max_len=64, **self.CFG)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # dup-weight warning must not fire
+            srv = BucketedDecodeServer(self._buckets(w))
+        try:
+            ps = [s._params for s in srv._servers]
+            assert ps[0] is ps[1]  # one shared dict
+            # every weight-sized entry is a single device buffer
+            big = [n for n, a in ps[0].items() if a.size > 1000]
+            assert big
+        finally:
+            srv.shutdown()
+
+    def test_prefill_buckets_compose(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import (
+            BucketedDecodeServer, DecodeServer)
+
+        w = llama_style.make_weights(max_len=64, **self.CFG)
+        step64, _ = llama_style.build_decode_step(w, max_len=64,
+                                                  **self.CFG)
+        prompts = [[5, 9, 2, 4], [1] * 6, [7, 3] * 10]
+        flat = DecodeServer(step64, slots=3)
+        try:
+            want = [flat.submit(p, 5).result(timeout=180) for p in prompts]
+        finally:
+            flat.shutdown()
+        srv = BucketedDecodeServer(self._buckets(w, prefills=True))
+        try:
+            futs = [srv.submit(p, 5) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            srv.shutdown()
+        assert got == want
