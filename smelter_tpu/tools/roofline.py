@@ -105,6 +105,13 @@ def model_roofline(graph, config=None) -> dict:
         if node.op_type != "Conv" or len(node.inputs) < 2:
             return False
         w = graph.initializers.get(node.inputs[1])
+        if w is None:
+            # weight-only quantized: the weight input is a
+            # DequantizeLinear output — resolve to its initializer
+            prod = next((n for n in graph.nodes
+                         if node.inputs[1] in n.outputs), None)
+            if prod is not None and prod.op_type == "DequantizeLinear":
+                w = graph.initializers.get(prod.inputs[0])
         if w is None or w.ndim != 4 or int(node.attr("group", 1)) <= 1:
             return False
         cin_per_g = (w.shape[2]
@@ -112,17 +119,48 @@ def model_roofline(graph, config=None) -> dict:
                      else w.shape[1])
         return cin_per_g == 1
 
-    dw_bytes = 0
+    # Round-5 extension of the r4b dwconv term: pooling, relayout
+    # (DepthToSpace/SpaceToDepth) and resize ops are the same kind of
+    # required traffic as scatter — pure data movement XLA cannot fuse
+    # into the adjacent convs, so their interior activations cross HBM
+    # in any schedule. Counting input[0]+output[0] per such node is what
+    # the old bound missed on SegNet (5.8% "achieved" against a bound
+    # that priced the pool/unpool/D2S pipeline at zero). Dense convs
+    # are deliberately NOT counted: an all-conv-I/O bound was tried and
+    # FALSIFIED by measurement (MobileNetV2 b256 measures 43.7k img/s
+    # against the 30.0k "bound" it implies — XLA provably elides part
+    # of the 1x1-chain traffic), so only the r4b depthwise term (dw3x3
+    # is ~4.5 flops/byte and measured AT this wall, probe62) plus the
+    # data-movement class below stay in the required set.
+    _MATERIALIZING = {"MaxPool", "AveragePool", "LpPool",
+                      "QLinearAveragePool", "QLinearConcat",
+                      "DepthToSpace", "SpaceToDepth", "Resize", "Upsample"}
+
+    def _edge_bytes(e: str) -> int:
+        t = vt.get(e)
+        if t is None or e in boundary or e in graph.initializers:
+            return 0
+        n = int(np.prod([int(d) for d in t.shape]))
+        try:
+            dt_ = np.dtype(t.np_dtype)
+            # graph dtypes say f32 but compute_dtype is bf16 on TPU —
+            # clamp float widths to 2 so the bound stays a LOWER bound;
+            # int edges (int8 activations, index tensors) keep their
+            # width (indices run int32 on device: clamp 8 -> 4)
+            w = 2 if dt_.kind == "f" else min(dt_.itemsize, 4)
+        except Exception:  # noqa: BLE001 — unknown dtype: assume bf16
+            w = 2
+        return n * w
+
+    mat_bytes = 0
     for node in graph.nodes:
-        if not _is_depthwise(node):
-            continue
-        for e in (node.inputs[0], node.outputs[0]):
-            t = vt.get(e)
-            if t is not None and e not in boundary \
-                    and e not in graph.initializers:
-                dw_bytes += int(np.prod([int(d) for d in t.shape])) * 2
+        if (node.op_type in _MATERIALIZING
+                and node.op_type not in _SCATTER_OPS) \
+                or _is_depthwise(node):
+            mat_bytes += _edge_bytes(node.inputs[0])
+            mat_bytes += _edge_bytes(node.outputs[0])
     t_hbm = (io_bytes + w_bytes + scatter_bytes
-             + dw_bytes) / TPU_V5E["hbm_gbps"]
+             + mat_bytes) / TPU_V5E["hbm_gbps"]
 
     # MXU, VPU and HBM pipelines can overlap, so the unbeatable bound is
     # the max of the three (not their sum)

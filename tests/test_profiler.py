@@ -73,3 +73,60 @@ def test_depthwise_conv_priced_on_vpu():
     rl = model_roofline(g)
     assert rl["t_vpu_s"] > 0
     assert rl["sol_s"] >= rl["t_vpu_s"]
+
+
+class TestRequiredTrafficBound:
+    """r5 roofline: pool/relayout interior I/O is required HBM traffic
+    (the SegNet 5.8% row was measured against a bound that priced the
+    pool/unpool/D2S pipeline at zero); dense-conv I/O is deliberately
+    NOT counted (falsified by MobileNetV2's measured 43.7k img/s)."""
+
+    def _bound(self, with_pool):
+        import numpy as np
+
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.tools.roofline import model_roofline
+
+        rng = np.random.default_rng(0)
+        b = GraphBuilder("m", opset=17)
+        x = b.input("x", (2, 8, 32, 32))
+        w = b.init(rng.standard_normal((8, 8, 3, 3)).astype(np.float32))
+        y = b.node("Conv", [x, w], pads=[1, 1, 1, 1])
+        if with_pool:
+            y = b.node("MaxPool", [y], kernel_shape=[2, 2],
+                       strides=[2, 2])
+            y = b.node("Conv", [y, b.init(
+                rng.standard_normal((8, 8, 3, 3)).astype(np.float32))],
+                pads=[1, 1, 1, 1])
+        b.output(y, None)
+        return model_roofline(b.graph)
+
+    def test_pool_io_counts(self):
+        plain = self._bound(False)
+        pooled = self._bound(True)
+        # the pool's in+out edges add required HBM time
+        assert pooled["t_hbm_s"] > plain["t_hbm_s"]
+
+    def test_conv_io_not_counted(self):
+        # a conv-only graph's t_hbm is io+weights only: interior conv
+        # edges are excluded (the falsified all-conv-I/O bound)
+        import numpy as np
+
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.tools.roofline import model_roofline
+
+        rng = np.random.default_rng(0)
+        b = GraphBuilder("m", opset=17)
+        x = b.input("x", (2, 8, 16, 16))
+        y = x
+        for _ in range(3):
+            y = b.node("Conv", [y, b.init(
+                rng.standard_normal((8, 8, 3, 3)).astype(np.float32))],
+                pads=[1, 1, 1, 1])
+        b.output(y, None)
+        import pytest
+
+        rl = model_roofline(b.graph)
+        io = (2 * 8 * 16 * 16 * 2) * 2          # in + out, bf16
+        w = 3 * 8 * 8 * 3 * 3 * 4               # f32 weights
+        assert rl["t_hbm_s"] * 819e9 == pytest.approx(io + w, rel=0.01)
