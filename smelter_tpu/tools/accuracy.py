@@ -126,6 +126,11 @@ def main(argv=None) -> int:
     p.add_argument("--calib", default=None, metavar="NPZ",
                    help="calibration npz for --quant int8-static "
                         "(defaults to the eval inputs)")
+    p.add_argument("--weights", default=None, metavar="CKPT",
+                   help="zoo models: load a torchvision-style checkpoint "
+                        "(.npz of state-dict arrays, or torch .pt/.pth) "
+                        "into the model before export — the path real "
+                        "pretrained weights take through the gate")
     args = p.parse_args(argv)
 
     import jax
@@ -145,8 +150,17 @@ def main(argv=None) -> int:
             print(f"accuracy: unknown zoo model {name!r}", file=sys.stderr)
             return 2
         kw = {"image_size": args.image_size} if args.image_size else {}
-        g, _tm, shape = zoo_mod.ZOO[name](batch=args.batch, **kw)
+        if args.weights:
+            from ..frontend.weights import reexport_with_weights
+
+            g, _tm, shape = reexport_with_weights(
+                zoo_mod.ZOO[name], args.weights, batch=args.batch, **kw)
+        else:
+            g, _tm, shape = zoo_mod.ZOO[name](batch=args.batch, **kw)
     else:
+        if args.weights:
+            print("accuracy: --weights needs a zoo: model", file=sys.stderr)
+            return 2
         g = st.load_model(args.model)
         shape = None
 

@@ -97,3 +97,56 @@ class TestOnnx2TpuVerify:
         rc = onnx2tpu.main([path, "-o", str(out), "--quant", "int8",
                             "--verify", "8", "--verify-gate", "-100"])
         assert rc == 1 and not out.exists()
+
+
+class TestRealWeightsPath:
+    """The path pretrained checkpoints take through the gate (VERDICT r4
+    missing #1): a torchvision-style state dict (.npz or .pt) loads into
+    the zoo torch module and the re-exported graph computes with THOSE
+    weights — verified by matching the donor module's torch outputs."""
+
+    def _donor_and_ckpt(self, tmp_path, fmt, **bkw):
+        import torch
+
+        from smelter_tpu.models import mobilenet_v2
+
+        _g, donor, shape = mobilenet_v2.build(4, 64, seed=123, **bkw)
+        sd = donor.state_dict()
+        if fmt == "npz":
+            path = tmp_path / "w.npz"
+            np.savez(path, **{k: v.numpy() for k, v in sd.items()})
+        else:
+            path = tmp_path / "w.pt"
+            torch.save({"state_dict": {"module." + k: v
+                                       for k, v in sd.items()}}, path)
+        return donor, shape, str(path)
+
+    @pytest.mark.parametrize("fmt", ["npz", "pt"])
+    def test_reexport_matches_donor(self, tmp_path, fmt):
+        import torch
+
+        from smelter_tpu.frontend.weights import reexport_with_weights
+        from smelter_tpu.models import mobilenet_v2
+
+        donor, shape, path = self._donor_and_ckpt(
+            tmp_path, fmt, width_mult=0.35, num_classes=10)
+        g, _tm, _shape = reexport_with_weights(
+            mobilenet_v2.build, path, batch=4, image_size=64,
+            width_mult=0.35, num_classes=10)  # fresh random init inside
+        x = np.random.default_rng(0).standard_normal(shape) \
+            .astype(np.float32)
+        import smelter_tpu as st
+
+        out = np.asarray(st.CompiledModel(g)(x)[0])
+        with torch.no_grad():
+            want = donor(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(out, want, atol=1e-3, rtol=1e-3)
+
+    def test_cli_gate_with_weights(self, tmp_path):
+        from smelter_tpu.tools.accuracy import main
+
+        _donor, _shape, path = self._donor_and_ckpt(tmp_path, "npz")
+        rc = main(["zoo:mobilenet_v2", "--weights", path, "--synthetic",
+                   "64", "--batch", "4", "--image-size", "64",
+                   "--quant", "int8", "--gate", "5"])
+        assert rc == 0
