@@ -226,6 +226,16 @@ def main(argv=None) -> int:
     p.add_argument("--decode-chunk", default=None, metavar="ONNX",
                    help="verify chunk-step graph (build_decode_step with "
                         "chunk=gamma+1, same weights as --decode-step)")
+    p.add_argument("--decode-bucket", action="append", default=[],
+                   metavar="ONNX:SLOTS",
+                   help="add a KV-cache bucket: a decode-step graph built "
+                        "from the SAME weights at a shorter max_len, with "
+                        "its own slot count — requests route to the "
+                        "smallest bucket that fits (BucketedDecodeServer; "
+                        "cache HBM = sum of bucket sizes instead of "
+                        "slots x max). Repeatable. Requires "
+                        "--decode-slots; prefill graphs apply to the "
+                        "main (largest) bucket only")
     p.add_argument("--ragged-attention", action="store_true",
                    help="fuse decode-step attention into the ragged "
                         "cache-prefix kernel (reads only rows <= pos per "
@@ -293,6 +303,19 @@ def main(argv=None) -> int:
                 st.load_model(args.decode_draft),
                 slots=args.decode_slots, config=dec_cfg,
                 prefill_graphs=prefills)
+        elif args.decode_slots and args.decode_bucket:
+            from ..serving.decode_server import BucketedDecodeServer
+
+            buckets = [{"step": step_graph, "slots": args.decode_slots,
+                        "prefills": prefills}]
+            for spec in args.decode_bucket:
+                path, _, n = spec.rpartition(":")
+                if not path or not n.isdigit():
+                    p.error(f"--decode-bucket {spec!r}: want ONNX:SLOTS")
+                buckets.append({"step": st.load_model(path),
+                                "slots": int(n)})
+            state["decode_server"] = BucketedDecodeServer(
+                buckets, config=dec_cfg)
         elif args.decode_slots:
             from ..serving.decode_server import DecodeServer
 

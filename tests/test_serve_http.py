@@ -360,3 +360,56 @@ class TestSpeculativeEndpoint:
         body = {"prompt": [5, 9, 2], "n_new": 8, "temperature": 0.8,
                 "top_k": 10, "seed": 3}
         assert self._post(base, body) == self._post(base, body)
+
+
+class TestBucketedDecodeEndpoint:
+    """POST /v1/generate backed by the KV bucket ladder (the serve_http
+    --decode-bucket surface): mixed-length prompts route to different
+    buckets and still produce DecodeServer-identical tokens."""
+
+    @pytest.fixture(scope="class")
+    def bucket_server(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.runtime.generate import FusedGenerator
+        from smelter_tpu.serving.decode_server import BucketedDecodeServer
+
+        cfg = dict(vocab=50, dim=32, heads=4, kv_heads=2, ffn=64,
+                   layers=2)
+        w = llama_style.make_weights(max_len=24, **cfg)
+        big, _ = llama_style.build_decode_step(w, max_len=24, **cfg)
+        small, _ = llama_style.build_decode_step(w, max_len=8, **cfg)
+        srv = BucketedDecodeServer([
+            {"step": small, "slots": 2},
+            {"step": big, "slots": 2},
+        ])
+        state = {"servers": {}, "default": None,
+                 "generator": FusedGenerator(big),
+                 "decode_server": srv, "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+        httpd.shutdown()
+        srv.shutdown()
+
+    def test_mixed_lengths_route_and_match(self, bucket_server):
+        import concurrent.futures
+
+        base, state = bucket_server
+        prompts = [[3, 7], [5, 9, 1], [2] * 12, [8] * 3]
+
+        def post(p):
+            req = urllib.request.Request(
+                base + "/v1/generate",
+                data=json.dumps({"prompt": p, "n_new": 5}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["tokens"]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(post, prompts))
+        gen = state["generator"]
+        for p, g in zip(prompts, got):
+            assert g == gen.generate(p, 5)
+        cb = state["decode_server"].cache_bytes()
+        assert cb < state["decode_server"].uniform_cache_bytes()
