@@ -341,6 +341,16 @@ def _bench_serve_decode(args, st) -> int:
         draft = q(llama_style.build_decode_step(w, max_len=max_len,
                                                 kv_quant=kvq, **cfg)[0])
         dpfs = pfs
+    elif draft_kind == "early":
+        # early-exit self-draft (Draft&Verify pattern): the first half of
+        # the target's OWN layers + its final norm/head — no separate
+        # draft model, weights shared on device by name+content
+        ecfg = dict(cfg, layers=max(1, cfg["layers"] // 2))
+        draft = q(llama_style.build_decode_step(w, max_len=max_len,
+                                                **ecfg)[0])
+        dpfs = [q(llama_style.build_prefill(w, prompt_len=p_,
+                                            max_len=max_len, **ecfg))
+                for p_ in pf_lens]
     else:  # tiny independent 4L/256d draft (probe75/79 geometry)
         dcfg = dict(vocab=cfg["vocab"], dim=256, heads=8, kv_heads=4,
                     ffn=1024, layers=4)
@@ -403,10 +413,12 @@ def main() -> int:
                         "slot loop (--model llama_tiny/llama_1b/llama_7b; "
                         "--spec-draft tiny|self|none)")
     p.add_argument("--spec-draft", default="tiny",
-                   choices=["tiny", "self", "none"],
+                   choices=["tiny", "self", "early", "none"],
                    help="serve-decode draft: tiny = independent 4L/256d "
                         "(measured acceptance), self = target drafts "
-                        "itself (acceptance 1.0 upper bound), none = "
+                        "itself (acceptance 1.0 upper bound), early = "
+                        "early-exit self-draft (first half of the "
+                        "target's own layers, weights shared), none = "
                         "plain DecodeServer only")
     p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--new-tokens", type=int, default=64)

@@ -387,3 +387,33 @@ class TestBucketedDecodeServer:
         finally:
             srv.shutdown()
         assert got == want
+
+    def test_early_exit_self_draft(self):
+        """Draft&Verify-style early-exit drafting: the draft is the
+        first K layers of the TARGET (same weight dict, shared on
+        device) + its final norm/head — no separate draft model. Greedy
+        parity holds by construction regardless of draft quality."""
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        cfg = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96)
+        w = llama_style.make_weights(max_len=32, layers=4, **cfg)
+        step, _ = llama_style.build_decode_step(w, max_len=32, layers=4,
+                                                **cfg)
+        chunk, _ = llama_style.build_decode_step(w, max_len=32, layers=4,
+                                                 chunk=4, **cfg)
+        draft, _ = llama_style.build_decode_step(w, max_len=32, layers=2,
+                                                 **cfg)
+        srv = SpecDecodeServer(step, chunk, draft, slots=2)
+        try:
+            futs = [srv.submit([5, 9, 2], 10), srv.submit([1, 4], 8)]
+            outs = [f.result(timeout=180) for f in futs]
+            stats = srv.stats()
+        finally:
+            srv.shutdown()
+        from smelter_tpu.runtime.generate import FusedGenerator
+
+        gen = FusedGenerator(step)
+        assert outs[0] == gen.generate([5, 9, 2], 10)
+        assert outs[1] == gen.generate([1, 4], 8)
+        assert stats["accept_rate"] is not None
