@@ -86,6 +86,14 @@ def main():
             "spec-self": SpecDecodeServer(step, chunk, sstep, slots=slots,
                                           config=cfgj),
         }
+        if slots == 8:
+            # early-exit self-draft (first 12 of 24 layers, shared
+            # weights) — the deployable no-extra-model config
+            ecfg = dict(CFG, layers=CFG["layers"] // 2)
+            estep = q4(llama_style.build_decode_step(
+                w, max_len=MAX_LEN, **ecfg)[0])
+            arms["spec-early"] = SpecDecodeServer(
+                step, chunk, estep, slots=slots, config=cfgj)
         # warm/compile each arm outside the clock
         for name, srv in arms.items():
             tw = time.perf_counter()
