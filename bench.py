@@ -206,7 +206,16 @@ def _bench_decode(args, st) -> int:
         quant = None
     w = llama_style.make_weights(max_len=max_len, **cfg)
     prompt = list(range(1, 9))
-    n_lo, n_hi, reps = 16, 80, 3
+    # WIDE span (probe82b): an n-difference spanning only ~50 ms of chip
+    # time can collapse inside the tunnel's RPC/pipelining window and
+    # report tok/s above the weight-stream physics floor; 256 extra
+    # steps put >= 0.2 s (1.3B) of mandatory weight streaming between
+    # the two arms, which no overlap can hide. Respect max_len so the
+    # generator's n_new clamp cannot silently shrink the span.
+    n_lo, reps = 16, 3
+    n_hi = min(272, max_len - len(prompt) - 1)
+
+    floors = {}
 
     def tok_s(mode):
         g, _ = llama_style.build_decode_step(weights=w, max_len=max_len,
@@ -214,6 +223,9 @@ def _bench_decode(args, st) -> int:
         if mode:
             quantize_weights(g, mode, min_elements=1 << 16)
             run_passes(g, ["fuse_dequant_matmul", "dce"])
+        # physics floor: every decode step streams the weights once
+        floors[mode] = sum(a.nbytes for a in g.initializers.values()) \
+            / 819e9
         gen = FusedGenerator(g, st.Config(compute_dtype="bfloat16"))
 
         def timed(n):
@@ -234,11 +246,13 @@ def _bench_decode(args, st) -> int:
     best = tok_s(quant)
     base = tok_s("int8")
     dev = jax.devices()[0]
+    floor = 1.0 / floors[quant] if floors.get(quant) else float("inf")
     print(json.dumps({
         "metric": f"{args.model} decode tokens/sec single-stream "
                   f"(quant={quant or 'bf16'}, max_len={max_len}, "
                   f"bf16 activations, "
                   f"K-differenced n={n_lo}->{n_hi}, vs int8-pc XLA path, "
+                  f"weight-stream ceiling {floor:,.0f} tok/s, "
                   f"{dev.platform})",
         "value": round(best, 1),
         "unit": "tokens/sec",
