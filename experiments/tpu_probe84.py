@@ -121,11 +121,19 @@ def main():
                               .repeat(1, 0)) * 4)
         pieces[name] = (fn, params, x, idx)
 
+    def wide_time(f, params, x):
+        """chip_time with a span that dwarfs the tunnel's pipelining
+        window (probe82b: <~100 ms differences can collapse): rough
+        estimate first, then a >=300 ms-span re-measure."""
+        t1 = max(chip_time(f, params, x), 2e-5)
+        span = max(20, min(4000, int(0.3 / t1)))
+        return chip_time(f, params, x, k_lo=8, k_hi=8 + span)
+
     total = 0.0
     for name, (fn, params, x, idx) in pieces.items():
         f = (fn if idx is None
              else (lambda p, xx, _f=fn, _i=idx: _f(p, xx, _i)))
-        t = chip_time(f, params, x)
+        t = wide_time(f, params, x)
         bts = 0
         for a in ([x] if idx is None else [x, idx]):
             bts += a.size * 2 if a.dtype.kind == "f" else a.size * 4
@@ -142,7 +150,7 @@ def main():
                    layout="nhwc")
     x = jax.device_put(
         rng.standard_normal(shape).astype(np.float32))
-    t_e2e = chip_time(m._fn, m.params, x)
+    t_e2e = wide_time(m._fn, m.params, x)
     print(f"[segnet e2e] {t_e2e*1e3:7.3f} ms = {B/t_e2e:6,.0f} img/s "
           f"(composition overhead {1e3*(t_e2e-total):+.3f} ms)",
           flush=True)
@@ -172,7 +180,7 @@ def main():
         fused = st.compile(g_, st.Config(compute_dtype="bfloat16"),
                            quant=None, layout="nhwc")
         xj = jax.device_put(xt.numpy())
-        t_f = chip_time(fused._fn, fused.params, xj)
+        t_f = wide_time(fused._fn, fused.params, xj)
 
         # unfused pieces in raw jax at the same shapes (NHWC)
         wdw = jnp.asarray(rng.standard_normal((7, 7, 1, c)),
@@ -208,7 +216,7 @@ def main():
         msg = [f"[cnx c{c}@{hw} fused-engine {t_f*1e3:7.3f} ms]"]
         psum = 0.0
         for nm, f in parts.items():
-            t = chip_time(f, None, xh)
+            t = wide_time(f, None, xh)
             if nm != "whole-jnp":
                 psum += t
             msg.append(f"{nm}={t*1e3:.3f}ms")

@@ -79,10 +79,17 @@ def main():
         fn, params = exec_fn(g)
         arms[name] = (fn, params, xx)
 
+    def wide_time(f, params, x):
+        """>=300 ms K-span (probe82b: short differences can collapse
+        inside the tunnel's pipelining window)."""
+        t1 = max(chip_time(f, params, x), 2e-5)
+        span = max(20, min(4000, int(0.3 / t1)))
+        return chip_time(f, params, x, k_lo=8, k_hi=8 + span)
+
     best = {n: float("inf") for n in arms}
     for _ in range(4):
         for name, (fn, params, xx) in arms.items():
-            best[name] = min(best[name], chip_time(fn, params, xx))
+            best[name] = min(best[name], wide_time(fn, params, xx))
     flops = B * 112 * 112 * 64 * 147 * 2
     io = B * (224 * 224 * 3 * 2 + 56 * 56 * 64 * 2)
     sol = max(flops / 197e12, io / 819e9)
@@ -145,8 +152,8 @@ def main():
         rng.standard_normal((B, 64, 56, 56)).astype(np.float32))
     bf = bb = float("inf")
     for _ in range(4):
-        bf = min(bf, chip_time(m_full._fn, m_full.params, x224))
-        bb = min(bb, chip_time(m_body._fn, m_body.params, x56))
+        bf = min(bf, wide_time(m_full._fn, m_full.params, x224))
+        bb = min(bb, wide_time(m_body._fn, m_body.params, x56))
     print(f"[e2e int8-static] {bf*1e3:7.3f} ms = {B/bf:6,.0f} img/s",
           flush=True)
     print(f"[body-only      ] {bb*1e3:7.3f} ms -> in-situ stem+pool "
