@@ -32,9 +32,16 @@ def sync(out) -> None:
 
 
 def chip_time(fn, params, x, k_lo: int = 6, k_hi: int = 26,
-              reps: int = 3) -> float:
+              reps: int = 3, min_span_s: float = 0.4) -> float:
     """Per-step chip time in seconds for `fn(params, x)`, loop-amortized
-    and K-differenced."""
+    and K-differenced.
+
+    min_span_s: the K-difference must cover at least this much chip
+    time — differences spanning less than the tunnel's RPC/pipelining
+    window (~100 ms) can intermittently collapse and report past the
+    hardware's physics floors (probe82b; probe74/81 retractions). If
+    the first estimate implies a smaller span, k_hi is raised and the
+    measurement redone. Pass min_span_s=0 to disable (CPU tests)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,4 +72,12 @@ def chip_time(fn, params, x, k_lo: int = 6, k_hi: int = 26,
         return best
 
     t_lo, t_hi = timed(chained(k_lo)), timed(chained(k_hi))
-    return max(1e-9, (t_hi - t_lo) / (k_hi - k_lo))
+    per = max(1e-9, (t_hi - t_lo) / (k_hi - k_lo))
+    if min_span_s and per * (k_hi - k_lo) < min_span_s:
+        # widen until the difference dwarfs any pipelining window; cap
+        # the loop length so a mis-estimate can't run away
+        k_wide = k_lo + min(20000, max(k_hi - k_lo,
+                                       int(min_span_s / per) + 1))
+        t_wide = timed(chained(k_wide))
+        per = max(1e-9, (t_wide - t_lo) / (k_wide - k_lo))
+    return per
