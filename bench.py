@@ -331,7 +331,8 @@ def _bench_serve_decode(args, st) -> int:
         return tot / wall, stats
 
     plain_tps, _ = run(DecodeServer(step, slots=slots, config=scfg,
-                                    prefill_graphs=pfs))
+                                    prefill_graphs=pfs,
+                                    tick_steps=args.tick_steps))
 
     draft_kind = args.spec_draft
     if draft_kind == "none":
@@ -435,6 +436,8 @@ def main() -> int:
                         "target's own layers, weights shared), none = "
                         "plain DecodeServer only")
     p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--tick-steps", type=int, default=1,
+                   help="serve-decode: DecodeServer steps per dispatch")
     p.add_argument("--new-tokens", type=int, default=64)
     p.add_argument("--kv-quant", action="store_true",
                    help="serve-decode: int8 KV caches")

@@ -50,7 +50,7 @@ class DecodeServer:
 
     def __init__(self, step_graph, slots: int = 8, config=None,
                  stop_tokens: tuple[int, ...] = (), prefill_graphs=(),
-                 shared_weights=None):
+                 shared_weights=None, tick_steps: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -93,6 +93,8 @@ class DecodeServer:
         cache_names = self._cache_names
         context_names = self._context_names
 
+        self.tick_steps = max(1, int(tick_steps))
+
         def step_all(tokens, pos, caches, ctxs):
             # one batched step; argmax on device so the readback is (B,)
             def one(tok, p, *rest):
@@ -107,9 +109,44 @@ class DecodeServer:
             nxt, new_caches = jax.vmap(one)(tokens, pos, *caches, *ctxs)
             return nxt, new_caches
 
+        T = self.tick_steps
+
+        def step_all_multi(tokens, pos, forced, n_forced, caches, ctxs):
+            # T chained steps per slot per dispatch: prompt tokens ride
+            # in `forced`, generated ones chain on-device via argmax —
+            # the per-tick host round trip (the slot loop's dominant
+            # cost over an RPC tunnel) is paid once per T tokens.
+            # Readback stays (B, T).
+            from jax import lax
+
+            def one(tok, p, fo, nf, *rest):
+                nc = len(cache_names)
+
+                def body(carry, j):
+                    caches_, tk = carry
+                    by = {"token": tk[None].astype(tokens.dtype),
+                          "pos": (p + j)[None]}
+                    by.update(zip(cache_names, caches_))
+                    by.update(zip(context_names, rest[nc:]))
+                    outs = fn(params, *[by[n] for n in input_names])
+                    out = jnp.argmax(outs[0][0]).astype(jnp.int32)
+                    nxt = jnp.where(j < nf,
+                                    fo[jnp.minimum(j, T - 2)], out)
+                    return (list(outs[1:]), nxt), out
+
+                (new_caches, _), outs = lax.scan(
+                    body, (list(rest[:nc]), tok.astype(jnp.int32)),
+                    jnp.arange(T))
+                return outs, new_caches
+
+            return jax.vmap(one)(tokens, pos, forced, n_forced,
+                                 *caches, *ctxs)
+
         # donate the caches: the old buffers are dead after each tick, so
         # XLA updates them in place instead of copying the whole KV set
         self._step_all = jax.jit(step_all, donate_argnums=(2,))
+        self._step_multi = (jax.jit(step_all_multi, donate_argnums=(4,))
+                            if T > 1 else None)
         # Prefill admission: a ladder of full-sequence prefill graphs
         # (llama_style.build_prefill twins of the step graph) fills a new
         # slot's cache rows in ONE forward instead of one prompt token per
@@ -258,6 +295,7 @@ class DecodeServer:
     def _loop(self) -> None:
         import jax.numpy as jnp
 
+        T = self.tick_steps
         while not self._shutdown:
             with self._lock:
                 self._admit()
@@ -266,16 +304,36 @@ class DecodeServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            tokens = np.zeros((self.slots, 1), np.int64)
-            pos = np.zeros((self.slots, 1), np.int64)
-            for i, s in enumerate(self._state):
-                if s.active:
-                    tokens[i, 0] = s.last_token
-                    pos[i, 0] = s.pos
+            if T > 1:
+                tokens = np.zeros((self.slots,), np.int64)
+                pos = np.zeros((self.slots,), np.int64)
+                forced = np.zeros((self.slots, T - 1), np.int32)
+                nf = np.zeros((self.slots,), np.int32)
+                for i, s in enumerate(self._state):
+                    if not s.active:
+                        continue
+                    tokens[i] = s.last_token
+                    pos[i] = s.pos
+                    nxt_prompt = s.prompt[s.pos + 1:s.pos + T]
+                    nf[i] = len(nxt_prompt)
+                    forced[i, :len(nxt_prompt)] = nxt_prompt
+            else:
+                tokens = np.zeros((self.slots, 1), np.int64)
+                pos = np.zeros((self.slots, 1), np.int64)
+                for i, s in enumerate(self._state):
+                    if s.active:
+                        tokens[i, 0] = s.last_token
+                        pos[i, 0] = s.pos
             try:
-                nxt, self._caches = self._step_all(
-                    jnp.asarray(tokens), jnp.asarray(pos),
-                    self._caches, self._ctxs)
+                if T > 1:
+                    nxt, self._caches = self._step_multi(
+                        jnp.asarray(tokens), jnp.asarray(pos),
+                        jnp.asarray(forced), jnp.asarray(nf),
+                        self._caches, self._ctxs)
+                else:
+                    nxt, self._caches = self._step_all(
+                        jnp.asarray(tokens), jnp.asarray(pos),
+                        self._caches, self._ctxs)
                 nxt = np.asarray(nxt)
             except Exception as e:  # noqa: BLE001 — an executor error must
                 # fail the in-flight requests, not kill the serving thread
@@ -296,6 +354,36 @@ class DecodeServer:
             with self._lock:
                 for i, s in enumerate(self._state):
                     if not s.active:
+                        continue
+                    if T > 1:
+                        # outputs nxt[i, j] predict sequence position
+                        # s.pos + j + 1; those past the prompt are
+                        # generated tokens (greedy chain on device)
+                        plen = len(s.prompt)
+                        start = s.pos
+                        s.pos = min(start + T, self.max_len)
+                        s.fed = min(plen - 1, s.pos)
+                        done = False
+                        for j in range(T):
+                            idx = start + j + 1
+                            if idx < plen:
+                                continue
+                            tok = int(nxt[i, j])
+                            s.generated.append(tok)
+                            if (len(s.generated) >= s.n_new
+                                    or tok in self.stop_tokens
+                                    or idx >= self.max_len):
+                                done = True
+                                s.generated = s.generated[:s.n_new]
+                                break
+                        if done:
+                            s.future.set_result(
+                                list(s.prompt) + s.generated)
+                            self._state[i] = _Slot()
+                        else:
+                            seq = s.prompt + s.generated
+                            s.last_token = seq[s.pos] \
+                                if s.pos < len(seq) else seq[-1]
                         continue
                     s.pos += 1
                     if s.fed + 1 < len(s.prompt):
@@ -671,7 +759,8 @@ class BucketedDecodeServer:
             srv = DecodeServer(b["step"], slots=b.get("slots", 4),
                                config=config, stop_tokens=stop_tokens,
                                prefill_graphs=b.get("prefills", ()),
-                               shared_weights=shared)
+                               shared_weights=shared,
+                               tick_steps=b.get("tick_steps", 1))
             if shared is None:
                 shared = (srv._params, srv._host_map)
             built[i] = srv

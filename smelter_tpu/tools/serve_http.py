@@ -236,6 +236,11 @@ def main(argv=None) -> int:
                         "slots x max). Repeatable. Requires "
                         "--decode-slots; prefill graphs apply to the "
                         "main (largest) bucket only")
+    p.add_argument("--decode-tick-steps", type=int, default=1,
+                   metavar="T",
+                   help="DecodeServer: chain T decode steps per dispatch "
+                        "(host round trip paid once per T tokens); "
+                        "greedy outputs identical to T=1")
     p.add_argument("--ragged-attention", action="store_true",
                    help="fuse decode-step attention into the ragged "
                         "cache-prefix kernel (reads only rows <= pos per "
@@ -321,7 +326,8 @@ def main(argv=None) -> int:
 
             state["decode_server"] = DecodeServer(
                 step_graph, slots=args.decode_slots, config=dec_cfg,
-                prefill_graphs=prefills)
+                prefill_graphs=prefills,
+                tick_steps=args.decode_tick_steps)
     elif args.decode_slots:
         p.error("--decode-slots requires --decode-step")
     elif args.decode_prefill:

@@ -417,3 +417,89 @@ class TestBucketedDecodeServer:
         assert outs[0] == gen.generate([5, 9, 2], 10)
         assert outs[1] == gen.generate([1, 4], 8)
         assert stats["accept_rate"] is not None
+
+
+class TestMultiStepTick:
+    """DecodeServer(tick_steps=T): T chained decode steps per dispatch —
+    the host round trip (the slot loop's dominant cost over an RPC
+    tunnel) is paid once per T tokens. Greedy outputs must be
+    token-identical to the single-step server."""
+
+    def test_parity_mixed_prompts(self, gpt_step):
+        want_srv = DecodeServer(gpt_step, slots=4)
+        multi = DecodeServer(gpt_step, slots=4, tick_steps=4)
+        try:
+            prompts = [[3, 7, 11], [5], [9, 2], [1, 2, 3, 4, 5, 6, 7]]
+            want = [want_srv.submit(p, 7).result(timeout=120)
+                    for p in prompts]
+            futs = [multi.submit(p, 7) for p in prompts]
+            got = [f.result(timeout=120) for f in futs]
+        finally:
+            want_srv.shutdown()
+            multi.shutdown()
+        assert got == want
+
+    def test_parity_with_stop_tokens(self, gpt_step):
+        gen = FusedGenerator(gpt_step)
+        full = gen.generate([3, 7, 11], 10)
+        stop = full[5]
+        first = full.index(stop, 3)
+        srv = DecodeServer(gpt_step, slots=2, tick_steps=3,
+                           stop_tokens=(stop,))
+        try:
+            out = srv.submit([3, 7, 11], 10).result(timeout=120)
+        finally:
+            srv.shutdown()
+        assert out == full[:first + 1]
+
+    def test_parity_near_max_len(self, gpt_step):
+        # max_len 24: generation must clamp identically to single-step
+        plain = DecodeServer(gpt_step, slots=1)
+        multi = DecodeServer(gpt_step, slots=1, tick_steps=5)
+        try:
+            want = plain.submit([2, 4], 30).result(timeout=120)
+            got = multi.submit([2, 4], 30).result(timeout=120)
+        finally:
+            plain.shutdown()
+            multi.shutdown()
+        assert got == want
+
+    def test_with_prefill_admission(self):
+        from smelter_tpu.models import llama_style
+
+        cfg = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96,
+                   layers=2)
+        w = llama_style.make_weights(max_len=32, **cfg)
+        step, _ = llama_style.build_decode_step(w, max_len=32, **cfg)
+        pfs = [llama_style.build_prefill(w, prompt_len=4, max_len=32,
+                                         **cfg)]
+        plain = DecodeServer(step, slots=2)
+        multi = DecodeServer(step, slots=2, tick_steps=4,
+                             prefill_graphs=pfs)
+        try:
+            prompts = [[5, 9, 2, 17], [1, 4], [7, 3, 9, 1, 2, 8]]
+            want = [plain.submit(p, 6).result(timeout=120)
+                    for p in prompts]
+            got = [multi.submit(p, 6).result(timeout=120)
+                   for p in prompts]
+        finally:
+            plain.shutdown()
+            multi.shutdown()
+        assert got == want
+
+    def test_context_model_multi(self):
+        step_g, _ = speech_decoder.build_decode_step(
+            vocab=50, dim=32, heads=4, layers=1, max_len=12, t_enc=6)
+        gen = FusedGenerator(step_g)
+        rng = np.random.default_rng(0)
+        mems = [rng.standard_normal((6, 32)).astype(np.float32)
+                for _ in range(2)]
+        srv = DecodeServer(step_g, slots=2, tick_steps=3)
+        try:
+            futs = [srv.submit([1, 2], 5, context={"memory": m})
+                    for m in mems]
+            for m, f in zip(mems, futs):
+                assert f.result(timeout=120) == gen.generate(
+                    [1, 2], 5, context={"memory": m})
+        finally:
+            srv.shutdown()
