@@ -74,21 +74,27 @@ def main():
 
     p8 = list(range(1, 9))
     N_LO, N_HI = 16, 528
-    span = N_HI - N_LO
 
     def timed(gen, n):
         t0 = time.perf_counter()
         gen.generate(p8, n)
         return time.perf_counter() - t0
 
+    def span_for(gen):
+        # the generator clamps n_new to max_len - plen: divide by the
+        # steps that actually ran (the ml512 arm runs 504, not 520)
+        hi = min(N_HI, gen.max_len - len(p8))
+        return hi, hi - N_LO
+
     best = {n: float("inf") for n in arms}
     raw = {n: [] for n in arms}
     for _ in range(4):
         for name, gen in arms.items():
+            n_hi, sp = span_for(gen)
             lo = min(timed(gen, N_LO), timed(gen, N_LO))
             hi = min(timed(gen, N_HI), timed(gen, N_HI))
             raw[name].append((lo, hi))
-            best[name] = min(best[name], (hi - lo) / span)
+            best[name] = min(best[name], (hi - lo) / sp)
     for name in arms:
         t = best[name] * 1e3
         flag = "" if t >= FLOOR_MS * 0.95 else \

@@ -125,9 +125,8 @@ def main():
         """chip_time with a span that dwarfs the tunnel's pipelining
         window (probe82b: <~100 ms differences can collapse): rough
         estimate first, then a >=300 ms-span re-measure."""
-        t1 = max(chip_time(f, params, x), 2e-5)
-        span = max(20, min(4000, int(0.3 / t1)))
-        return chip_time(f, params, x, k_lo=8, k_hi=8 + span)
+        # chip_time itself now widens to a 0.4 s minimum span
+        return chip_time(f, params, x)
 
     total = 0.0
     for name, (fn, params, x, idx) in pieces.items():

@@ -82,9 +82,8 @@ def main():
     def wide_time(f, params, x):
         """>=300 ms K-span (probe82b: short differences can collapse
         inside the tunnel's pipelining window)."""
-        t1 = max(chip_time(f, params, x), 2e-5)
-        span = max(20, min(4000, int(0.3 / t1)))
-        return chip_time(f, params, x, k_lo=8, k_hi=8 + span)
+        # chip_time itself now widens to a 0.4 s minimum span
+        return chip_time(f, params, x)
 
     best = {n: float("inf") for n in arms}
     for _ in range(4):

@@ -106,7 +106,7 @@ def reverse_sequence(ctx: Ctx, node: Node):
                                 axis=time_axis))
 
 
-@register("CenterCropPad", since=18)
+@register("CenterCropPad", since=18, static={1})
 def center_crop_pad(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     target = [int(v) for v in np.asarray(ctx.static(node.inputs[1])).reshape(-1)]
@@ -127,7 +127,7 @@ def center_crop_pad(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], jnp.pad(x[tuple(sl)], pad))
 
 
-@register("Col2Im", since=18)
+@register("Col2Im", since=18, static={1, 2})
 def col2im(ctx: Ctx, node: Node):
     """input (N, C*prod(block), L) -> (N, C, *image_shape) by scatter-adding
     each unfolded block back. The flat scatter index per (block-offset, L)

@@ -447,7 +447,7 @@ def _unpool2x2_kernel_ok(x_shape, out_shape, kernel, strides, pads,
             and tuple(out_shape[2:]) == (2 * x_shape[2], 2 * x_shape[3])
             and out_elems < 2 ** 31)
 
-@register("MaxUnpool", since=9)
+@register("MaxUnpool", since=9, static={2})
 def max_unpool(ctx: Ctx, node: Node):
     """Inverse of MaxPool-with-indices (SegNet-style decoders): scatter X's
     values to the flat [N,C,*spatial] positions in I (the convention

@@ -98,7 +98,7 @@ def concat_from_sequence(ctx: Ctx, node: Node):
         ctx.set(node.outputs[0], jnp.concatenate(seq, axis=axis))
 
 
-@register("SplitToSequence", since=11)
+@register("SplitToSequence", since=11, static={1})
 def split_to_sequence(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     axis = int(node.attr("axis", 0))

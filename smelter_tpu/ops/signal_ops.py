@@ -30,17 +30,17 @@ def _window(ctx: Ctx, node: Node, a0: float, a1: float, a2: float) -> None:
     ctx.set_static(node.outputs[0], w.astype(dt.onnx_to_numpy_dtype(code)))
 
 
-@register("HannWindow", since=17)
+@register("HannWindow", since=17, static={0})
 def hann_window(ctx: Ctx, node: Node):
     _window(ctx, node, 0.5, 0.5, 0.0)
 
 
-@register("HammingWindow", since=17)
+@register("HammingWindow", since=17, static={0})
 def hamming_window(ctx: Ctx, node: Node):
     _window(ctx, node, 25.0 / 46.0, 1.0 - 25.0 / 46.0, 0.0)
 
 
-@register("BlackmanWindow", since=17)
+@register("BlackmanWindow", since=17, static={0})
 def blackman_window(ctx: Ctx, node: Node):
     _window(ctx, node, 0.42, 0.5, 0.08)
 
@@ -81,7 +81,7 @@ def _as_complex_pairs(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-@register("DFT", since=17)
+@register("DFT", since=17, static={1, 2})
 def dft(ctx: Ctx, node: Node):
     x = _as_complex_pairs(ctx.get(node.inputs[0]))
     # opset 17: axis attr (default 1); opset 20: axis is input 2 (default -2).
@@ -113,7 +113,7 @@ def dft(ctx: Ctx, node: Node):
             _apply_dft(x, axis, n, inverse=inverse, onesided=onesided))
 
 
-@register("STFT", since=17)
+@register("STFT", since=17, static={1, 2, 3})
 def stft(ctx: Ctx, node: Node):
     """signal (B, L) or (B, L, 1|2); frame_step scalar; optional window
     (frame_length,) and frame_length scalar. Output (B, frames, bins, 2).
@@ -150,7 +150,7 @@ def stft(ctx: Ctx, node: Node):
             _apply_dft(framed, 2, frame_length, inverse=False, onesided=onesided))
 
 
-@register("MelWeightMatrix", since=17)
+@register("MelWeightMatrix", since=17, static={0, 1, 2, 3, 4})
 def mel_weight_matrix(ctx: Ctx, node: Node):
     """All five inputs are static scalars; the (num_spectrogram_bins,
     num_mel_bins) triangular filterbank is computed host-side once."""

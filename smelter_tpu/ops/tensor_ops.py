@@ -460,7 +460,7 @@ def scatter_elements(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], out)
 
 
-@register("OneHot", since=9)
+@register("OneHot", since=9, static={1, 2})
 def one_hot(ctx: Ctx, node: Node):
     import jax
 
@@ -474,7 +474,7 @@ def one_hot(ctx: Ctx, node: Node):
     ctx.set(node.outputs[0], (oh * (on - off) + off).astype(np.asarray(values).dtype))
 
 
-@register("Trilu", since=14)
+@register("Trilu", since=14, static={1})
 def trilu(ctx: Ctx, node: Node):
     x = ctx.get(node.inputs[0])
     k = 0

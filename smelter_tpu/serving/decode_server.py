@@ -459,9 +459,16 @@ class SpecDecodeServer:
         host_t = {n: step_graph.initializers[n] for n in params_t}
         ex_c = _merge_params(params_t, host_t, chunk_graph, cfg)
         chunk_fn = ex_c.build_fn()
-        ex_d = Executor(draft_graph, dcfg)
-        params_d = ex_d.init_params()
+        # merge the draft into the same uploaded set: an early-exit
+        # self-draft (first K layers of the target, same weight dict)
+        # then shares every layer weight on device by name+content; an
+        # independent tiny draft simply adds its own params (colliding
+        # auto-named constants are renamed by _merge_params)
+        ex_d = _merge_params(params_t, host_t, draft_graph, dcfg)
+        draft_graph = ex_d.graph
+        params_d = params_t
         step_d = ex_d.build_fn()
+        self._params, self._host_map = params_t, host_t
 
         def names(g):
             return [v.name for v in g.inputs]
@@ -483,10 +490,11 @@ class SpecDecodeServer:
 
         # target-side prefill ladder (reuses DecodeServer mechanics)
         self._prefills = []
+        # params_d IS params_t post-merge; host_t already carries the
+        # draft's entries, so both ladders merge against the same maps
         for g, store, params, base_host in (
                 (prefill_graphs, "_prefills", params_t, host_t),
-                (draft_prefill_graphs, "_d_prefills", params_d,
-                 {n: draft_graph.initializers[n] for n in params_d})):
+                (draft_prefill_graphs, "_d_prefills", params_d, host_t)):
             out = []
             for pg in g:
                 pex = _merge_params(params, base_host, pg,
@@ -780,7 +788,9 @@ class BucketedDecodeServer:
 
     def submit(self, prompt, n_new, context=None):
         need = len(prompt) + max(int(n_new), 0)
-        fits = [s for s in self._servers if need < s.max_len]
+        # need == max_len fits exactly (plen + n_new tokens occupy rows
+        # 0..max_len-1; DecodeServer only rejects plen >= max_len)
+        fits = [s for s in self._servers if need <= s.max_len]
         if not fits:
             # fall back to the largest bucket; DecodeServer clamps n_new
             # or rejects an over-long prompt with its own error

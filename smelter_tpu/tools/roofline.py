@@ -157,7 +157,11 @@ def model_roofline(graph, config=None) -> dict:
         if (node.op_type in _MATERIALIZING
                 and node.op_type not in _SCATTER_OPS) \
                 or _is_depthwise(node):
-            mat_bytes += _edge_bytes(node.inputs[0])
+            # QLinearConcat's inputs are (y_scale, y_zp, X0, x0_s, ...):
+            # the first DATA input sits at index 2
+            di = 2 if node.op_type == "QLinearConcat" else 0
+            if di < len(node.inputs):
+                mat_bytes += _edge_bytes(node.inputs[di])
             mat_bytes += _edge_bytes(node.outputs[0])
     t_hbm = (io_bytes + w_bytes + scatter_bytes
              + mat_bytes) / TPU_V5E["hbm_gbps"]

@@ -291,6 +291,12 @@ def main(argv=None) -> int:
         if args.decode_draft or args.decode_chunk:
             if not (args.decode_draft and args.decode_chunk):
                 p.error("--decode-draft and --decode-chunk go together")
+        if args.decode_bucket and not args.decode_slots:
+            p.error("--decode-bucket requires --decode-slots")
+        if args.decode_bucket and args.decode_draft:
+            p.error("--decode-bucket and --decode-draft are mutually "
+                    "exclusive (speculative bucketed serving is not "
+                    "wired yet)")
         if args.decode_draft and not args.decode_slots:
             from ..runtime.speculative import SpeculativeGenerator
 
@@ -312,13 +318,15 @@ def main(argv=None) -> int:
             from ..serving.decode_server import BucketedDecodeServer
 
             buckets = [{"step": step_graph, "slots": args.decode_slots,
-                        "prefills": prefills}]
+                        "prefills": prefills,
+                        "tick_steps": args.decode_tick_steps}]
             for spec in args.decode_bucket:
                 path, _, n = spec.rpartition(":")
                 if not path or not n.isdigit():
                     p.error(f"--decode-bucket {spec!r}: want ONNX:SLOTS")
                 buckets.append({"step": st.load_model(path),
-                                "slots": int(n)})
+                                "slots": int(n),
+                                "tick_steps": args.decode_tick_steps})
             state["decode_server"] = BucketedDecodeServer(
                 buckets, config=dec_cfg)
         elif args.decode_slots:

@@ -406,6 +406,11 @@ class TestBucketedDecodeServer:
                                                  **cfg)
         srv = SpecDecodeServer(step, chunk, draft, slots=2)
         try:
+            # the shared layer weights must be ONE device buffer set:
+            # the merge keeps name+content-equal params un-renamed
+            renamed = [n for n in srv._params if n.endswith("__p")
+                       and srv._params[n].size > 1000]
+            assert not renamed, renamed
             futs = [srv.submit([5, 9, 2], 10), srv.submit([1, 4], 8)]
             outs = [f.result(timeout=180) for f in futs]
             stats = srv.stats()
