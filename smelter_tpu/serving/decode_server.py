@@ -438,7 +438,7 @@ class SpecDecodeServer:
     def __init__(self, step_graph, chunk_graph, draft_graph,
                  slots: int = 4, config=None, draft_config=None,
                  stop_tokens: tuple[int, ...] = (), prefill_graphs=(),
-                 draft_prefill_graphs=()):
+                 draft_prefill_graphs=(), shared_weights=None):
         import jax
         import jax.numpy as jnp
 
@@ -454,9 +454,16 @@ class SpecDecodeServer:
         step_graph = _decode_graph(step_graph, cfg)
         chunk_graph = _decode_graph(chunk_graph, cfg)
         draft_graph = _decode_graph(draft_graph, dcfg)
-        ex_t = Executor(step_graph, cfg)
-        params_t = ex_t.init_params()
-        host_t = {n: step_graph.initializers[n] for n in params_t}
+        if shared_weights is None:
+            ex_t = Executor(step_graph, cfg)
+            params_t = ex_t.init_params()
+            host_t = {n: step_graph.initializers[n]
+                      for n in ex_t.param_names}
+        else:
+            # bucket-ladder case: another server's uploaded weight set
+            params_t, host_t = shared_weights
+            ex_t = _merge_params(params_t, host_t, step_graph, cfg)
+            step_graph = ex_t.graph
         ex_c = _merge_params(params_t, host_t, chunk_graph, cfg)
         chunk_fn = ex_c.build_fn()
         # merge the draft into the same uploaded set: an early-exit
@@ -580,6 +587,11 @@ class SpecDecodeServer:
                                 if self._acc_den else None),
                 "gamma": self.gamma,
             }
+
+    def cache_bytes(self) -> int:
+        """Device bytes held by the target AND draft KV caches."""
+        return sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                   for c in self._t_caches + self._d_caches)
 
     def _admit(self) -> None:
         import jax.numpy as jnp
@@ -764,11 +776,23 @@ class BucketedDecodeServer:
         built: dict[int, DecodeServer] = {}
         for i in order:
             b = buckets[i]
-            srv = DecodeServer(b["step"], slots=b.get("slots", 4),
-                               config=config, stop_tokens=stop_tokens,
-                               prefill_graphs=b.get("prefills", ()),
-                               shared_weights=shared,
-                               tick_steps=b.get("tick_steps", 1))
+            if "chunk" in b and "draft" in b:
+                # speculative bucket: vmapped draft-and-verify ticks at
+                # this cache length (graphs built from the same weights)
+                srv = SpecDecodeServer(
+                    b["step"], b["chunk"], b["draft"],
+                    slots=b.get("slots", 4), config=config,
+                    stop_tokens=stop_tokens,
+                    prefill_graphs=b.get("prefills", ()),
+                    draft_prefill_graphs=b.get("draft_prefills", ()),
+                    shared_weights=shared)
+            else:
+                srv = DecodeServer(b["step"], slots=b.get("slots", 4),
+                                   config=config,
+                                   stop_tokens=stop_tokens,
+                                   prefill_graphs=b.get("prefills", ()),
+                                   shared_weights=shared,
+                                   tick_steps=b.get("tick_steps", 1))
             if shared is None:
                 shared = (srv._params, srv._host_map)
             built[i] = srv

@@ -508,3 +508,48 @@ class TestMultiStepTick:
                     [1, 2], 5, context={"memory": m})
         finally:
             srv.shutdown()
+
+
+class TestSpecBucketLadder:
+    """Speculative buckets inside BucketedDecodeServer: a short-cache
+    spec bucket + a long-cache plain bucket share one uploaded weight
+    set; outputs match the flat servers."""
+
+    def test_mixed_spec_and_plain_buckets(self):
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import (
+            BucketedDecodeServer, DecodeServer)
+
+        cfg = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96,
+                   layers=2)
+        w = llama_style.make_weights(max_len=64, **cfg)
+        step16, _ = llama_style.build_decode_step(w, max_len=16, **cfg)
+        chunk16, _ = llama_style.build_decode_step(w, max_len=16,
+                                                   chunk=3, **cfg)
+        draft16, _ = llama_style.build_decode_step(
+            w, max_len=16, **dict(cfg, layers=1))
+        step64, _ = llama_style.build_decode_step(w, max_len=64, **cfg)
+
+        flat = DecodeServer(step64, slots=4)
+        try:
+            prompts = [[5, 9, 2], [1] * 30, [7, 3], [4, 4, 4]]
+            want = [flat.submit(p, 6).result(timeout=120)
+                    for p in prompts]
+        finally:
+            flat.shutdown()
+
+        srv = BucketedDecodeServer([
+            {"step": step16, "chunk": chunk16, "draft": draft16,
+             "slots": 2},
+            {"step": step64, "slots": 2},
+        ])
+        try:
+            futs = [srv.submit(p, 6) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+            st_ = srv.stats()
+            assert st_["buckets"][0]["max_len"] == 16
+            assert "accept_rate" in st_["buckets"][0]
+            assert srv.cache_bytes() < srv.uniform_cache_bytes()
+        finally:
+            srv.shutdown()
+        assert got == want
