@@ -293,10 +293,6 @@ def main(argv=None) -> int:
                 p.error("--decode-draft and --decode-chunk go together")
         if args.decode_bucket and not args.decode_slots:
             p.error("--decode-bucket requires --decode-slots")
-        if args.decode_bucket and args.decode_draft:
-            p.error("--decode-bucket and --decode-draft are mutually "
-                    "exclusive (speculative bucketed serving is not "
-                    "wired yet)")
         if args.decode_draft and not args.decode_slots:
             from ..runtime.speculative import SpeculativeGenerator
 
@@ -309,11 +305,33 @@ def main(argv=None) -> int:
             # vmapped draft-and-verify round
             from ..serving.decode_server import SpecDecodeServer
 
-            state["decode_server"] = SpecDecodeServer(
-                step_graph, st.load_model(args.decode_chunk),
-                st.load_model(args.decode_draft),
-                slots=args.decode_slots, config=dec_cfg,
-                prefill_graphs=prefills)
+            if args.decode_bucket:
+                # main bucket speculative, extra buckets plain ticks at
+                # their own cache lengths — one shared weight upload
+                from ..serving.decode_server import BucketedDecodeServer
+
+                buckets = [{"step": step_graph,
+                            "chunk": st.load_model(args.decode_chunk),
+                            "draft": st.load_model(args.decode_draft),
+                            "slots": args.decode_slots,
+                            "prefills": prefills}]
+                for spec in args.decode_bucket:
+                    path, _, n = spec.rpartition(":")
+                    if not path or not n.isdigit():
+                        p.error(f"--decode-bucket {spec!r}: want "
+                                f"ONNX:SLOTS")
+                    buckets.append({"step": st.load_model(path),
+                                    "slots": int(n),
+                                    "tick_steps":
+                                        args.decode_tick_steps})
+                state["decode_server"] = BucketedDecodeServer(
+                    buckets, config=dec_cfg)
+            else:
+                state["decode_server"] = SpecDecodeServer(
+                    step_graph, st.load_model(args.decode_chunk),
+                    st.load_model(args.decode_draft),
+                    slots=args.decode_slots, config=dec_cfg,
+                    prefill_graphs=prefills)
         elif args.decode_slots and args.decode_bucket:
             from ..serving.decode_server import BucketedDecodeServer
 
