@@ -176,10 +176,19 @@ def main():
         bm = Block(c).eval()
         xt = torch.randn(64, c, hw, hw)
         g_ = export_torch(bm, (xt,))
-        fused = st.compile(g_, st.Config(compute_dtype="bfloat16"),
-                           quant=None, layout="nhwc")
+        # NOTE: neither the zoo convnext (int8w) nor this block hits the
+        # ConvNeXtBlock whole-block fusion — the engine path IS the
+        # XLA-compiled chain (probe62's subject); measure bf16 and the
+        # roofline row's int8w form
+        eng = st.compile(st.import_model(st.export_model(g_)),
+                         st.Config(compute_dtype="bfloat16"),
+                         quant=None, layout="nhwc")
+        eng8 = st.compile(st.import_model(st.export_model(g_)),
+                          st.Config(compute_dtype="bfloat16"),
+                          quant="int8", layout="nhwc")
         xj = jax.device_put(xt.numpy())
-        t_f = wide_time(fused._fn, fused.params, xj)
+        t_f = wide_time(eng._fn, eng.params, xj)
+        t_f8 = wide_time(eng8._fn, eng8.params, xj)
 
         # unfused pieces in raw jax at the same shapes (NHWC)
         wdw = jnp.asarray(rng.standard_normal((7, 7, 1, c)),
@@ -212,7 +221,8 @@ def main():
 
         parts = {"dw7x7": dw, "ln": ln, "mlp(x2 gemm+gelu)": mlp,
                  "whole-jnp": whole}
-        msg = [f"[cnx c{c}@{hw} fused-engine {t_f*1e3:7.3f} ms]"]
+        msg = [f"[cnx c{c}@{hw} engine bf16={t_f*1e3:.3f} "
+               f"int8w={t_f8*1e3:.3f} ms]"]
         psum = 0.0
         for nm, f in parts.items():
             t = wide_time(f, None, xh)
