@@ -95,14 +95,18 @@ class DecodeServer:
 
         self.tick_steps = max(1, int(tick_steps))
 
-        def step_all(tokens, pos, caches, ctxs):
+        # params ride as ARGUMENTS, never closure constants: a closed-over
+        # 0.66 GB weight dict gets serialized into the remote-compile
+        # request on the axon tunnel (~30 min at 38 MB/s before the
+        # transport gives up); as arguments only the small HLO ships
+        def step_all(prm, tokens, pos, caches, ctxs):
             # one batched step; argmax on device so the readback is (B,)
             def one(tok, p, *rest):
                 nc = len(cache_names)
                 by = {"token": tok, "pos": p}
                 by.update(zip(cache_names, rest[:nc]))
                 by.update(zip(context_names, rest[nc:]))
-                outs = fn(params, *[by[n] for n in input_names])
+                outs = fn(prm, *[by[n] for n in input_names])
                 return (jnp.argmax(outs[0][0]).astype(jnp.int32),
                         list(outs[1:]))
 
@@ -111,7 +115,8 @@ class DecodeServer:
 
         T = self.tick_steps
 
-        def step_all_multi(tokens, pos, forced, n_forced, caches, ctxs):
+        def step_all_multi(prm, tokens, pos, forced, n_forced, caches,
+                           ctxs):
             # T chained steps per slot per dispatch: prompt tokens ride
             # in `forced`, generated ones chain on-device via argmax —
             # the per-tick host round trip (the slot loop's dominant
@@ -128,7 +133,7 @@ class DecodeServer:
                           "pos": (p + j)[None]}
                     by.update(zip(cache_names, caches_))
                     by.update(zip(context_names, rest[nc:]))
-                    outs = fn(params, *[by[n] for n in input_names])
+                    outs = fn(prm, *[by[n] for n in input_names])
                     out = jnp.argmax(outs[0][0]).astype(jnp.int32)
                     nxt = jnp.where(j < nf,
                                     fo[jnp.minimum(j, T - 2)], out)
@@ -144,8 +149,8 @@ class DecodeServer:
 
         # donate the caches: the old buffers are dead after each tick, so
         # XLA updates them in place instead of copying the whole KV set
-        self._step_all = jax.jit(step_all, donate_argnums=(2,))
-        self._step_multi = (jax.jit(step_all_multi, donate_argnums=(4,))
+        self._step_all = jax.jit(step_all, donate_argnums=(3,))
+        self._step_multi = (jax.jit(step_all_multi, donate_argnums=(5,))
                             if T > 1 else None)
         # Prefill admission: a ladder of full-sequence prefill graphs
         # (llama_style.build_prefill twins of the step graph) fills a new
@@ -164,7 +169,7 @@ class DecodeServer:
                 plen = next(v.type.shape[0] for v in g.inputs
                             if v.name == "tokens")
                 self._prefills.append(
-                    (plen, jax.jit(lambda toks, f=pfn: f(params, toks))))
+                    (plen, jax.jit(lambda p_, toks, f=pfn: f(p_, toks))))
             self._prefills.sort(key=lambda t: t[0])
 
         cache_dts = _cache_dtypes(step_graph, cfg, self._cache_names)
@@ -239,7 +244,7 @@ class DecodeServer:
         eff = min(n, p_len)
         toks = np.zeros((p_len,), np.int64)
         toks[:eff] = prompt[:eff]
-        outs = fn(jnp.asarray(toks))
+        outs = fn(self._params, jnp.asarray(toks))
         for j, c in enumerate(outs[1:]):
             self._caches[j] = self._caches[j].at[i].set(c)
         first = (int(np.asarray(outs[0][eff - 1]).argmax())
@@ -327,13 +332,13 @@ class DecodeServer:
             try:
                 if T > 1:
                     nxt, self._caches = self._step_multi(
-                        jnp.asarray(tokens), jnp.asarray(pos),
-                        jnp.asarray(forced), jnp.asarray(nf),
-                        self._caches, self._ctxs)
+                        self._params, jnp.asarray(tokens),
+                        jnp.asarray(pos), jnp.asarray(forced),
+                        jnp.asarray(nf), self._caches, self._ctxs)
                 else:
                     nxt, self._caches = self._step_all(
-                        jnp.asarray(tokens), jnp.asarray(pos),
-                        self._caches, self._ctxs)
+                        self._params, jnp.asarray(tokens),
+                        jnp.asarray(pos), self._caches, self._ctxs)
                 nxt = np.asarray(nxt)
             except Exception as e:  # noqa: BLE001 — an executor error must
                 # fail the in-flight requests, not kill the serving thread
@@ -509,7 +514,7 @@ class SpecDecodeServer:
                 plen = next(v.type.shape[0] for v in pg.inputs
                             if v.name == "tokens")
                 out.append((plen, jax.jit(
-                    lambda toks, f=pex.build_fn(), p=params: f(p, toks))))
+                    lambda p_, toks, f=pex.build_fn(): f(p_, toks))))
             out.sort(key=lambda t: t[0])
             setattr(self, store, out)
 
@@ -518,7 +523,10 @@ class SpecDecodeServer:
             by.update(zip(cnames, caches))
             return [by[n] for n in nms]
 
-        def round_one(tok, prev, pos, forced, n_forced, free, *caches):
+        # prm rides as an ARGUMENT (vmap in_axes=None): a closed-over
+        # weight dict would be serialized into the remote-compile request
+        def round_one(prm, tok, prev, pos, forced, n_forced, free,
+                      *caches):
             nc = len(cn_t)
             t_caches = list(caches[:nc])
             d_caches = list(caches[nc:])
@@ -526,8 +534,8 @@ class SpecDecodeServer:
             def dstep(c, j):
                 dc, tk = c
                 pp = jnp.maximum(pos + j, 0)
-                outs = step_d(params_d, *ordered(in_d, cn_d, tk[None],
-                                                 pp[None], dc))
+                outs = step_d(prm, *ordered(in_d, cn_d, tk[None],
+                                            pp[None], dc))
                 nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
                 nxt = jnp.where(j < n_forced,
                                 forced[jnp.minimum(jnp.maximum(j, 0),
@@ -539,8 +547,8 @@ class SpecDecodeServer:
             drafts = outs_d[1:]
 
             toks = jnp.concatenate([tok[None], drafts])
-            outs = chunk_fn(params_t, *ordered(in_c, cn_t, toks,
-                                               pos[None], t_caches))
+            outs = chunk_fn(prm, *ordered(in_c, cn_t, toks,
+                                          pos[None], t_caches))
             t_caches = list(outs[1:])
             tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
             # beyond the forced (prompt) region, draft agreement counts
@@ -553,8 +561,11 @@ class SpecDecodeServer:
             return tnext, a, *t_caches, *d_caches
 
         self._round_all = jax.jit(
-            jax.vmap(round_one), donate_argnums=tuple(
-                range(6, 6 + len(cn_t) + len(cn_d))))
+            jax.vmap(round_one,
+                     in_axes=(None,) + (0,) * (6 + len(cn_t)
+                                               + len(cn_d))),
+            donate_argnums=tuple(
+                range(7, 7 + len(cn_t) + len(cn_d))))
         self._t_caches = [jnp.zeros((slots,) + shapes_t[n], d)
                           for n, d in zip(cn_t, dts_t)]
         self._d_caches = [jnp.zeros((slots,) + shapes_d[n], d)
@@ -623,7 +634,8 @@ class SpecDecodeServer:
                     eff = min(len(prompt), p_len)
                     toks = np.zeros((p_len,), np.int64)
                     toks[:eff] = prompt[:eff]
-                    outs = dict(graphs)[p_len](jnp.asarray(toks))
+                    outs = dict(graphs)[p_len](self._params,
+                                               jnp.asarray(toks))
                     for j, c in enumerate(outs[1:]):
                         caches[j] = caches[j].at[i].set(c)
                     if caches is self._t_caches:
@@ -670,7 +682,7 @@ class SpecDecodeServer:
                 free[i] = s.pos + 1 + len(rem) >= len(s.prompt)
             try:
                 outs = self._round_all(
-                    jnp.asarray(toks), jnp.asarray(prevs),
+                    self._params, jnp.asarray(toks), jnp.asarray(prevs),
                     jnp.asarray(pos), jnp.asarray(forced),
                     jnp.asarray(n_forced), jnp.asarray(free),
                     *self._t_caches, *self._d_caches)
