@@ -385,3 +385,13 @@ def tfidf_vectorizer(ctx: Ctx, node: Node):
                 jnp.asarray(indexes)].set(jnp.asarray(weights, jnp.float32))
         out = (out > 0).astype(jnp.float32) * w if mode == "IDF" else out * w
     ctx.set(node.outputs[0], out[0] if squeeze else out)
+
+
+@register("OptimizationBarrier")
+def optimization_barrier(ctx: Ctx, node: Node):
+    """Identity that XLA may not fuse across (passes/dw_barrier.py
+    inserts it at measured-pathological fusion seams; probe86)."""
+    import jax
+
+    ctx.set(node.outputs[0],
+            jax.lax.optimization_barrier(ctx.get(node.inputs[0])))
