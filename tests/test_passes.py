@@ -691,3 +691,67 @@ class TestFuseTransposePairs:
         xv = rng.standard_normal((1, 3, 4, 5)).astype(np.float32)
         out = st.CompiledModel(g, st.Config(compute_dtype="float32"))(xv)[0]
         np.testing.assert_array_equal(np.asarray(out), xv)
+
+
+class TestDwConvLnBarrier:
+    """dwconv_ln_barrier: OptimizationBarrier after depthwise convs
+    feeding LayerNorm (the probe86 fusion-seam remediation). Must be
+    numerics-preserving and fire only on dw->(glue)->LN chains."""
+
+    def _block_graph(self):
+        import torch
+
+        from smelter_tpu.frontend.torch_export import export_torch
+
+        class Block(torch.nn.Module):
+            def __init__(self, c=16):
+                super().__init__()
+                self.dw = torch.nn.Conv2d(c, c, 7, padding=3, groups=c)
+                self.ln = torch.nn.LayerNorm(c)
+                self.fc = torch.nn.Linear(c, c)
+
+            def forward(self, x):
+                h = self.dw(x).permute(0, 2, 3, 1)
+                return x + self.fc(self.ln(h)).permute(0, 3, 1, 2)
+
+        bm = Block().eval()
+        xt = torch.randn(2, 16, 8, 8)
+        return export_torch(bm, (xt,)), xt.numpy()
+
+    def test_inserts_and_preserves(self):
+        import smelter_tpu as st
+        from smelter_tpu.passes.pass_manager import run_passes
+        from smelter_tpu.runtime.generate import _shallow_clone
+
+        g, x = self._block_graph()
+        run_passes(g)
+        before = st.CompiledModel(_shallow_clone(g), st.Config())(x)[0]
+        n = run_passes(g, ["dwconv_ln_barrier"])
+        bars = [nn for nn in g.nodes
+                if nn.op_type == "OptimizationBarrier"]
+        assert len(bars) == 1
+        after = st.CompiledModel(g, st.Config())(x)[0]
+        np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                                   atol=1e-6)
+
+    def test_skips_dense_conv_and_non_ln(self):
+        from smelter_tpu.ir.build import GraphBuilder
+        from smelter_tpu.passes.pass_manager import run_passes
+
+        rng = np.random.default_rng(0)
+        b = GraphBuilder("m", opset=17)
+        x = b.input("x", (2, 8, 8, 8))
+        # dense conv -> relu: no barrier
+        y = b.node("Conv", [x, b.init(
+            rng.standard_normal((8, 8, 3, 3)).astype(np.float32))],
+            pads=[1, 1, 1, 1])
+        y = b.node("Relu", [y])
+        # depthwise conv -> relu (no LN): no barrier either
+        y = b.node("Conv", [y, b.init(
+            rng.standard_normal((8, 1, 3, 3)).astype(np.float32))],
+            group=8, pads=[1, 1, 1, 1])
+        y = b.node("Relu", [y])
+        b.output(y, (2, 8, 8, 8))
+        run_passes(b.graph, ["dwconv_ln_barrier"])
+        assert not [n for n in b.graph.nodes
+                    if n.op_type == "OptimizationBarrier"]
