@@ -352,8 +352,11 @@ class _Rewriter:
 # e2e interleaved A/B by 35% (probe65: 9.76 vs 15.03 ms b64 int8w) —
 # the third microbench-win/e2e-loss inversion (MLP probe55, cross-attn
 # probe63): per-image grids forfeit XLA's cross-batch overlap.
+# dwconv_ln_barrier runs AFTER the transpose collapse (a barrier in
+# the middle of a permute sandwich would block the collapse; probe86b
+# measured the barrier's e2e win with collapsed layouts)
 NHWC_PIPELINE = ["layout_nhwc", "fuse_transpose_pairs",
-                 "collapse_layout_transposes"]
+                 "collapse_layout_transposes", "dwconv_ln_barrier"]
 
 
 @register_pass("fuse_transpose_pairs")
