@@ -168,8 +168,18 @@ class DecodeServer:
                 pfn = pex.build_fn()
                 plen = next(v.type.shape[0] for v in g.inputs
                             if v.name == "tokens")
+
+                # prefill + slot scatter in ONE dispatch: per-cache
+                # .at[slot].set calls would cost one host round trip
+                # PER CACHE ARRAY per admission (48 RPCs at 24 layers)
+                def prefill_set(p_, toks, slot, caches, f=pfn):
+                    outs = f(p_, toks)
+                    new = [c.at[slot].set(v)
+                           for c, v in zip(caches, outs[1:])]
+                    return outs[0], new
+
                 self._prefills.append(
-                    (plen, jax.jit(lambda p_, toks, f=pfn: f(p_, toks))))
+                    (plen, jax.jit(prefill_set, donate_argnums=(3,))))
             self._prefills.sort(key=lambda t: t[0])
 
         cache_dts = _cache_dtypes(step_graph, cfg, self._cache_names)
@@ -244,10 +254,12 @@ class DecodeServer:
         eff = min(n, p_len)
         toks = np.zeros((p_len,), np.int64)
         toks[:eff] = prompt[:eff]
-        outs = fn(self._params, jnp.asarray(toks))
-        for j, c in enumerate(outs[1:]):
-            self._caches[j] = self._caches[j].at[i].set(c)
-        first = (int(np.asarray(outs[0][eff - 1]).argmax())
+        # slot index as a traced array — a python int would retrace the
+        # prefill program once per slot
+        logits, self._caches = fn(self._params, jnp.asarray(toks),
+                                  jnp.asarray(i, jnp.int32),
+                                  self._caches)
+        first = (int(np.asarray(logits[eff - 1]).argmax())
                  if eff == n else None)
         return eff - 1, first
 
@@ -513,8 +525,19 @@ class SpecDecodeServer:
                                     cfg if store == "_prefills" else dcfg)
                 plen = next(v.type.shape[0] for v in pg.inputs
                             if v.name == "tokens")
-                out.append((plen, jax.jit(
-                    lambda p_, toks, f=pex.build_fn(): f(p_, toks))))
+
+                # prefill + slot scatter in one dispatch (see
+                # DecodeServer: per-cache .at[].set would pay one RPC
+                # per cache array per admission)
+                def prefill_set(p_, toks, slot, caches,
+                                f=pex.build_fn()):
+                    outs = f(p_, toks)
+                    new = [c.at[slot].set(v)
+                           for c, v in zip(caches, outs[1:])]
+                    return outs[0], new
+
+                out.append((plen, jax.jit(prefill_set,
+                                          donate_argnums=(3,))))
             out.sort(key=lambda t: t[0])
             setattr(self, store, out)
 
@@ -623,8 +646,8 @@ class SpecDecodeServer:
                 fut.set_result(list(prompt))
                 continue
             fed = 0
-            for graphs, caches in ((self._prefills, self._t_caches),
-                                   (self._d_prefills, self._d_caches)):
+            for graphs, store in ((self._prefills, "_t_caches"),
+                                  (self._d_prefills, "_d_caches")):
                 if not graphs or len(prompt) < 2:
                     continue
                 try:
@@ -634,14 +657,14 @@ class SpecDecodeServer:
                     eff = min(len(prompt), p_len)
                     toks = np.zeros((p_len,), np.int64)
                     toks[:eff] = prompt[:eff]
-                    outs = dict(graphs)[p_len](self._params,
-                                               jnp.asarray(toks))
-                    for j, c in enumerate(outs[1:]):
-                        caches[j] = caches[j].at[i].set(c)
-                    if caches is self._t_caches:
+                    _logits, new = dict(graphs)[p_len](
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(i, jnp.int32), getattr(self, store))
+                    setattr(self, store, new)
+                    if store == "_t_caches":
                         fed = eff - 1
                 except Exception:  # noqa: BLE001 — forced-draft fallback
-                    if caches is self._t_caches:
+                    if store == "_t_caches":
                         fed = 0
             # fed = index of last prompt token whose TARGET row is valid;
             # pos = next position to process; the tick consumes tokens
