@@ -730,7 +730,14 @@ def fuse_convnext_block(graph: Graph) -> int:
         hh, ww = int(t.shape[1]), int(t.shape[2])
         if hh * ww * c < _MIN_TOKENS_X_DIM:
             continue  # tiny per-image GEMMs lose (probe55/56 precedent)
-        ln = sole_consumer(conv.outputs[0], "LayerNormalization")
+        # dwconv_ln_barrier (default-on at the NHWC tail) may sit
+        # between the conv and the LN: transparent here — the fused
+        # kernel replaces the whole chain, so the barrier is moot
+        conv_out = conv.outputs[0]
+        bar = sole_consumer(conv_out, "OptimizationBarrier")
+        if bar is not None:
+            conv_out = bar.outputs[0]
+        ln = sole_consumer(conv_out, "LayerNormalization")
         if (ln is None or ln.attr("axis", -1) not in (-1, 3)
                 or init(ln.inputs[1]) is None or init(ln.inputs[2]) is None
                 or not _aux_outputs_unused(graph, consumers, ln)):
@@ -814,7 +821,7 @@ def fuse_convnext_block(graph: Graph) -> int:
                         name=(res.name or "res") + "_nchw")
             graph.nodes[graph.nodes.index(res)] = back
             dead.add(id(tr))
-        for n in (conv, ln, mm1, a1, gel, mm2, a2, mul,
+        for n in (conv, bar, ln, mm1, a1, gel, mm2, a2, mul,
                   w_dead, w1_dead, w2_dead):
             if n is not None:
                 dead.add(id(n))
