@@ -28,6 +28,52 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+def _build_prefill_ladder(graphs, params, host_map, cfg):
+    """(plen, jitted prefill+scatter) ladder shared by both servers.
+
+    One dispatch per admission: per-cache .at[slot].set calls would cost
+    one host round trip PER CACHE ARRAY (48 RPCs at 24 layers). The
+    caches are donated; callers must heal via _heal_caches on failure.
+    Positional contract: the prefill graph's outputs[1:] are the caches
+    in the step graph's input order."""
+    import jax
+
+    from ..runtime.generate import _merge_params
+
+    out = []
+    for g in graphs:
+        pex = _merge_params(params, host_map, g, cfg)
+        plen = next(v.type.shape[0] for v in g.inputs
+                    if v.name == "tokens")
+
+        def prefill_set(p_, toks, slot, caches, f=pex.build_fn()):
+            outs = f(p_, toks)
+            new = [c.at[slot].set(v)
+                   for c, v in zip(caches, outs[1:])]
+            return outs[0], new
+
+        out.append((plen, jax.jit(prefill_set, donate_argnums=(3,))))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _heal_caches(caches, dtypes=None):
+    """Rebuild any cache buffers a failed (donating) call consumed.
+    Returns (caches, n_rebuilt); rebuilt slots come back zeroed, so the
+    caller must fail the affected in-flight requests when n_rebuilt."""
+    import jax.numpy as jnp
+
+    healed, n = [], 0
+    for i, c in enumerate(caches):
+        if getattr(c, "is_deleted", lambda: False)():
+            d = dtypes[i] if dtypes is not None else c.dtype
+            healed.append(jnp.zeros(c.shape, d))
+            n += 1
+        else:
+            healed.append(c)
+    return healed, n
+
+
 @dataclass
 class _Slot:
     active: bool = False
@@ -161,26 +207,8 @@ class DecodeServer:
         # longer prompts prefill the largest bucket then feed the rest.
         from ..runtime.generate import _cache_dtypes
 
-        self._prefills: list[tuple[int, object]] = []
-        if prefill_graphs:
-            for g in prefill_graphs:
-                pex = _merge_params(params, host_map, g, cfg)
-                pfn = pex.build_fn()
-                plen = next(v.type.shape[0] for v in g.inputs
-                            if v.name == "tokens")
-
-                # prefill + slot scatter in ONE dispatch: per-cache
-                # .at[slot].set calls would cost one host round trip
-                # PER CACHE ARRAY per admission (48 RPCs at 24 layers)
-                def prefill_set(p_, toks, slot, caches, f=pfn):
-                    outs = f(p_, toks)
-                    new = [c.at[slot].set(v)
-                           for c, v in zip(caches, outs[1:])]
-                    return outs[0], new
-
-                self._prefills.append(
-                    (plen, jax.jit(prefill_set, donate_argnums=(3,))))
-            self._prefills.sort(key=lambda t: t[0])
+        self._prefills = _build_prefill_ladder(
+            prefill_graphs, params, host_map, cfg)
 
         cache_dts = _cache_dtypes(step_graph, cfg, self._cache_names)
         self._cache_dts = cache_dts
@@ -295,6 +323,19 @@ class DecodeServer:
                     fed = pos = 0
                     last = prompt[0]
                     generated = []
+                    # the prefill donates the caches: if the failed call
+                    # consumed them, rebuilt slots come back zeroed and
+                    # the in-flight occupants' state is gone — fail
+                    # those requests loudly instead of serving garbage
+                    self._caches, n_lost = _heal_caches(
+                        self._caches, self._cache_dts)
+                    if n_lost:
+                        for k, sk in enumerate(self._state):
+                            if sk.active and sk.future is not None:
+                                sk.future.set_exception(RuntimeError(
+                                    "prefill failure consumed the KV "
+                                    "caches"))
+                                self._state[k] = _Slot()
             self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
                                    generated=generated, n_new=n_new,
                                    last_token=last, pos=pos, future=fut,
@@ -512,34 +553,13 @@ class SpecDecodeServer:
             raise ValueError("chunk_graph must take >= 2 tokens")
         self.gamma = gamma
 
-        # target-side prefill ladder (reuses DecodeServer mechanics)
-        self._prefills = []
-        # params_d IS params_t post-merge; host_t already carries the
-        # draft's entries, so both ladders merge against the same maps
-        for g, store, params, base_host in (
-                (prefill_graphs, "_prefills", params_t, host_t),
-                (draft_prefill_graphs, "_d_prefills", params_d, host_t)):
-            out = []
-            for pg in g:
-                pex = _merge_params(params, base_host, pg,
-                                    cfg if store == "_prefills" else dcfg)
-                plen = next(v.type.shape[0] for v in pg.inputs
-                            if v.name == "tokens")
-
-                # prefill + slot scatter in one dispatch (see
-                # DecodeServer: per-cache .at[].set would pay one RPC
-                # per cache array per admission)
-                def prefill_set(p_, toks, slot, caches,
-                                f=pex.build_fn()):
-                    outs = f(p_, toks)
-                    new = [c.at[slot].set(v)
-                           for c, v in zip(caches, outs[1:])]
-                    return outs[0], new
-
-                out.append((plen, jax.jit(prefill_set,
-                                          donate_argnums=(3,))))
-            out.sort(key=lambda t: t[0])
-            setattr(self, store, out)
+        # target- and draft-side prefill ladders (shared builder;
+        # params_d IS params_t post-merge and host_t carries the
+        # draft's entries, so both merge against the same maps)
+        self._prefills = _build_prefill_ladder(
+            prefill_graphs, params_t, host_t, cfg)
+        self._d_prefills = _build_prefill_ladder(
+            draft_prefill_graphs, params_d, host_t, dcfg)
 
         def ordered(nms, cnames, tok, pos, caches):
             by = {"token": tok, "pos": pos}
@@ -666,6 +686,17 @@ class SpecDecodeServer:
                 except Exception:  # noqa: BLE001 — forced-draft fallback
                     if store == "_t_caches":
                         fed = 0
+                    # donated caches may be consumed by the failed call:
+                    # heal, and fail any occupant whose state was lost
+                    healed, n_lost = _heal_caches(getattr(self, store))
+                    setattr(self, store, healed)
+                    if n_lost:
+                        for k, sk in enumerate(self._state):
+                            if sk.active and sk.future is not None:
+                                sk.future.set_exception(RuntimeError(
+                                    "prefill failure consumed the KV "
+                                    "caches"))
+                                self._state[k] = _Slot()
             # fed = index of last prompt token whose TARGET row is valid;
             # pos = next position to process; the tick consumes tokens
             # prompt[fed..] as forced drafts until the prompt is done
@@ -811,6 +842,10 @@ class BucketedDecodeServer:
         built: dict[int, DecodeServer] = {}
         for i in order:
             b = buckets[i]
+            if ("chunk" in b) != ("draft" in b):
+                raise ValueError(
+                    "speculative bucket needs BOTH 'chunk' and 'draft' "
+                    f"graphs (bucket {i} has only one)")
             if "chunk" in b and "draft" in b:
                 # speculative bucket: vmapped draft-and-verify ticks at
                 # this cache length (graphs built from the same weights)
@@ -878,9 +913,16 @@ class BucketedDecodeServer:
 
     def uniform_cache_bytes(self) -> int:
         """What the same slot count costs at the LARGEST bucket's length
-        (the flat-DecodeServer allocation this ladder replaces)."""
+        (the flat-DecodeServer allocation this ladder replaces). When
+        the largest bucket is speculative, only its TARGET caches count
+        — a flat DecodeServer would not hold draft caches."""
         big = self._servers[-1]
-        per_slot = big.cache_bytes() // big.slots
+        t_caches = getattr(big, "_t_caches", None)
+        if t_caches is not None:
+            per_slot = sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                           for c in t_caches) // big.slots
+        else:
+            per_slot = big.cache_bytes() // big.slots
         return per_slot * sum(s.slots for s in self._servers)
 
     def shutdown(self) -> None:
