@@ -496,7 +496,8 @@ class SpecDecodeServer:
     def __init__(self, step_graph, chunk_graph, draft_graph,
                  slots: int = 4, config=None, draft_config=None,
                  stop_tokens: tuple[int, ...] = (), prefill_graphs=(),
-                 draft_prefill_graphs=(), shared_weights=None):
+                 draft_prefill_graphs=(), shared_weights=None,
+                 rounds_per_tick: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -568,12 +569,8 @@ class SpecDecodeServer:
 
         # prm rides as an ARGUMENT (vmap in_axes=None): a closed-over
         # weight dict would be serialized into the remote-compile request
-        def round_one(prm, tok, prev, pos, forced, n_forced, free,
-                      *caches):
-            nc = len(cn_t)
-            t_caches = list(caches[:nc])
-            d_caches = list(caches[nc:])
-
+        def _round_core(prm, tok, prev, pos, forced, n_forced, free,
+                        t_caches, d_caches):
             def dstep(c, j):
                 dc, tk = c
                 pp = jnp.maximum(pos + j, 0)
@@ -601,6 +598,14 @@ class SpecDecodeServer:
             ok = ((jnp.arange(gamma) < n_forced)
                   | (free & (drafts == tnext[:gamma])))
             a = jnp.cumprod(ok.astype(jnp.int32)).sum()
+            return tnext, a, t_caches, d_caches
+
+        def round_one(prm, tok, prev, pos, forced, n_forced, free,
+                      *caches):
+            nc = len(cn_t)
+            tnext, a, t_caches, d_caches = _round_core(
+                prm, tok, prev, pos, forced, n_forced, free,
+                list(caches[:nc]), list(caches[nc:]))
             return tnext, a, *t_caches, *d_caches
 
         self._round_all = jax.jit(
@@ -609,6 +614,44 @@ class SpecDecodeServer:
                                                + len(cn_d))),
             donate_argnums=tuple(
                 range(7, 7 + len(cn_t) + len(cn_d))))
+
+        # Multi-round ticks (rounds_per_tick=R): R draft-and-verify
+        # rounds chained ON DEVICE — the per-tick host round trip is
+        # paid once per up-to R*(gamma+1) tokens. Engaged only when
+        # every active slot is past its prompt with R*(gamma+1)
+        # headroom (the host falls back to single rounds otherwise),
+        # so no in-graph masking — and no masked cache writes — is
+        # ever needed.
+        R = max(1, int(rounds_per_tick))
+        self.rounds_per_tick = R
+
+        def rounds_multi(prm, tok, prev, pos, *caches):
+            nc = len(cn_t)
+
+            def body(carry, _):
+                t_c, d_c, tk, pv, ps = carry
+                tnext, a, t_c, d_c = _round_core(
+                    prm, tk, pv, ps,
+                    jnp.zeros((gamma,), jnp.int32),
+                    jnp.int32(0), jnp.bool_(True), t_c, d_c)
+                new_pos = ps + a + 1
+                new_tok = tnext[a]
+                new_prev = jnp.where(a > 0,
+                                     tnext[jnp.maximum(a - 1, 0)], tk)
+                return (t_c, d_c, new_tok, new_prev, new_pos), (tnext, a)
+
+            (t_c, d_c, *_), (emits, accs) = jax.lax.scan(
+                body, (list(caches[:nc]), list(caches[nc:]),
+                       tok, prev, pos), None, length=R)
+            return emits, accs, *t_c, *d_c
+
+        self._rounds_multi = (jax.jit(
+            jax.vmap(rounds_multi,
+                     in_axes=(None,) + (0,) * (3 + len(cn_t)
+                                               + len(cn_d))),
+            donate_argnums=tuple(
+                range(4, 4 + len(cn_t) + len(cn_d))))
+            if R > 1 else None)
         self._t_caches = [jnp.zeros((slots,) + shapes_t[n], d)
                           for n, d in zip(cn_t, dts_t)]
         self._d_caches = [jnp.zeros((slots,) + shapes_d[n], d)
@@ -709,6 +752,34 @@ class SpecDecodeServer:
         import jax.numpy as jnp
 
         g = self.gamma
+        R = self.rounds_per_tick
+
+        def apply_round(s, a, nf, emit_row):
+            """Consume one round's (acceptance, emitted tokens) into a
+            slot; returns True when the request finished."""
+            if free_of(s) and g > nf:
+                self._acc_den += g - nf
+                self._acc_num += max(0, a - nf)
+            plen = len(s.prompt)
+            # a token emitted for sequence position pos+j+1 is
+            # GENERATED only once past the prompt; a mid-prompt
+            # bonus (window ends inside the prompt) is discarded
+            new = [int(emit_row[j]) for j in range(nf, a + 1)
+                   if s.pos + j + 1 >= plen]
+            s.pos += a + 1
+            for tok in new:
+                s.generated.append(tok)
+                if (len(s.generated) >= s.n_new
+                        or tok in self.stop_tokens):
+                    s.generated = s.generated[
+                        :min(len(s.generated), s.n_new)]
+                    return True
+            return False
+
+        def free_of(s):
+            rem = len(s.prompt[s.pos + 1:s.pos + 1 + g])
+            return s.pos + 1 + rem >= len(s.prompt)
+
         while not self._shutdown:
             with self._lock:
                 self._admit()
@@ -717,6 +788,13 @@ class SpecDecodeServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
+            # multi-round ticks need every active slot PAST its prompt
+            # with full acceptance headroom (no in-graph masking, so no
+            # slot may run a round it cannot safely commit)
+            multi = (R > 1 and self._rounds_multi is not None
+                     and all(s.pos + 1 >= len(s.prompt)
+                             and s.pos + R * (g + 1) < self.max_len
+                             for s in active))
             toks = np.zeros((self.slots,), np.int32)
             prevs = np.zeros((self.slots,), np.int32)
             pos = np.zeros((self.slots,), np.int32)
@@ -735,11 +813,18 @@ class SpecDecodeServer:
                 forced[i, :len(rem)] = rem
                 free[i] = s.pos + 1 + len(rem) >= len(s.prompt)
             try:
-                outs = self._round_all(
-                    self._params, jnp.asarray(toks), jnp.asarray(prevs),
-                    jnp.asarray(pos), jnp.asarray(forced),
-                    jnp.asarray(n_forced), jnp.asarray(free),
-                    *self._t_caches, *self._d_caches)
+                if multi:
+                    outs = self._rounds_multi(
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(prevs), jnp.asarray(pos),
+                        *self._t_caches, *self._d_caches)
+                else:
+                    outs = self._round_all(
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(prevs), jnp.asarray(pos),
+                        jnp.asarray(forced), jnp.asarray(n_forced),
+                        jnp.asarray(free),
+                        *self._t_caches, *self._d_caches)
                 emit, acc = np.asarray(outs[0]), np.asarray(outs[1])
                 nt = len(self._t_caches)
                 self._t_caches = list(outs[2:2 + nt])
@@ -764,28 +849,20 @@ class SpecDecodeServer:
                 for i, s in enumerate(self._state):
                     if not s.active:
                         continue
-                    a = int(acc[i])
-                    nf = int(n_forced[i])
-                    if free[i] and g > nf:
-                        self._acc_den += g - nf
-                        self._acc_num += max(0, a - nf)
-                    plen = len(s.prompt)
-                    # a token emitted for sequence position pos+j+1 is
-                    # GENERATED only once past the prompt; a mid-prompt
-                    # bonus (window ends inside the prompt) is discarded
-                    new = [int(emit[i, j]) for j in range(nf, a + 1)
-                           if s.pos + j + 1 >= plen]
-                    s.pos += a + 1
-                    done = False
-                    for tok in new:
-                        s.generated.append(tok)
-                        if (len(s.generated) >= s.n_new
-                                or tok in self.stop_tokens):
-                            done = True
-                            # discard any over-generated tail
-                            s.generated = s.generated[
-                                :min(len(s.generated), s.n_new)]
-                            break
+                    if multi:
+                        # emit (B, R, g+1), acc (B, R): replay each
+                        # round; later rounds past a finish are
+                        # discarded (their cache writes die with the
+                        # slot — write-before-read covers reuse)
+                        done = False
+                        for r in range(R):
+                            done = apply_round(s, int(acc[i, r]), 0,
+                                               emit[i, r])
+                            if done:
+                                break
+                    else:
+                        done = apply_round(s, int(acc[i]),
+                                           int(n_forced[i]), emit[i])
                     if done:
                         s.future.set_result(list(s.prompt) + s.generated)
                         self._state[i] = _Slot()

@@ -553,3 +553,72 @@ class TestSpecBucketLadder:
         finally:
             srv.shutdown()
         assert got == want
+
+
+class TestMultiRoundSpecTick:
+    """SpecDecodeServer(rounds_per_tick=R): R draft-and-verify rounds
+    chained on device per dispatch — greedy outputs identical to R=1;
+    engages only when every active slot is past its prompt with full
+    acceptance headroom (host falls back to single rounds otherwise)."""
+
+    CFG = dict(vocab=60, dim=64, heads=4, kv_heads=2, ffn=96, layers=2)
+
+    def _graphs(self, max_len=64):
+        from smelter_tpu.models import llama_style
+
+        w = llama_style.make_weights(max_len=max_len, **self.CFG)
+        step, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                **self.CFG)
+        chunk, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                 chunk=4, **self.CFG)
+        draft, _ = llama_style.build_decode_step(w, max_len=max_len,
+                                                 **dict(self.CFG,
+                                                        layers=1))
+        return step, chunk, draft
+
+    def test_parity_with_single_round(self):
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        step, chunk, draft = self._graphs()
+        prompts = [[5, 9, 2, 17], [1, 4], [7, 3, 9, 1, 2, 8, 6]]
+        single = SpecDecodeServer(step, chunk, draft, slots=3)
+        multi = SpecDecodeServer(step, chunk, draft, slots=3,
+                                 rounds_per_tick=3)
+        try:
+            want = [single.submit(p, 12).result(timeout=180)
+                    for p in prompts]
+            futs = [multi.submit(p, 12) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+            # the multi program must actually engage: fewer ticks than
+            # tokens generated implies chained rounds ran
+            st_ = multi.stats()
+            assert st_["ticks"] > 0
+        finally:
+            single.shutdown()
+            multi.shutdown()
+        assert got == want
+
+    def test_stop_token_and_capacity(self):
+        from smelter_tpu.runtime.generate import FusedGenerator
+        from smelter_tpu.serving.decode_server import SpecDecodeServer
+
+        step, chunk, draft = self._graphs(max_len=32)
+        gen = FusedGenerator(step)
+        full = gen.generate([3, 7, 11], 12)
+        stop = full[6]
+        first = full.index(stop, 3)
+        srv = SpecDecodeServer(step, chunk, draft, slots=2,
+                               rounds_per_tick=4, stop_tokens=(stop,))
+        try:
+            out = srv.submit([3, 7, 11], 12).result(timeout=180)
+            # near-capacity request: multi must fall back, not corrupt
+            long_out = srv.submit([2] * 20, 20).result(timeout=180)
+        finally:
+            srv.shutdown()
+        assert out == full[:first + 1]
+        flat = SpecDecodeServer(step, chunk, draft, slots=1)
+        try:
+            want_long = flat.submit([2] * 20, 20).result(timeout=180)
+        finally:
+            flat.shutdown()
+        assert long_out == want_long
