@@ -377,13 +377,15 @@ def _bench_serve_decode(args, st) -> int:
                 for p in pf_lens]
     spec_tps, stats = run(SpecDecodeServer(
         step, chunk, draft, slots=slots, config=scfg,
-        prefill_graphs=pfs, draft_prefill_graphs=dpfs))
+        prefill_graphs=pfs, draft_prefill_graphs=dpfs,
+        rounds_per_tick=args.spec_rounds))
     acc = stats.get("accept_rate")
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": f"{args.model} speculative decode serving aggregate "
                   f"tok/s (SpecDecodeServer, slots={slots}, "
-                  f"gamma={gamma}, draft={draft_kind}, measured "
+                  f"gamma={gamma}, rounds={args.spec_rounds}, "
+                  f"draft={draft_kind}, measured "
                   f"acceptance={acc if acc is None else round(acc, 3)}, "
                   f"quant={quant or 'bf16'}, kv_quant={kvq}, "
                   f"ragged={bool(args.ragged)}, n_new={n_new}, vs plain "
@@ -438,6 +440,9 @@ def main() -> int:
     p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--tick-steps", type=int, default=1,
                    help="serve-decode: DecodeServer steps per dispatch")
+    p.add_argument("--spec-rounds", type=int, default=1,
+                   help="serve-decode: SpecDecodeServer draft-and-verify "
+                        "rounds per dispatch")
     p.add_argument("--new-tokens", type=int, default=64)
     p.add_argument("--kv-quant", action="store_true",
                    help="serve-decode: int8 KV caches")

@@ -236,6 +236,11 @@ def main(argv=None) -> int:
                         "slots x max). Repeatable. Requires "
                         "--decode-slots; prefill graphs apply to the "
                         "main (largest) bucket only")
+    p.add_argument("--decode-spec-rounds", type=int, default=1,
+                   metavar="R",
+                   help="SpecDecodeServer: chain R draft-and-verify "
+                        "rounds per dispatch (engages when all slots "
+                        "are past their prompts)")
     p.add_argument("--decode-tick-steps", type=int, default=1,
                    metavar="T",
                    help="DecodeServer: chain T decode steps per dispatch "
@@ -331,7 +336,8 @@ def main(argv=None) -> int:
                     step_graph, st.load_model(args.decode_chunk),
                     st.load_model(args.decode_draft),
                     slots=args.decode_slots, config=dec_cfg,
-                    prefill_graphs=prefills)
+                    prefill_graphs=prefills,
+                    rounds_per_tick=args.decode_spec_rounds)
         elif args.decode_slots and args.decode_bucket:
             from ..serving.decode_server import BucketedDecodeServer
 
