@@ -402,12 +402,8 @@ class DecodeServer:
                         self._state[i] = _Slot()
                     # the failed call may have consumed the donated cache
                     # buffers: rebuild clean ones
-                    self._caches = [
-                        jnp.zeros((self.slots,) + tuple(c.shape[1:]),
-                                  d) if getattr(c, "is_deleted",
-                                                lambda: False)()
-                        else c
-                        for c, d in zip(self._caches, self._cache_dts)]
+                    self._caches, _ = _heal_caches(self._caches,
+                                                   self._cache_dts)
                 continue
             with self._lock:
                 for i, s in enumerate(self._state):
@@ -730,10 +726,13 @@ class SpecDecodeServer:
                     if store == "_t_caches":
                         fed = 0
                     # donated caches may be consumed by the failed call:
-                    # heal, and fail any occupant whose state was lost
+                    # heal; a TARGET-cache loss destroys occupants'
+                    # state, but a zeroed DRAFT cache only degrades
+                    # acceptance (the verify chunk is the target) — do
+                    # not kill in-flight requests for that
                     healed, n_lost = _heal_caches(getattr(self, store))
                     setattr(self, store, healed)
-                    if n_lost:
+                    if n_lost and store == "_t_caches":
                         for k, sk in enumerate(self._state):
                             if sk.active and sk.future is not None:
                                 sk.future.set_exception(RuntimeError(
@@ -836,13 +835,8 @@ class SpecDecodeServer:
                         if s.active and s.future is not None:
                             s.future.set_exception(e)
                         self._state[i] = _Slot()
-                    def _fresh(caches):
-                        return [jnp.zeros(c.shape, c.dtype)
-                                if getattr(c, "is_deleted",
-                                           lambda: False)() else c
-                                for c in caches]
-                    self._t_caches = _fresh(self._t_caches)
-                    self._d_caches = _fresh(self._d_caches)
+                    self._t_caches, _ = _heal_caches(self._t_caches)
+                    self._d_caches, _ = _heal_caches(self._d_caches)
                 continue
             with self._lock:
                 self._ticks += 1
@@ -913,16 +907,20 @@ class BucketedDecodeServer:
         self._servers = []
         shared = None
         # largest first: its server uploads the weights, the rest share
+        for i, b in enumerate(buckets):
+            if ("chunk" in b) != ("draft" in b):
+                # validate BEFORE building anything: a mid-construction
+                # raise would leak earlier buckets' serving threads and
+                # uploaded weights with no handle to shut them down
+                raise ValueError(
+                    "speculative bucket needs BOTH 'chunk' and 'draft' "
+                    f"graphs (bucket {i} has only one)")
         order = sorted(range(len(buckets)),
                        key=lambda i: -self._graph_max_len(
                            buckets[i]["step"]))
         built: dict[int, DecodeServer] = {}
         for i in order:
             b = buckets[i]
-            if ("chunk" in b) != ("draft" in b):
-                raise ValueError(
-                    "speculative bucket needs BOTH 'chunk' and 'draft' "
-                    f"graphs (bucket {i} has only one)")
             if "chunk" in b and "draft" in b:
                 # speculative bucket: vmapped draft-and-verify ticks at
                 # this cache length (graphs built from the same weights)
@@ -932,7 +930,8 @@ class BucketedDecodeServer:
                     stop_tokens=stop_tokens,
                     prefill_graphs=b.get("prefills", ()),
                     draft_prefill_graphs=b.get("draft_prefills", ()),
-                    shared_weights=shared)
+                    shared_weights=shared,
+                    rounds_per_tick=b.get("rounds_per_tick", 1))
             else:
                 srv = DecodeServer(b["step"], slots=b.get("slots", 4),
                                    config=config,

@@ -319,7 +319,9 @@ def main(argv=None) -> int:
                             "chunk": st.load_model(args.decode_chunk),
                             "draft": st.load_model(args.decode_draft),
                             "slots": args.decode_slots,
-                            "prefills": prefills}]
+                            "prefills": prefills,
+                            "rounds_per_tick":
+                                args.decode_spec_rounds}]
                 for spec in args.decode_bucket:
                     path, _, n = spec.rpartition(":")
                     if not path or not n.isdigit():

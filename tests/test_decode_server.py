@@ -587,12 +587,14 @@ class TestMultiRoundSpecTick:
         try:
             want = [single.submit(p, 12).result(timeout=180)
                     for p in prompts]
+            single_ticks = single.stats()["ticks"]
             futs = [multi.submit(p, 12) for p in prompts]
             got = [f.result(timeout=180) for f in futs]
-            # the multi program must actually engage: fewer ticks than
-            # tokens generated implies chained rounds ran
+            # the multi program must actually ENGAGE: chaining R=3
+            # rounds per dispatch must need measurably fewer ticks
+            # than the single-round server took for the same work
             st_ = multi.stats()
-            assert st_["ticks"] > 0
+            assert 0 < st_["ticks"] < single_ticks
         finally:
             single.shutdown()
             multi.shutdown()
