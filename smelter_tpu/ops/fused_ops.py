@@ -363,3 +363,64 @@ def ragged_decode_attention_op(ctx: Ctx, node: Node):
             c=c, kv_heads=kvh, scale=scale)
     out = out.reshape(kvh, g, c, hd).transpose(2, 0, 1, 3).reshape(c, dim)
     ctx.set(node.outputs[0], out.astype(q.dtype))
+
+
+@register("PagedDecodeAttention")
+def paged_decode_attention_op(ctx: Ctx, node: Node):
+    """Decode-step attention over a block-paged KV pool
+    (kernels/paged_decode_attention.py): the RaggedDecodeAttention
+    memory model with the per-slot contiguous cache replaced by
+    page-table indirection, so serving HBM is pages-in-use instead of
+    slots x max_len. Inputs: (q (c, dim), k_pool (P, ps, kvd), v_pool,
+    table (npg,), pos (1,)) or the int8-pool form (q, kq, ks (P, ps, 1),
+    vq, vs, table, pos). Attributes match RaggedDecodeAttention
+    (num_heads, kv_heads, chunk, scale)."""
+    import jax
+
+    from ..kernels.paged_decode_attention import (
+        paged_decode_attention, paged_gather_reference)
+    from ..kernels.ragged_decode_attention import (
+        ragged_decode_attention_reference)
+
+    q = ctx.get(node.inputs[0])
+    quant = len(node.inputs) == 7
+    if quant:
+        k, ks, v, vs, table, pos = (ctx.get(n) for n in node.inputs[1:])
+    else:
+        k, v, table, pos = (ctx.get(n) for n in node.inputs[1:])
+        ks = vs = None
+    heads = int(node.attr("num_heads"))
+    kvh = int(node.attr("kv_heads"))
+    c = int(node.attr("chunk", 1))
+    scale = float(node.attr("scale"))
+    dim = q.shape[-1]
+    hd = dim // heads
+    g = heads // kvh
+    _, ps, kvd = k.shape
+    npg = table.shape[-1]
+    qh = q.reshape(c, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
+        kvh, g * c, hd)
+    # pages ARE the kernel's row blocks: the sublane/lane gate applies
+    # to the page size directly (no block search — paging fixed it)
+    import numpy as _np
+    sub = {1: 32, 2: 16}.get(_np.dtype(k.dtype).itemsize, 8)
+    use_kernel = _FORCE_RAGGED_KERNEL or (
+        jax.default_backend() == "tpu"
+        and hd % 128 == 0 and kvd % 128 == 0 and ps % sub == 0)
+    if use_kernel:
+        out = paged_decode_attention(
+            qh[None], k, v,
+            table.reshape(1, npg), pos.reshape(1), ks, vs,
+            c=c, kv_heads=kvh, scale=scale)[0]
+    else:
+        L = npg * ps
+        t2 = table.reshape(1, npg)
+        kd = paged_gather_reference(k, t2, L)[0]
+        vd = paged_gather_reference(v, t2, L)[0]
+        ksd = paged_gather_reference(ks, t2, L)[0] if quant else None
+        vsd = paged_gather_reference(vs, t2, L)[0] if quant else None
+        out = ragged_decode_attention_reference(
+            qh, kd, vd, pos.reshape(()), ksd, vsd,
+            c=c, kv_heads=kvh, scale=scale)
+    out = out.reshape(kvh, g, c, hd).transpose(2, 0, 1, 3).reshape(c, dim)
+    ctx.set(node.outputs[0], out.astype(q.dtype))

@@ -267,3 +267,91 @@ def test_tp_sharded_paged_no_allgather(rng, eight_devices):
         hlo = jf.lower(q, kp, vp, table, pos).compile().as_text()
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
     assert "all-gather" not in hlo
+
+
+# -- graph-level fused op -------------------------------------------------
+
+def _paged_graph(ps, npg, n_pages, heads, kvh, hd, c, quant=False):
+    from smelter_tpu import GraphBuilder
+    from smelter_tpu.utils import dtypes as dt
+
+    dim = heads * hd
+    kvd = kvh * hd
+    b = GraphBuilder("paged_step")
+    ins = [b.input("q", (c, dim))]
+    if quant:
+        ins += [b.input("k_pool", (n_pages, ps, kvd), dt.INT8),
+                b.input("k_scale", (n_pages, ps, 1)),
+                b.input("v_pool", (n_pages, ps, kvd), dt.INT8),
+                b.input("v_scale", (n_pages, ps, 1))]
+    else:
+        ins += [b.input("k_pool", (n_pages, ps, kvd)),
+                b.input("v_pool", (n_pages, ps, kvd))]
+    ins += [b.input("table", (npg,), dt.INT32),
+            b.input("pos", (1,), dt.INT32)]
+    out = b.node("PagedDecodeAttention", ins, ["attn"],
+                 num_heads=heads, kv_heads=kvh, chunk=c,
+                 scale=1.0 / np.sqrt(hd))
+    return b.finish([out])
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("force_kernel", [False, True])
+def test_graph_op_matches_dense(rng, quant, force_kernel):
+    """The PagedDecodeAttention graph op (both CPU-reference and forced-
+    kernel paths) matches the dense ragged reference on the gathered
+    logical cache."""
+    import smelter_tpu.ops.fused_ops as fo
+    from smelter_tpu.runtime.executor import Executor
+
+    heads, kvh, hd, c = 4, 2, 16, 2
+    ps, npg, n_pages = 8, 3, 6
+    dim, kvd = heads * hd, kvh * hd
+    L = npg * ps
+    g = _paged_graph(ps, npg, n_pages, heads, kvh, hd, c, quant)
+    ex = Executor(g)
+    params = ex.init_params()
+    fn = ex.build_fn()
+    q = jnp.asarray(rng.standard_normal((c, dim)), jnp.float32)
+    table = np.array([4, 0, 2], np.int32)
+    k_log = rng.standard_normal((1, L, kvd)).astype(np.float32)
+    v_log = rng.standard_normal((1, L, kvd)).astype(np.float32)
+    pos = 13
+    if quant:
+        k_log = k_log.round().clip(-5, 5)
+        v_log = v_log.round().clip(-5, 5)
+        kp = _scatter_pool(rng, n_pages, ps, kvd, table[None], k_log,
+                           np.float32).astype(np.int8)
+        vp = _scatter_pool(rng, n_pages, ps, kvd, table[None], v_log,
+                           np.float32).astype(np.int8)
+        ks = np.full((n_pages, ps, 1), 0.5, np.float32)
+        vs = np.full((n_pages, ps, 1), 0.25, np.float32)
+        args = (q, jnp.asarray(kp), jnp.asarray(ks), jnp.asarray(vp),
+                jnp.asarray(vs))
+        ksl = np.full((L, 1), 0.5, np.float32)
+        vsl = np.full((L, 1), 0.25, np.float32)
+    else:
+        kp = _scatter_pool(rng, n_pages, ps, kvd, table[None], k_log)
+        vp = _scatter_pool(rng, n_pages, ps, kvd, table[None], v_log)
+        args = (q, jnp.asarray(kp), jnp.asarray(vp))
+        ksl = vsl = None
+    args = args + (jnp.asarray(table), jnp.asarray([pos], jnp.int32))
+    fo._FORCE_RAGGED_KERNEL = force_kernel
+    try:
+        (got,) = fn(params, *args)
+    finally:
+        fo._FORCE_RAGGED_KERNEL = False
+    qh = np.asarray(q).reshape(c, kvh, heads // kvh, hd).transpose(
+        1, 2, 0, 3).reshape(kvh, (heads // kvh) * c, hd)
+    want = ragged_decode_attention_reference(
+        jnp.asarray(qh),
+        jnp.asarray(k_log[0].astype(np.int8) if quant else k_log[0]),
+        jnp.asarray(v_log[0].astype(np.int8) if quant else v_log[0]),
+        pos,
+        None if ksl is None else jnp.asarray(ksl),
+        None if vsl is None else jnp.asarray(vsl),
+        c=c, kv_heads=kvh, scale=1.0 / np.sqrt(hd))
+    want = np.asarray(want).reshape(kvh, heads // kvh, c, hd).transpose(
+        2, 0, 1, 3).reshape(c, dim)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-6,
+                               rtol=1e-5)
