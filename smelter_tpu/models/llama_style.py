@@ -347,3 +347,85 @@ def build_decode_step(weights: dict | None = None, vocab: int = 96,
     logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
     rename_edges(b.graph, cache_outs)
     return b.finish([logits] + [n for n, _ in cache_outs]), weights
+
+
+def build_decode_step_paged(weights: dict | None = None, vocab: int = 96,
+                            dim: int = 64, heads: int = 4,
+                            kv_heads: int = 2, ffn: int = 128,
+                            layers: int = 2, seed: int = 0,
+                            moe_top_k: int = 2, chunk: int = 1, *,
+                            slots: int, page_size: int, n_pages: int,
+                            npg: int):
+    """BATCHED paged decode step: (token (B, c), pos (B,), page_table
+    (B, npg), k_pool_i/v_pool_i (n_pages, page_size, kvd)) -> (logits
+    (B, c, vocab), updated pools). The paged-pool twin of
+    ``build_decode_step``: the KV pools are SHARED across slots (one
+    device buffer, page-table indirection — kernels/
+    paged_decode_attention.py), so the step graph is built batched
+    instead of being vmapped by the server; cache rows are written by
+    PagedCacheUpdate and attention reads only each slot's live pages
+    via PagedDecodeAttention (ops/fused_ops.py). Rotary positions are
+    per-slot (pos[:, None] + arange(c)). Dead slots rely on the
+    PagePool scratch-page discipline (serving/kv_pool.py) — their table
+    rows point at the reserved page 0, so their writes are harmless.
+
+    The max rope position is n_pages*page_size (the pool's theoretical
+    maximum); per-slot logical length is bounded by npg*page_size."""
+    max_len = n_pages * page_size
+    if weights is None:
+        weights = make_weights(vocab, dim, heads, kv_heads, ffn, layers,
+                               max_len, seed)
+    if weights["cos"].shape[0] < npg * page_size:
+        raise ValueError("rope caches shorter than npg*page_size")
+    hd = dim // heads
+    kvd = kv_heads * hd
+    c = chunk
+    B = slots
+    b = GraphBuilder(f"llama_paged_b{B}", opset=17)
+    token = b.input("token", (B, c), dt.INT64)
+    pos = b.input("pos", (B,), dt.INT64)
+    table = b.input("page_table", (B, npg), dt.INT32)
+    cos, sin = (b.init(weights["cos"], "rope_cos"),
+                b.init(weights["sin"], "rope_sin"))
+    # rotary position ids (B, c) = pos[:, None] + arange(c)
+    posc = b.node("Reshape", [pos, b.init(np.array([B, 1], np.int64))])
+    posc = b.node("Add", [posc, b.init(
+        np.arange(c, dtype=np.int64)[None], "paged_arange_row")])
+    x = b.node("Gather", [b.init(weights["wte"], "wte"), token],
+               axis=0)                                      # (B, c, dim)
+    pool_outs = []
+    for li in range(layers):
+        k_pool = b.input(f"k_pool_{li}", (n_pages, page_size, kvd))
+        v_pool = b.input(f"v_pool_{li}", (n_pages, page_size, kvd))
+        h = b.node("SimplifiedLayerNormalization",
+                   [x, b.init(weights[f"norm1_{li}"], f"norm1_{li}")],
+                   axis=-1, epsilon=1e-6)
+        q = b.node("MatMul", [h, b.init(weights[f"wq_{li}"], f"wq_{li}")])
+        k = b.node("MatMul", [h, b.init(weights[f"wk_{li}"], f"wk_{li}")])
+        v = b.node("MatMul", [h, b.init(weights[f"wv_{li}"], f"wv_{li}")])
+        q = b.node("RotaryEmbedding", [q, posc, cos, sin],
+                   num_heads=heads)                         # (B, c, dim)
+        k = b.node("RotaryEmbedding", [k, posc, cos, sin],
+                   num_heads=kv_heads)                      # (B, c, kvd)
+        k_upd = b.node("PagedCacheUpdate", [k_pool, table, pos, k])
+        v_upd = b.node("PagedCacheUpdate", [v_pool, table, pos, v])
+        pool_outs += [(f"k_pool_out_{li}", k_upd),
+                      (f"v_pool_out_{li}", v_upd)]
+        ctxv = b.node("PagedDecodeAttention",
+                      [q, k_upd, v_upd, table, pos],
+                      num_heads=heads, kv_heads=kv_heads, chunk=c,
+                      scale=hd ** -0.5)                     # (B, c, dim)
+        proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"],
+                                              f"wo_{li}")])
+        x = b.node("Add", [x, proj])
+        h2 = b.node("SimplifiedLayerNormalization",
+                    [x, b.init(weights[f"norm2_{li}"], f"norm2_{li}")],
+                    axis=-1, epsilon=1e-6)
+        down = _emit_mlp(b, weights, li, h2, top_k=moe_top_k)
+        x = b.node("Add", [x, down])
+    xf = b.node("SimplifiedLayerNormalization",
+                [x, b.init(weights["norm_f"], "norm_f")],
+                axis=-1, epsilon=1e-6)
+    logits = b.node("MatMul", [xf, b.init(weights["w_head"], "w_head")])
+    rename_edges(b.graph, pool_outs)
+    return b.finish([logits] + [n for n, _ in pool_outs]), weights

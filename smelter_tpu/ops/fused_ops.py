@@ -374,7 +374,10 @@ def paged_decode_attention_op(ctx: Ctx, node: Node):
     slots x max_len. Inputs: (q (c, dim), k_pool (P, ps, kvd), v_pool,
     table (npg,), pos (1,)) or the int8-pool form (q, kq, ks (P, ps, 1),
     vq, vs, table, pos). Attributes match RaggedDecodeAttention
-    (num_heads, kv_heads, chunk, scale)."""
+    (num_heads, kv_heads, chunk, scale). The batched (slot-server) form
+    takes q (B, c, dim), table (B, npg), pos (B,) and returns
+    (B, c, dim) — the pool is inherently shared, so the paged servers
+    build BATCHED step graphs instead of vmapping a per-slot one."""
     import jax
 
     from ..kernels.paged_decode_attention import (
@@ -393,13 +396,17 @@ def paged_decode_attention_op(ctx: Ctx, node: Node):
     kvh = int(node.attr("kv_heads"))
     c = int(node.attr("chunk", 1))
     scale = float(node.attr("scale"))
+    batched = q.ndim == 3
+    bsz = q.shape[0] if batched else 1
     dim = q.shape[-1]
     hd = dim // heads
     g = heads // kvh
     _, ps, kvd = k.shape
     npg = table.shape[-1]
-    qh = q.reshape(c, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
-        kvh, g * c, hd)
+    qh = q.reshape(bsz, c, kvh, g, hd).transpose(0, 2, 3, 1, 4).reshape(
+        bsz, kvh, g * c, hd)
+    table2 = table.reshape(bsz, npg)
+    pos2 = pos.reshape(bsz)
     # pages ARE the kernel's row blocks: the sublane/lane gate applies
     # to the page size directly (no block search — paging fixed it)
     import numpy as _np
@@ -409,18 +416,37 @@ def paged_decode_attention_op(ctx: Ctx, node: Node):
         and hd % 128 == 0 and kvd % 128 == 0 and ps % sub == 0)
     if use_kernel:
         out = paged_decode_attention(
-            qh[None], k, v,
-            table.reshape(1, npg), pos.reshape(1), ks, vs,
-            c=c, kv_heads=kvh, scale=scale)[0]
+            qh, k, v, table2, pos2, ks, vs,
+            c=c, kv_heads=kvh, scale=scale)
     else:
         L = npg * ps
-        t2 = table.reshape(1, npg)
-        kd = paged_gather_reference(k, t2, L)[0]
-        vd = paged_gather_reference(v, t2, L)[0]
-        ksd = paged_gather_reference(ks, t2, L)[0] if quant else None
-        vsd = paged_gather_reference(vs, t2, L)[0] if quant else None
-        out = ragged_decode_attention_reference(
-            qh, kd, vd, pos.reshape(()), ksd, vsd,
-            c=c, kv_heads=kvh, scale=scale)
-    out = out.reshape(kvh, g, c, hd).transpose(2, 0, 1, 3).reshape(c, dim)
+        kd = paged_gather_reference(k, table2, L)
+        vd = paged_gather_reference(v, table2, L)
+        ksd = paged_gather_reference(ks, table2, L) if quant else None
+        vsd = paged_gather_reference(vs, table2, L) if quant else None
+        out = jnp.stack([
+            ragged_decode_attention_reference(
+                qh[b], kd[b], vd[b], pos2[b],
+                None if ksd is None else ksd[b],
+                None if vsd is None else vsd[b],
+                c=c, kv_heads=kvh, scale=scale)
+            for b in range(bsz)])
+    out = out.reshape(bsz, kvh, g, c, hd).transpose(0, 3, 1, 2, 4)
+    out = out.reshape((bsz, c, dim) if batched else (c, dim))
     ctx.set(node.outputs[0], out.astype(q.dtype))
+
+
+@register("PagedCacheUpdate")
+def paged_cache_update_op(ctx: Ctx, node: Node):
+    """Scatter this step's K or V rows into the paged pool:
+    (pool (P, ps, kvd), table (B, npg), pos (B,), rows (B, c, kvd)) ->
+    updated pool. Dead slots are handled by the SCRATCH-PAGE discipline
+    (serving/kv_pool.py PagePool(scratch=True)): their table rows point
+    at the reserved page, so their writes land there instead of
+    corrupting re-assigned pages — no in-graph mask needed."""
+    from ..kernels.paged_decode_attention import paged_cache_update
+
+    pool, table, pos, rows = (ctx.get(n) for n in node.inputs)
+    bsz = rows.shape[0]
+    ctx.set(node.outputs[0], paged_cache_update(
+        pool, table.reshape(bsz, -1), pos.reshape(bsz), rows))

@@ -39,13 +39,21 @@ class PagePool:
     (< n_pages) so a mis-clamped read could never fault.
     """
 
-    def __init__(self, n_pages: int, page_size: int, slots: int):
-        if n_pages < 1 or page_size < 1 or slots < 1:
+    def __init__(self, n_pages: int, page_size: int, slots: int,
+                 scratch: bool = False):
+        if n_pages < 1 + int(scratch) or page_size < 1 or slots < 1:
             raise ValueError((n_pages, page_size, slots))
         self.n_pages = n_pages
         self.page_size = page_size
         self.slots = slots
-        self._free: list[int] = list(range(n_pages - 1, -1, -1))
+        self.scratch = scratch
+        # scratch=True reserves page 0 as the dead-slot sink: it is
+        # never allocated, and table()'s zero-fill means an inactive
+        # slot's row points at it — the batched paged step's writes for
+        # dead slots land there instead of corrupting re-assigned pages
+        # (the in-graph alternative would be an active-mask input)
+        lo = 1 if scratch else 0
+        self._free: list[int] = list(range(n_pages - 1, lo - 1, -1))
         self._owned: list[list[int]] = [[] for _ in range(slots)]
 
     # -- queries ---------------------------------------------------------
@@ -107,4 +115,10 @@ class PagePool:
                     f"slot {s} holds {len(pages)} pages > table width "
                     f"{npg}")
             out[s, :len(pages)] = pages
+            if self.scratch:
+                # entries past the owned prefix MUST point at the
+                # scratch page (a freed slot's stale ids may now belong
+                # to another sequence, and the batched step writes
+                # through table[slot, pos // ps] unconditionally)
+                out[s, len(pages):] = 0
         return out

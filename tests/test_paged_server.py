@@ -1,0 +1,208 @@
+"""Paged decode serving: batched paged step graph parity vs the dense
+per-slot step, PagedDecodeServer greedy parity vs DecodeServer, page
+growth/release accounting, and pool backpressure incl. the all-stalled
+eviction path (serving/paged_server.py, models/llama_style.py::
+build_decode_step_paged)."""
+
+import concurrent.futures
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smelter_tpu.models import llama_style
+from smelter_tpu.runtime.executor import Executor
+from smelter_tpu.serving.kv_pool import PoolExhausted
+from smelter_tpu.serving.paged_server import PagedDecodeServer
+
+CFG = dict(vocab=64, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+PS, NPG, NPAGES = 8, 3, 10  # max per-slot len 24, pool 10 pages
+
+
+def _weights():
+    return llama_style.make_weights(
+        **{k: CFG[k] for k in
+           ("vocab", "dim", "heads", "kv_heads", "ffn", "layers")},
+        max_len=NPAGES * PS)
+
+
+def _paged(w, slots):
+    g, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=slots, page_size=PS, n_pages=NPAGES,
+        npg=NPG)
+    return g
+
+
+def _dense(w):
+    g, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                         max_len=NPG * PS)
+    return g
+
+
+def test_batched_paged_step_matches_dense(rng):
+    """Two slots at different positions/pages through the batched paged
+    graph == the dense per-slot step graph, step by step."""
+    w = _weights()
+    gp = _paged(w, slots=2)
+    gd = _dense(w)
+    exp, exd = Executor(gp), Executor(gd)
+    pp, pd = exp.init_params(), exd.init_params()
+    fp, fd = exp.build_fn(), exd.build_fn()
+    kvd = CFG["kv_heads"] * (CFG["dim"] // CFG["heads"])
+
+    pools = {v.name: jnp.zeros(tuple(v.type.shape), jnp.float32)
+             for v in gp.inputs if v.name.startswith(("k_pool", "v_pool"))}
+    table = jnp.asarray([[2, 5, 1], [7, 3, 0]], jnp.int32)
+    dense_caches = [
+        {v.name: jnp.zeros(tuple(v.type.shape), jnp.float32)
+         for v in gd.inputs if v.name.startswith(("k_cache", "v_cache"))}
+        for _ in range(2)]
+    toks = [[3, 9, 14, 2, 7], [5, 1]]
+    seqs = [list(t) for t in toks]
+    for t in range(10):
+        tok = np.array([[seqs[0][t] if t < len(seqs[0]) else 1],
+                        [seqs[1][t] if t < len(seqs[1]) else 1]],
+                       np.int64)
+        for b in range(2):
+            if t >= len(seqs[b]):
+                seqs[b].append(int(tok[b, 0]))
+        pos = np.array([t, t], np.int64)
+        by = {"token": jnp.asarray(tok), "pos": jnp.asarray(pos),
+              "page_table": table, **pools}
+        outs = fp(pp, *[by[v.name] for v in gp.inputs])
+        logits_p = np.asarray(outs[0])
+        new_pools = list(outs[1:])
+        pools = dict(zip([v.name for v in gp.inputs
+                          if v.name.startswith(("k_pool", "v_pool"))],
+                         new_pools))
+        for b in range(2):
+            byd = {"token": jnp.asarray(tok[b]),
+                   "pos": jnp.asarray([t], np.int64),
+                   **dense_caches[b]}
+            outs_d = fd(pd, *[byd[v.name] for v in gd.inputs])
+            np.testing.assert_allclose(
+                logits_p[b], np.asarray(outs_d[0]), atol=2e-5,
+                rtol=1e-4, err_msg=f"t={t} slot={b}")
+            names = [v.name for v in gd.inputs
+                     if v.name.startswith(("k_cache", "v_cache"))]
+            # dense graph outputs: logits + caches in k_out/v_out order
+            for nm, arr in zip(names, outs_d[1:]):
+                dense_caches[b][nm] = arr
+
+
+def _greedy_reference(w, prompt, n_new):
+    """Greedy continuation via DecodeServer on the dense step graph."""
+    from smelter_tpu.serving.decode_server import DecodeServer
+
+    srv = DecodeServer(_dense(w), slots=2)
+    try:
+        return srv.submit(prompt, n_new).result(timeout=300)
+    finally:
+        srv.shutdown()
+
+
+def test_server_greedy_parity_mixed_lengths(rng):
+    """Mixed-length concurrent requests through PagedDecodeServer give
+    token-identical greedy outputs to DecodeServer, and all pages return
+    to the pool afterwards."""
+    w = _weights()
+    srv = PagedDecodeServer(_paged(w, slots=3))
+    try:
+        prompts = [[3, 9, 14], [5], [7, 2, 11, 4, 1, 8]]
+        n_news = [6, 10, 4]
+        futs = [srv.submit(p, n) for p, n in zip(prompts, n_news)]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.shutdown()
+    for p, n, g in zip(prompts, n_news, got):
+        want = _greedy_reference(w, p, n)
+        assert g == want, (p, g, want)
+    assert srv.pool.free_pages == NPAGES - 1  # all released (1 scratch)
+
+
+def test_server_stop_tokens_and_overlong(rng):
+    w = _weights()
+    srv = PagedDecodeServer(_paged(w, slots=2), stop_tokens=(0,))
+    try:
+        with pytest.raises(ValueError):
+            srv.submit(list(range(NPG * PS)), 4).result(timeout=60)
+        r = srv.submit([4, 4], 0).result(timeout=60)
+        assert r == [4, 4]
+        out = srv.submit([3, 1], 8).result(timeout=300)
+        assert len(out) <= 2 + 8
+    finally:
+        srv.shutdown()
+
+
+def test_backpressure_stall_and_resume(rng):
+    """A pool too small for all requests at once must stall (not fail)
+    the excess and finish every request correctly once pages free."""
+    w = _weights()
+    g, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=3, page_size=PS, n_pages=4, npg=NPG)
+    srv = PagedDecodeServer(g)  # 3 usable pages (1 scratch) for 3 slots
+    try:
+        prompts = [[3, 9], [5, 1], [7, 2]]
+        # each needs 2 pages to reach len 2+8=10 > 8: all three cannot
+        # hold 2 pages simultaneously (3 free) — somebody must stall
+        futs = [srv.submit(p, 8) for p in prompts]
+        got = []
+        for f in futs:
+            try:
+                got.append(f.result(timeout=300))
+            except PoolExhausted:
+                got.append(None)
+        stats = srv.stats()
+    finally:
+        srv.shutdown()
+    finished = [g_ for g_ in got if g_ is not None]
+    assert len(finished) >= 2  # eviction may fail at most the one loser
+    for p, g_ in zip(prompts, got):
+        if g_ is not None:
+            assert g_ == _greedy_reference(w, p, 8), (p, g_)
+    assert stats["stall_ticks"] > 0 or None not in got
+    assert srv.pool.free_pages == 3
+
+
+def test_deadlock_eviction_fails_minimal_work(rng):
+    """Two slots that stall on the same tick with zero free pages: the
+    least-progressed one is evicted with PoolExhausted and the other
+    completes correctly."""
+    w = _weights()
+    g, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=3, npg=NPG)
+    srv = PagedDecodeServer(g)  # 2 usable pages, both slots need 2
+    try:
+        fa = srv.submit([3, 9, 14, 2], 8)   # crosses page 1 boundary
+        fb = srv.submit([5, 1], 10)         # also crosses
+        res, errs = [], []
+        for f in (fa, fb):
+            try:
+                res.append(f.result(timeout=300))
+            except PoolExhausted as e:
+                res.append(None)
+                errs.append(e)
+    finally:
+        srv.shutdown()
+    assert len(errs) == 1  # exactly one evicted
+    winner = [r for r in res if r is not None]
+    assert len(winner) == 1
+    if res[0] is not None:
+        assert res[0] == _greedy_reference(w, [3, 9, 14, 2], 8)
+    else:
+        assert res[1] == _greedy_reference(w, [5, 1], 10)
+    assert srv.pool.free_pages == 2
+
+
+def test_sequential_requests_reuse_pages(rng):
+    """Back-to-back requests through one server recycle pages (LIFO) and
+    stay correct — slot/page reuse never leaks a previous occupant."""
+    w = _weights()
+    srv = PagedDecodeServer(_paged(w, slots=2))
+    try:
+        for prompt in ([3, 9], [14, 2, 7], [1]):
+            got = srv.submit(prompt, 5).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, 5), prompt
+            assert srv.pool.free_pages == NPAGES - 1
+    finally:
+        srv.shutdown()
