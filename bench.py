@@ -397,6 +397,90 @@ def _bench_serve_decode(args, st) -> int:
     return 0
 
 
+def _bench_serve_paged(args, st) -> int:
+    """Paged-pool decode serving: aggregate generated tok/s through
+    PagedDecodeServer (shared page pool, batched step graph) on the
+    same workload as a plain DecodeServer baseline with flat
+    slots x max_len caches. vs_baseline = paged/plain aggregate tok/s;
+    the metric line also records both cache footprints — the pool's
+    value is CAPACITY (pages-in-use vs flat reservation), the ratio
+    shows what the page indirection costs or saves in throughput."""
+    import gc
+
+    import jax
+
+    from smelter_tpu.models import llama_style
+    from smelter_tpu.passes.pass_manager import run_passes
+    from smelter_tpu.quant import quantize_weights
+    from smelter_tpu.serving.decode_server import DecodeServer
+    from smelter_tpu.serving.paged_server import PagedDecodeServer
+
+    cfg = DECODE_CFGS[args.model]
+    max_len = 512 if cfg["dim"] > 512 else 64
+    ps = min(args.page_size, max_len)
+    npg = max_len // ps
+    slots = args.batch if args.batch <= 64 else 8
+    n_pages = args.pool_pages or (1 + slots * npg)
+    quant = args.quant
+    if quant in ("int8-static", "none"):
+        quant = None if quant == "none" else "int4-g128"
+    scfg = st.Config(compute_dtype=args.dtype)
+
+    def q(g):
+        if quant:
+            quantize_weights(g, quant, min_elements=1 << 16)
+            run_passes(g, ["fuse_dequant_matmul", "dce"])
+        return g
+
+    w = llama_style.make_weights(max_len=max_len, **cfg)
+    step = q(llama_style.build_decode_step(w, max_len=max_len, **cfg)[0])
+    paged = q(llama_style.build_decode_step_paged(
+        w, **cfg, slots=slots, page_size=ps, n_pages=n_pages,
+        npg=npg)[0])
+
+    rng = np.random.default_rng(0)
+    prompts = [[int(t) for t in rng.integers(1, cfg["vocab"] - 1, n)]
+               for n in rng.integers(8, min(48, max_len // 4),
+                                     args.requests)]
+    n_new = args.new_tokens
+
+    def run(srv):
+        futs = [srv.submit(pr, n_new) for pr in prompts[:2]]
+        for f in futs:
+            f.result(timeout=1800)  # warm (compile) outside the clock
+        t0 = time.perf_counter()
+        futs = [srv.submit(pr, n_new) for pr in prompts]
+        tot = 0
+        for pr, f in zip(prompts, futs):
+            tot += len(f.result(timeout=3600)) - len(pr)
+        wall = time.perf_counter() - t0
+        stats = srv.stats()
+        cb = srv.cache_bytes()
+        srv.shutdown()
+        del srv
+        gc.collect()
+        return tot / wall, stats, cb
+
+    plain_tps, _, plain_cb = run(DecodeServer(step, slots=slots,
+                                              config=scfg))
+    paged_tps, stats, paged_cb = run(PagedDecodeServer(paged,
+                                                       config=scfg))
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"{args.model} paged decode serving aggregate tok/s "
+                  f"(PagedDecodeServer, slots={slots}, page_size={ps}, "
+                  f"pool={n_pages}p={paged_cb / 1e6:.0f}MB vs flat "
+                  f"{plain_cb / 1e6:.0f}MB, quant={quant or 'bf16'}, "
+                  f"n_new={n_new}, stall_ticks={stats['stall_ticks']}, "
+                  f"vs plain DecodeServer {plain_tps:.1f} tok/s, "
+                  f"{dev.platform})",
+        "value": round(paged_tps, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(paged_tps / plain_tps, 3),
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="resnet50")
@@ -448,6 +532,15 @@ def main() -> int:
                    help="serve-decode: int8 KV caches")
     p.add_argument("--ragged", action="store_true",
                    help="serve-decode: ragged decode attention")
+    p.add_argument("--serve-paged", action="store_true",
+                   help="paged-pool decode serving: PagedDecodeServer "
+                        "aggregate tok/s vs a flat-cache DecodeServer "
+                        "baseline (--page-size, --pool-pages)")
+    p.add_argument("--page-size", type=int, default=128,
+                   help="serve-paged: KV pool page size (rows)")
+    p.add_argument("--pool-pages", type=int, default=0,
+                   help="serve-paged: total pool pages (0 = scratch + "
+                        "slots*npg, the stall-free allocation)")
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
@@ -461,12 +554,14 @@ def main() -> int:
 
     import smelter_tpu as st
 
-    if args.decode or args.serve_decode:
+    if args.decode or args.serve_decode or args.serve_paged:
         if args.model == "resnet50":
             args.model = "llama_1b"
         if args.model not in DECODE_CFGS:
             p.error(f"unknown decode model {args.model!r}; available: "
                     f"{', '.join(sorted(DECODE_CFGS))}")
+        if args.serve_paged:
+            return _bench_serve_paged(args, st)
         if args.serve_decode:
             return _bench_serve_decode(args, st)
         return _bench_decode(args, st)
