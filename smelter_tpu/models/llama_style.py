@@ -353,7 +353,8 @@ def build_decode_step_paged(weights: dict | None = None, vocab: int = 96,
                             dim: int = 64, heads: int = 4,
                             kv_heads: int = 2, ffn: int = 128,
                             layers: int = 2, seed: int = 0,
-                            moe_top_k: int = 2, chunk: int = 1, *,
+                            moe_top_k: int = 2, chunk: int = 1,
+                            kv_quant: bool = False, *,
                             slots: int, page_size: int, n_pages: int,
                             npg: int):
     """BATCHED paged decode step: (token (B, c), pos (B,), page_table
@@ -369,8 +370,15 @@ def build_decode_step_paged(weights: dict | None = None, vocab: int = 96,
     PagePool scratch-page discipline (serving/kv_pool.py) — their table
     rows point at the reserved page 0, so their writes are harmless.
 
-    The max rope position is n_pages*page_size (the pool's theoretical
-    maximum); per-slot logical length is bounded by npg*page_size."""
+    kv_quant=True stores the pools as int8 with per-row f32 scale pools
+    (k_scale_pool_i/v_scale_pool_i, (n_pages, page_size, 1)): this
+    step's rows are row-quantized before the paged write and the
+    attention op reads the int8 pools directly (the kernel dequantizes
+    per block in VMEM) — the probe78 int8-KV capacity recipe composed
+    with paging.
+
+    Per-slot logical length is bounded by npg*page_size (rope caches
+    must cover it)."""
     max_len = n_pages * page_size
     if weights is None:
         weights = make_weights(vocab, dim, heads, kv_heads, ffn, layers,
@@ -395,8 +403,18 @@ def build_decode_step_paged(weights: dict | None = None, vocab: int = 96,
                axis=0)                                      # (B, c, dim)
     pool_outs = []
     for li in range(layers):
-        k_pool = b.input(f"k_pool_{li}", (n_pages, page_size, kvd))
-        v_pool = b.input(f"v_pool_{li}", (n_pages, page_size, kvd))
+        if kv_quant:
+            k_pool = b.input(f"k_pool_{li}", (n_pages, page_size, kvd),
+                             dt.INT8)
+            ks_pool = b.input(f"k_scale_pool_{li}",
+                              (n_pages, page_size, 1))
+            v_pool = b.input(f"v_pool_{li}", (n_pages, page_size, kvd),
+                             dt.INT8)
+            vs_pool = b.input(f"v_scale_pool_{li}",
+                              (n_pages, page_size, 1))
+        else:
+            k_pool = b.input(f"k_pool_{li}", (n_pages, page_size, kvd))
+            v_pool = b.input(f"v_pool_{li}", (n_pages, page_size, kvd))
         h = b.node("SimplifiedLayerNormalization",
                    [x, b.init(weights[f"norm1_{li}"], f"norm1_{li}")],
                    axis=-1, epsilon=1e-6)
@@ -407,12 +425,27 @@ def build_decode_step_paged(weights: dict | None = None, vocab: int = 96,
                    num_heads=heads)                         # (B, c, dim)
         k = b.node("RotaryEmbedding", [k, posc, cos, sin],
                    num_heads=kv_heads)                      # (B, c, kvd)
-        k_upd = b.node("PagedCacheUpdate", [k_pool, table, pos, k])
-        v_upd = b.node("PagedCacheUpdate", [v_pool, table, pos, v])
-        pool_outs += [(f"k_pool_out_{li}", k_upd),
-                      (f"v_pool_out_{li}", v_upd)]
-        ctxv = b.node("PagedDecodeAttention",
-                      [q, k_upd, v_upd, table, pos],
+        if kv_quant:
+            kq, ksr = _emit_row_quant(b, k, c)
+            vq, vsr = _emit_row_quant(b, v, c)
+            k_upd = b.node("PagedCacheUpdate", [k_pool, table, pos, kq])
+            ks_upd = b.node("PagedCacheUpdate",
+                            [ks_pool, table, pos, ksr])
+            v_upd = b.node("PagedCacheUpdate", [v_pool, table, pos, vq])
+            vs_upd = b.node("PagedCacheUpdate",
+                            [vs_pool, table, pos, vsr])
+            pool_outs += [(f"k_pool_out_{li}", k_upd),
+                          (f"k_scale_pool_out_{li}", ks_upd),
+                          (f"v_pool_out_{li}", v_upd),
+                          (f"v_scale_pool_out_{li}", vs_upd)]
+            attn_in = [q, k_upd, ks_upd, v_upd, vs_upd, table, pos]
+        else:
+            k_upd = b.node("PagedCacheUpdate", [k_pool, table, pos, k])
+            v_upd = b.node("PagedCacheUpdate", [v_pool, table, pos, v])
+            pool_outs += [(f"k_pool_out_{li}", k_upd),
+                          (f"v_pool_out_{li}", v_upd)]
+            attn_in = [q, k_upd, v_upd, table, pos]
+        ctxv = b.node("PagedDecodeAttention", attn_in,
                       num_heads=heads, kv_heads=kv_heads, chunk=c,
                       scale=hd ** -0.5)                     # (B, c, dim)
         proj = b.node("MatMul", [ctxv, b.init(weights[f"wo_{li}"],

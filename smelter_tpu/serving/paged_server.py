@@ -64,7 +64,9 @@ class PagedDecodeServer:
         self._input_names = [v.name for v in step_graph.inputs]
         shapes = {v.name: tuple(v.type.shape) for v in step_graph.inputs}
         self._pool_names = [n for n in self._input_names
-                            if n.startswith(("k_pool_", "v_pool_"))]
+                            if n.startswith(("k_pool_", "v_pool_",
+                                             "k_scale_pool_",
+                                             "v_scale_pool_"))]
         if not self._pool_names:
             raise ValueError("step graph has no k_pool_/v_pool_ inputs "
                              "(need build_decode_step_paged form)")
@@ -91,8 +93,8 @@ class PagedDecodeServer:
             return nxt, list(outs[1:])
 
         self._step_all = jax.jit(step_all, donate_argnums=(4,))
-        self._pools = [jnp.zeros(shapes[n], jnp.float32)
-                       for n in pool_names]
+        dts = {v.name: v.type.np_dtype for v in step_graph.inputs}
+        self._pools = [jnp.zeros(shapes[n], dts[n]) for n in pool_names]
         self._table = self.pool.table(npg)
         self._npg = npg
         self._state = [_Slot() for _ in range(self.slots)]

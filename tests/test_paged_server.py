@@ -206,3 +206,32 @@ def test_sequential_requests_reuse_pages(rng):
             assert srv.pool.free_pages == NPAGES - 1
     finally:
         srv.shutdown()
+
+
+def test_int8_kv_paged_server(rng):
+    """kv_quant=True pools (int8 + per-row scale pools) through the
+    server: outputs match the dense int8-KV DecodeServer (the same
+    row-quant recipe, so token-identical greedy chains)."""
+    from smelter_tpu.serving.decode_server import DecodeServer
+
+    w = _weights()
+    gp, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, kv_quant=True)
+    assert any(v.name.startswith("k_scale_pool_") for v in gp.inputs)
+    srv = PagedDecodeServer(gp)
+    gd, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                          max_len=NPG * PS,
+                                          kv_quant=True)
+    ref = DecodeServer(gd, slots=2)
+    try:
+        prompts = [[3, 9, 14], [5, 1, 7, 2]]
+        futs = [srv.submit(p, 6) for p in prompts]
+        rfuts = [ref.submit(p, 6) for p in prompts]
+        got = [f.result(timeout=300) for f in futs]
+        want = [f.result(timeout=300) for f in rfuts]
+    finally:
+        srv.shutdown()
+        ref.shutdown()
+    assert got == want
+    assert srv.pool.free_pages == NPAGES - 1
