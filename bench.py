@@ -432,11 +432,13 @@ def _bench_serve_paged(args, st) -> int:
             run_passes(g, ["fuse_dequant_matmul", "dce"])
         return g
 
+    kvq = bool(args.kv_quant)
     w = llama_style.make_weights(max_len=max_len, **cfg)
-    step = q(llama_style.build_decode_step(w, max_len=max_len, **cfg)[0])
+    step = q(llama_style.build_decode_step(w, max_len=max_len,
+                                           kv_quant=kvq, **cfg)[0])
     paged = q(llama_style.build_decode_step_paged(
         w, **cfg, slots=slots, page_size=ps, n_pages=n_pages,
-        npg=npg)[0])
+        npg=npg, kv_quant=kvq)[0])
 
     rng = np.random.default_rng(0)
     prompts = [[int(t) for t in rng.integers(1, cfg["vocab"] - 1, n)]
@@ -471,6 +473,7 @@ def _bench_serve_paged(args, st) -> int:
                   f"(PagedDecodeServer, slots={slots}, page_size={ps}, "
                   f"pool={n_pages}p={paged_cb / 1e6:.0f}MB vs flat "
                   f"{plain_cb / 1e6:.0f}MB, quant={quant or 'bf16'}, "
+                  f"kv_quant={kvq}, "
                   f"n_new={n_new}, stall_ticks={stats['stall_ticks']}, "
                   f"vs plain DecodeServer {plain_tps:.1f} tok/s, "
                   f"{dev.platform})",
