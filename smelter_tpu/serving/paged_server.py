@@ -108,8 +108,13 @@ class PagedDecodeServer:
 
     # -- public API ------------------------------------------------------
 
-    def submit(self, prompt: list[int], n_new: int) -> Future:
+    def submit(self, prompt: list[int], n_new: int,
+               context=None) -> Future:
         fut: Future = Future()
+        if context:
+            fut.set_exception(ValueError(
+                "PagedDecodeServer does not take context arrays"))
+            return fut
         if not prompt:
             fut.set_exception(ValueError("prompt must be non-empty"))
             return fut

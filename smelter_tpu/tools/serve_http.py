@@ -132,7 +132,7 @@ def make_handler(server_state):
             one dispatch per request; sampling params are optional
             (greedy without them)."""
             gen = server_state.get("generator")
-            if gen is None:
+            if gen is None and server_state.get("decode_server") is None:
                 self._send(404, b'{"error": "no decode model loaded"}')
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -151,7 +151,7 @@ def make_handler(server_state):
                 # cross-attention decoders (e.g. models/speech_decoder.py)
                 # take context arrays, e.g. {"context": {"memory": [[...]]}}
                 ctx = None
-                if gen.context_names:
+                if gen is not None and gen.context_names:
                     import numpy as _np
 
                     raw = payload.get("context") or {}
@@ -177,10 +177,15 @@ def make_handler(server_state):
                     toks = spec.generate(
                         prompt, n_new, temperature=temperature,
                         top_k=top_k, seed=seed)
-                else:
+                elif gen is not None:
                     toks = gen.generate(prompt, n_new, context=ctx,
                                         temperature=temperature,
                                         top_k=top_k, seed=seed)
+                else:
+                    # paged-only server (no single-stream generator)
+                    raise ValueError(
+                        "this server is paged-serving only: greedy, "
+                        "no sampling parameters")
             except Exception as e:  # noqa: BLE001
                 self._send(400, json.dumps({"error": str(e)[:500]}).encode())
                 return
@@ -236,6 +241,14 @@ def main(argv=None) -> int:
                         "slots x max). Repeatable. Requires "
                         "--decode-slots; prefill graphs apply to the "
                         "main (largest) bucket only")
+    p.add_argument("--decode-paged", action="store_true",
+                   help="treat --decode-step as a BATCHED paged step "
+                        "graph (build_decode_step_paged form: token "
+                        "(B, c), page_table, k_pool_*/v_pool_*) and "
+                        "serve it with PagedDecodeServer (shared KV "
+                        "page pool, grow/stall/evict lifecycle); "
+                        "greedy-only, mutually exclusive with the other "
+                        "decode modes")
     p.add_argument("--decode-spec-rounds", type=int, default=1,
                    metavar="R",
                    help="SpecDecodeServer: chain R draft-and-verify "
@@ -286,7 +299,16 @@ def main(argv=None) -> int:
     state = {"servers": servers, "default": default, "verbose": args.verbose}
     dec_cfg = st.Config(compute_dtype=args.dtype,
                         ragged_attention=args.ragged_attention)
-    if args.decode_step:
+    if args.decode_step and args.decode_paged:
+        if (args.decode_slots or args.decode_draft or args.decode_chunk
+                or args.decode_bucket or args.decode_prefill):
+            p.error("--decode-paged takes only --decode-step (the "
+                    "batched paged graph already fixes the slot count)")
+        from ..serving.paged_server import PagedDecodeServer
+
+        state["decode_server"] = PagedDecodeServer(
+            st.load_model(args.decode_step), config=dec_cfg)
+    elif args.decode_step:
         from ..runtime.generate import FusedGenerator
 
         step_graph = st.load_model(args.decode_step)
@@ -364,6 +386,8 @@ def main(argv=None) -> int:
                 tick_steps=args.decode_tick_steps)
     elif args.decode_slots:
         p.error("--decode-slots requires --decode-step")
+    elif args.decode_paged:
+        p.error("--decode-paged requires --decode-step")
     elif args.decode_prefill:
         p.error("--decode-prefill requires --decode-step")
     elif args.decode_draft or args.decode_chunk:

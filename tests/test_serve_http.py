@@ -413,3 +413,64 @@ class TestBucketedDecodeEndpoint:
             assert g == gen.generate(p, 5)
         cb = state["decode_server"].cache_bytes()
         assert cb < state["decode_server"].uniform_cache_bytes()
+
+
+class TestPagedHTTP:
+    """--decode-paged surface: a batched paged step graph round-tripped
+    through save_model/load_model (the custom PagedCacheUpdate/
+    PagedDecodeAttention nodes must survive serialization), served by
+    PagedDecodeServer behind /v1/generate."""
+
+    CFG = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+
+    @pytest.fixture(scope="class")
+    def paged_server(self, tmp_path_factory):
+        from smelter_tpu.ir.importer import load_model, save_model
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import DecodeServer
+        from smelter_tpu.serving.paged_server import PagedDecodeServer
+
+        w = llama_style.make_weights(max_len=24, **self.CFG)
+        gp, _ = llama_style.build_decode_step_paged(
+            weights=w, **self.CFG, slots=2, page_size=8, n_pages=8,
+            npg=3)
+        path = tmp_path_factory.mktemp("paged") / "paged_step.onnx"
+        save_model(gp, path)
+        srv = PagedDecodeServer(load_model(path))
+        gd, _ = llama_style.build_decode_step(weights=w, **self.CFG,
+                                              max_len=24)
+        ref = DecodeServer(gd, slots=2)
+        state = {"servers": {}, "default": None,
+                 "decode_server": srv, "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", ref
+        httpd.shutdown()
+        srv.shutdown()
+        ref.shutdown()
+
+    def _post(self, base, payload):
+        req = urllib.request.Request(
+            base + "/v1/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())["tokens"]
+
+    def test_greedy_matches_decode_server(self, paged_server):
+        base, ref = paged_server
+        for p, n in (([5, 9, 2], 8), ([7], 5)):
+            got = self._post(base, {"prompt": p, "n_new": n})
+            assert got == ref.submit(p, n).result(timeout=300)
+
+    def test_sampling_params_rejected(self, paged_server):
+        base, _ = paged_server
+        req = urllib.request.Request(
+            base + "/v1/generate",
+            data=json.dumps({"prompt": [5], "n_new": 4,
+                             "temperature": 0.7}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
