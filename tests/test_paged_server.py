@@ -235,3 +235,48 @@ def test_int8_kv_paged_server(rng):
         ref.shutdown()
     assert got == want
     assert srv.pool.free_pages == NPAGES - 1
+
+
+def test_paged_graph_tp_sharded_lowers(rng, eight_devices):
+    """The batched paged step graph under a TP mesh: head-block-sharded
+    pools through PagedDecodeAttention's partition rule (forced kernel,
+    interpret mode) must lower, run, and match the unsharded graph."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import smelter_tpu.ops.fused_ops as fo
+    from smelter_tpu.parallel.mesh import MeshPlan
+
+    cfg = dict(vocab=64, dim=512, heads=4, kv_heads=2, ffn=128,
+               layers=1)
+    w = llama_style.make_weights(max_len=32, **cfg)
+    g, _ = llama_style.build_decode_step_paged(
+        weights=w, **cfg, slots=2, page_size=8, n_pages=6, npg=2)
+    ex = Executor(g)
+    params = ex.init_params()
+    fn = ex.build_fn()
+    kvd = cfg["kv_heads"] * (cfg["dim"] // cfg["heads"])
+    by = {"token": jnp.asarray([[3], [7]], jnp.int32),
+          "pos": jnp.asarray([4, 9], jnp.int32),
+          "page_table": jnp.asarray([[2, 5], [1, 3]], jnp.int32)}
+    for v in g.inputs:
+        if v.name.startswith(("k_pool", "v_pool")):
+            by[v.name] = jnp.asarray(
+                rng.standard_normal((6, 8, kvd)) * 0.1, jnp.float32)
+    args = [by[v.name] for v in g.inputs]
+    fo._FORCE_RAGGED_KERNEL = True
+    try:
+        want = [np.asarray(o) for o in fn(params, *args)]
+        plan = MeshPlan.for_devices(8, tp=2)
+        pool_sh = NamedSharding(plan.mesh, P(None, None, "tp"))
+        shardings = [
+            pool_sh if v.name.startswith(("k_pool", "v_pool"))
+            else NamedSharding(plan.mesh, P(*([None] * len(v.type.shape))))
+            for v in g.inputs]
+        with plan.mesh:
+            jf = jax.jit(fn, in_shardings=(None, *shardings))
+            got = [np.asarray(o) for o in jf(params, *args)]
+    finally:
+        fo._FORCE_RAGGED_KERNEL = False
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(a, b_, atol=2e-5, rtol=1e-4)
