@@ -280,3 +280,47 @@ def test_paged_graph_tp_sharded_lowers(rng, eight_devices):
         fo._FORCE_RAGGED_KERNEL = False
     for a, b_ in zip(got, want):
         np.testing.assert_allclose(a, b_, atol=2e-5, rtol=1e-4)
+
+
+def test_paged_chunk_graph_matches_dense(rng):
+    """chunk>1 (the speculative VERIFY shape) through the paged graph:
+    c tokens per slot in one forward, cache writes crossing page
+    boundaries, row i attending <= pos+i — parity vs the dense chunk
+    graph. This is the building block for speculative paged serving."""
+    c = 3
+    w = _weights()
+    gp, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, chunk=c)
+    gd, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                          max_len=NPG * PS, chunk=c)
+    exp, exd = Executor(gp), Executor(gd)
+    fp, fd = exp.build_fn(), exd.build_fn()
+    pp, pd = exp.init_params(), exd.init_params()
+    pools = {v.name: jnp.zeros(tuple(v.type.shape), jnp.float32)
+             for v in gp.inputs if v.name.startswith(("k_pool", "v_pool"))}
+    table = jnp.asarray([[4, 1, 6], [2, 7, 3]], jnp.int32)
+    dense = [{v.name: jnp.zeros(tuple(v.type.shape), jnp.float32)
+              for v in gd.inputs
+              if v.name.startswith(("k_cache", "v_cache"))}
+             for _ in range(2)]
+    # pos 6: the c=3 window crosses the page-0/page-1 boundary
+    for t0 in (0, 6, 12):
+        tok = rng.integers(1, CFG["vocab"] - 1, (2, c))
+        by = {"token": jnp.asarray(tok), "pos": jnp.asarray([t0, t0]),
+              "page_table": table, **pools}
+        outs = fp(pp, *[by[v.name] for v in gp.inputs])
+        pools = dict(zip(
+            [v.name for v in gp.inputs
+             if v.name.startswith(("k_pool", "v_pool"))], outs[1:]))
+        for b in range(2):
+            byd = {"token": jnp.asarray(tok[b]),
+                   "pos": jnp.asarray([t0]), **dense[b]}
+            outs_d = fd(pd, *[byd[v.name] for v in gd.inputs])
+            np.testing.assert_allclose(
+                np.asarray(outs[0])[b], np.asarray(outs_d[0]),
+                atol=2e-5, rtol=1e-4, err_msg=f"t0={t0} slot={b}")
+            names = [v.name for v in gd.inputs
+                     if v.name.startswith(("k_cache", "v_cache"))]
+            for nm, arr in zip(names, outs_d[1:]):
+                dense[b][nm] = arr
