@@ -267,3 +267,298 @@ class PagedDecodeServer:
                 except queue.Empty:
                     break
                 fut.set_exception(RuntimeError("server shut down"))
+
+
+class SpecPagedDecodeServer:
+    """Speculative continuous batching over the paged pool: every tick
+    runs gamma vmapped draft steps (small dense per-slot caches) plus
+    ONE batched paged chunk-verify across all slots — SpecDecodeServer's
+    tick shape with the target's KV memory paged. The draft keeps flat
+    slot-local caches (a 4L/256d draft's caches are ~1% of the target's
+    — paging them would buy nothing); the target, where the bytes live,
+    allocates pages as sequences grow and frees them on finish.
+
+    chunk_graph must be a build_decode_step_paged(chunk=gamma+1, slots=B)
+    graph; draft_graph a plain build_decode_step twin (merged into the
+    same uploaded weight set by name+content, so an early-exit
+    self-draft shares every layer buffer on device).
+
+    Safety composes from the two servers' disciplines: rejected-draft
+    target rows are overwritten before ever being attended (write-
+    before-read, row i attends <= pos+i); stalled slots ride the
+    dispatch with real pos so their target writes land on the scratch
+    page and their round is simply not committed; draft-cache writes of
+    a stalled slot hit its OWN rows and are rewritten on resume.
+    """
+
+    def __init__(self, chunk_graph, draft_graph, config=None,
+                 draft_config=None, stop_tokens: tuple[int, ...] = ()):
+        import jax
+        import jax.numpy as jnp
+
+        from ..runtime.config import Config
+        from ..runtime.executor import Executor
+        from ..runtime.generate import (_cache_dtypes, _decode_graph,
+                                        _merge_params)
+
+        cfg = config or Config()
+        dcfg = draft_config or cfg
+        draft_graph = _decode_graph(draft_graph, dcfg)
+        ex_t = Executor(chunk_graph, cfg)
+        params = ex_t.init_params()
+        host = {n: chunk_graph.initializers[n] for n in ex_t.param_names}
+        chunk_fn = ex_t.build_fn()
+        ex_d = _merge_params(params, host, draft_graph, dcfg)
+        draft_graph = ex_d.graph
+        step_d = ex_d.build_fn()
+        self._params = params
+
+        in_t = [v.name for v in chunk_graph.inputs]
+        in_d = [v.name for v in draft_graph.inputs]
+        cn_d = [n for n in in_d if n.startswith(("k_cache_", "v_cache_"))]
+        shapes_t = {v.name: tuple(v.type.shape)
+                    for v in chunk_graph.inputs}
+        shapes_d = {v.name: tuple(v.type.shape)
+                    for v in draft_graph.inputs}
+        dts_d = _cache_dtypes(draft_graph, dcfg, cn_d)
+        self._pool_names = [n for n in in_t
+                            if n.startswith(("k_pool_", "v_pool_",
+                                             "k_scale_pool_",
+                                             "v_scale_pool_"))]
+        self.slots, c = shapes_t["token"]
+        gamma = c - 1
+        if gamma < 1:
+            raise ValueError("chunk graph must take >= 2 tokens")
+        self.gamma = gamma
+        n_pages, page_size, _ = shapes_t[self._pool_names[0]]
+        npg = shapes_t["page_table"][1]
+        self.max_len = min(npg * page_size, shapes_d[cn_d[0]][0])
+        self.stop_tokens = set(stop_tokens)
+        self.pool = PagePool(n_pages, page_size, self.slots,
+                             scratch=True)
+
+        def round_all(prm, tok, prev, pos, forced, n_forced, free,
+                      table, t_pools, d_caches):
+            # gamma vmapped draft steps (per-slot flat caches)
+            def one(tk, pv, p, fo, nf, *dc):
+                def dstep(carry, j):
+                    dc_, t_ = carry
+                    by = {"token": t_[None].astype(jnp.int32),
+                          "pos": jnp.maximum(p + j, 0)[None]}
+                    by.update(zip(cn_d, dc_))
+                    outs = step_d(prm, *[by[n] for n in in_d])
+                    nxt = jnp.argmax(outs[0][-1]).astype(jnp.int32)
+                    nxt = jnp.where(j < nf,
+                                    fo[jnp.minimum(jnp.maximum(j, 0),
+                                                   gamma - 1)], nxt)
+                    nxt = jnp.where(j < 0, tk, nxt)
+                    return (list(outs[1:]), nxt), nxt
+                (dc_out, _), outs_d = jax.lax.scan(
+                    dstep, (list(dc), pv), jnp.arange(-1, gamma))
+                return outs_d[1:], dc_out
+            drafts, d_caches = jax.vmap(one)(
+                tok, prev, pos, forced, n_forced, *d_caches)
+            # ONE batched paged verify: (B, gamma+1) tokens
+            toks = jnp.concatenate([tok[:, None], drafts], axis=1)
+            by = {"token": toks, "pos": pos, "page_table": table}
+            by.update(zip(self._pool_names, t_pools))
+            outs = chunk_fn(prm, *[by[n] for n in in_t])
+            t_pools = list(outs[1:])
+            tnext = jnp.argmax(outs[0], axis=-1).astype(jnp.int32)
+            ok = ((jnp.arange(gamma)[None] < n_forced[:, None])
+                  | (free[:, None] & (drafts == tnext[:, :gamma])))
+            a = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+            return tnext, a, t_pools, d_caches
+
+        self._round_all = jax.jit(round_all, donate_argnums=(8, 9))
+        dts_t = {v.name: v.type.np_dtype for v in chunk_graph.inputs}
+        self._t_pools = [jnp.zeros(shapes_t[n], dts_t[n])
+                         for n in self._pool_names]
+        self._d_caches = [jnp.zeros((self.slots,) + shapes_d[n], d)
+                          for n, d in zip(cn_d, dts_d)]
+        self._table = self.pool.table(npg)
+        self._npg = npg
+        self._state = [_Slot() for _ in range(self.slots)]
+        self._pending: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._shutdown = False
+        self._wake = threading.Event()
+        self._ticks = 0
+        self._acc_num = 0
+        self._acc_den = 0
+        self._stall_ticks = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    shutdown = PagedDecodeServer.shutdown
+
+    def submit(self, prompt: list[int], n_new: int,
+               context=None) -> Future:
+        fut: Future = Future()
+        if context:
+            fut.set_exception(ValueError(
+                "SpecPagedDecodeServer does not take context arrays"))
+            return fut
+        if not prompt:
+            fut.set_exception(ValueError("prompt must be non-empty"))
+            return fut
+        if len(prompt) + self.gamma >= self.max_len:
+            fut.set_exception(ValueError(
+                f"prompt length {len(prompt)} too long for max_len "
+                f"{self.max_len} at gamma {self.gamma}"))
+            return fut
+        n_new = min(int(n_new), self.max_len - len(prompt) - self.gamma)
+        if n_new <= 0:
+            fut.set_result(list(prompt))
+            return fut
+        self._pending.put((list(prompt), n_new, fut))
+        self._wake.set()
+        return fut
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "slots": self.slots,
+                "active": sum(s.active for s in self._state),
+                "queued": self._pending.qsize(),
+                "free_pages": self.pool.free_pages,
+                "page_size": self.pool.page_size,
+                "stall_ticks": self._stall_ticks,
+                "ticks": self._ticks,
+                "accept_rate": (self._acc_num / self._acc_den
+                                if self._acc_den else None),
+                "gamma": self.gamma,
+            }
+
+    def cache_bytes(self) -> int:
+        return sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                   for p in self._t_pools + self._d_caches)
+
+    def _admit(self) -> None:
+        for i, s in enumerate(self._state):
+            if s.active:
+                continue
+            try:
+                prompt, n_new, fut = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=0,
+                                   generated=[], n_new=n_new,
+                                   last_token=prompt[0], pos=0,
+                                   future=fut)
+
+    def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        g = self.gamma
+
+        while not self._shutdown:
+            with self._lock:
+                self._admit()
+                active = [i for i, s in enumerate(self._state)
+                          if s.active]
+            if not active:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            live: list[int] = []
+            for i in active:
+                s = self._state[i]
+                try:
+                    # the verify writes rows pos..pos+gamma
+                    self.pool.ensure(i, s.pos + g + 1)
+                    live.append(i)
+                except PoolExhausted:
+                    pass
+            if not live:
+                with self._lock:
+                    self._stall_ticks += 1
+                    for i in sorted(active,
+                                    key=lambda j: self._state[j].pos):
+                        s = self._state[i]
+                        s.future.set_exception(PoolExhausted(
+                            "page pool exhausted by longer sequences"))
+                        self._state[i] = _Slot()
+                        self.pool.release(i)
+                        rest = [j for j in active
+                                if self._state[j].active]
+                        if any(self.pool.pages_for(
+                                self._state[j].pos + g + 1)
+                               - len(self.pool.pages_of(j))
+                               <= self.pool.free_pages for j in rest):
+                            break
+                continue
+            if len(live) < len(active):
+                self._stall_ticks += 1
+            self._table = self.pool.table(self._npg, out=self._table)
+            toks = np.zeros((self.slots,), np.int32)
+            prevs = np.zeros((self.slots,), np.int32)
+            pos = np.zeros((self.slots,), np.int32)
+            forced = np.zeros((self.slots, g), np.int32)
+            n_forced = np.zeros((self.slots,), np.int32)
+            free = np.zeros((self.slots,), bool)
+            for i in active:
+                s = self._state[i]
+                seq = s.prompt + s.generated
+                toks[i] = seq[s.pos]
+                prevs[i] = seq[max(s.pos - 1, 0)]
+                pos[i] = s.pos
+                rem = s.prompt[s.pos + 1:s.pos + 1 + g]
+                n_forced[i] = len(rem)
+                forced[i, :len(rem)] = rem
+                free[i] = s.pos + 1 + len(rem) >= len(s.prompt)
+            try:
+                emit, acc, self._t_pools, self._d_caches = \
+                    self._round_all(
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(prevs), jnp.asarray(pos),
+                        jnp.asarray(forced), jnp.asarray(n_forced),
+                        jnp.asarray(free), jnp.asarray(self._table),
+                        self._t_pools, self._d_caches)
+                emit, acc = np.asarray(emit), np.asarray(acc)
+            except Exception as e:  # noqa: BLE001
+                with self._lock:
+                    for i, s in enumerate(self._state):
+                        if s.active and s.future is not None:
+                            s.future.set_exception(e)
+                        self._state[i] = _Slot()
+                        self.pool.release(i)
+                    self._t_pools, _ = _heal_caches(self._t_pools)
+                    self._d_caches, _ = _heal_caches(self._d_caches)
+                continue
+            with self._lock:
+                self._ticks += 1
+                for i in live:
+                    s = self._state[i]
+                    a, nf = int(acc[i]), int(n_forced[i])
+                    if free[i] and g > nf:
+                        self._acc_den += g - nf
+                        self._acc_num += max(0, a - nf)
+                    plen = len(s.prompt)
+                    new = [int(emit[i, j]) for j in range(nf, a + 1)
+                           if s.pos + j + 1 >= plen]
+                    s.pos += a + 1
+                    seq = s.prompt + s.generated
+                    done = False
+                    for tok in new:
+                        s.generated.append(tok)
+                        if (len(s.generated) >= s.n_new
+                                or tok in self.stop_tokens):
+                            s.generated = s.generated[:s.n_new]
+                            done = True
+                            break
+                    if done:
+                        s.future.set_result(list(s.prompt) + s.generated)
+                        self._state[i] = _Slot()
+                        self.pool.release(i)
+        with self._lock:
+            for s in self._state:
+                if s.active and s.future is not None \
+                        and not s.future.done():
+                    s.future.set_exception(RuntimeError("server shut down"))
+            while True:
+                try:
+                    *_rest, fut = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                fut.set_exception(RuntimeError("server shut down"))

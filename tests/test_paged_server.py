@@ -324,3 +324,64 @@ def test_paged_chunk_graph_matches_dense(rng):
                      if v.name.startswith(("k_cache", "v_cache"))]
             for nm, arr in zip(names, outs_d[1:]):
                 dense[b][nm] = arr
+
+
+def test_spec_paged_server_greedy_parity(rng):
+    """SpecPagedDecodeServer (gamma draft steps + one batched paged
+    verify per tick): greedy outputs token-identical to the plain
+    DecodeServer chain; pages release on finish; acceptance is measured
+    (self-draft => 1.0 on CPU f32)."""
+    from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+    gamma = 3
+    w = _weights()
+    chunk, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, chunk=gamma + 1)
+    draft, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                             max_len=NPG * PS)
+    srv = SpecPagedDecodeServer(chunk, draft)
+    try:
+        prompts = [[3, 9, 14], [5, 1, 7, 2, 11]]
+        futs = [srv.submit(p, 8) for p in prompts]
+        got = [f.result(timeout=300) for f in futs]
+        stats = srv.stats()
+    finally:
+        srv.shutdown()
+    for p, g_ in zip(prompts, got):
+        assert g_ == _greedy_reference(w, p, 8), (p, g_)
+    assert srv.pool.free_pages == NPAGES - 1
+    assert stats["ticks"] >= 1
+    if stats["accept_rate"] is not None:
+        assert stats["accept_rate"] == pytest.approx(1.0)
+
+
+def test_spec_paged_backpressure(rng):
+    """Spec rounds need pos+gamma+1 rows of headroom: a tight pool must
+    stall-and-resume or evict exactly like the plain paged server."""
+    from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+    gamma = 2
+    w = _weights()
+    chunk, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=4, npg=NPG,
+        chunk=gamma + 1)
+    draft, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                             max_len=NPG * PS)
+    srv = SpecPagedDecodeServer(chunk, draft)  # 3 usable pages
+    try:
+        futs = [srv.submit([3, 9], 10), srv.submit([5, 1], 10)]
+        got, errs = [], 0
+        for f in futs:
+            try:
+                got.append(f.result(timeout=300))
+            except PoolExhausted:
+                got.append(None)
+                errs += 1
+    finally:
+        srv.shutdown()
+    assert errs <= 1
+    for p, g_ in zip(([3, 9], [5, 1]), got):
+        if g_ is not None:
+            assert g_ == _greedy_reference(w, p, 10), (p, g_)
+    assert srv.pool.free_pages == 3
