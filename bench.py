@@ -465,6 +465,47 @@ def _bench_serve_paged(args, st) -> int:
 
     plain_tps, _, plain_cb = run(DecodeServer(step, slots=slots,
                                               config=scfg))
+    if args.paged_spec and args.spec_draft != "none":
+        # speculative paged: gamma drafts + one batched paged verify
+        from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+        gamma = args.gamma
+        chunkp = q(llama_style.build_decode_step_paged(
+            w, **cfg, slots=slots, page_size=ps, n_pages=n_pages,
+            npg=npg, kv_quant=kvq, chunk=gamma + 1)[0])
+        if args.spec_draft == "self":
+            draft = q(llama_style.build_decode_step(
+                w, max_len=max_len, **cfg)[0])
+        elif args.spec_draft == "early":
+            ecfg = dict(cfg, layers=max(1, cfg["layers"] // 2))
+            draft = q(llama_style.build_decode_step(
+                w, max_len=max_len, **ecfg)[0])
+        else:
+            dcfg = dict(vocab=cfg["vocab"], dim=256, heads=8,
+                        kv_heads=4, ffn=1024, layers=4)
+            dw = llama_style.make_weights(max_len=max_len, seed=7,
+                                          **dcfg)
+            draft = llama_style.build_decode_step(dw, max_len=max_len,
+                                                  **dcfg)[0]
+        spec_tps, sstats, spec_cb = run(
+            SpecPagedDecodeServer(chunkp, draft, config=scfg))
+        acc = sstats.get("accept_rate")
+        dev = jax.devices()[0]
+        print(json.dumps({
+            "metric": f"{args.model} speculative paged serving "
+                      f"aggregate tok/s (SpecPagedDecodeServer, "
+                      f"slots={slots}, gamma={gamma}, "
+                      f"draft={args.spec_draft}, measured acceptance="
+                      f"{acc if acc is None else round(acc, 3)}, "
+                      f"page_size={ps}, pool={n_pages}p, "
+                      f"quant={quant or 'bf16'}, kv_quant={kvq}, "
+                      f"n_new={n_new}, vs plain DecodeServer "
+                      f"{plain_tps:.1f} tok/s, {dev.platform})",
+            "value": round(spec_tps, 1),
+            "unit": "tokens/sec",
+            "vs_baseline": round(spec_tps / plain_tps, 3),
+        }))
+        return 0
     paged_tps, stats, paged_cb = run(PagedDecodeServer(paged,
                                                        config=scfg))
     dev = jax.devices()[0]
@@ -544,6 +585,10 @@ def main() -> int:
     p.add_argument("--pool-pages", type=int, default=0,
                    help="serve-paged: total pool pages (0 = scratch + "
                         "slots*npg, the stall-free allocation)")
+    p.add_argument("--paged-spec", action="store_true",
+                   help="serve-paged: speculative paged serving "
+                        "(SpecPagedDecodeServer; --spec-draft/--gamma "
+                        "select the draft)")
     p.add_argument("--requests", type=int, default=256)
     p.add_argument("--clients", type=int, default=32)
     args = p.parse_args()
