@@ -300,14 +300,23 @@ def main(argv=None) -> int:
     dec_cfg = st.Config(compute_dtype=args.dtype,
                         ragged_attention=args.ragged_attention)
     if args.decode_step and args.decode_paged:
-        if (args.decode_slots or args.decode_draft or args.decode_chunk
+        if (args.decode_slots or args.decode_chunk
                 or args.decode_bucket or args.decode_prefill):
-            p.error("--decode-paged takes only --decode-step (the "
-                    "batched paged graph already fixes the slot count)")
-        from ..serving.paged_server import PagedDecodeServer
+            p.error("--decode-paged takes --decode-step (the batched "
+                    "paged graph already fixes the slot count) and "
+                    "optionally --decode-draft (speculative: "
+                    "--decode-step is then the paged CHUNK graph)")
+        if args.decode_draft:
+            from ..serving.paged_server import SpecPagedDecodeServer
 
-        state["decode_server"] = PagedDecodeServer(
-            st.load_model(args.decode_step), config=dec_cfg)
+            state["decode_server"] = SpecPagedDecodeServer(
+                st.load_model(args.decode_step),
+                st.load_model(args.decode_draft), config=dec_cfg)
+        else:
+            from ..serving.paged_server import PagedDecodeServer
+
+            state["decode_server"] = PagedDecodeServer(
+                st.load_model(args.decode_step), config=dec_cfg)
     elif args.decode_step:
         from ..runtime.generate import FusedGenerator
 

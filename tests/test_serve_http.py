@@ -474,3 +474,56 @@ class TestPagedHTTP:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=120)
         assert ei.value.code == 400
+
+
+class TestSpecPagedHTTP:
+    """--decode-paged --decode-draft: speculative paged serving behind
+    /v1/generate (paged chunk graph + dense draft, both loaded from
+    disk)."""
+
+    CFG = dict(vocab=60, dim=32, heads=4, kv_heads=2, ffn=64, layers=2)
+
+    @pytest.fixture(scope="class")
+    def spec_paged(self, tmp_path_factory):
+        from smelter_tpu.ir.importer import load_model, save_model
+        from smelter_tpu.models import llama_style
+        from smelter_tpu.serving.decode_server import DecodeServer
+        from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+        w = llama_style.make_weights(max_len=24, **self.CFG)
+        chunk, _ = llama_style.build_decode_step_paged(
+            weights=w, **self.CFG, slots=2, page_size=8, n_pages=8,
+            npg=3, chunk=3)
+        draft, _ = llama_style.build_decode_step(weights=w, **self.CFG,
+                                                 max_len=24)
+        d = tmp_path_factory.mktemp("spec_paged")
+        save_model(chunk, d / "chunk.onnx")
+        save_model(draft, d / "draft.onnx")
+        srv = SpecPagedDecodeServer(load_model(d / "chunk.onnx"),
+                                    load_model(d / "draft.onnx"))
+        gd, _ = llama_style.build_decode_step(weights=w, **self.CFG,
+                                              max_len=24)
+        ref = DecodeServer(gd, slots=2)
+        state = {"servers": {}, "default": None,
+                 "decode_server": srv, "verbose": False}
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(state))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", ref, srv
+        httpd.shutdown()
+        srv.shutdown()
+        ref.shutdown()
+
+    def test_greedy_parity_and_acceptance(self, spec_paged):
+        base, ref, srv = spec_paged
+        for p, n in (([5, 9, 2], 8), ([7, 3], 6)):
+            req = urllib.request.Request(
+                base + "/v1/generate",
+                data=json.dumps({"prompt": p, "n_new": n}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                got = json.loads(r.read())["tokens"]
+            assert got == ref.submit(p, n).result(timeout=300)
+        st_ = srv.stats()
+        assert st_["gamma"] == 2 and st_["ticks"] >= 1
