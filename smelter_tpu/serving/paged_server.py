@@ -49,7 +49,7 @@ class PagedDecodeServer:
     """
 
     def __init__(self, step_graph, config=None,
-                 stop_tokens: tuple[int, ...] = ()):
+                 stop_tokens: tuple[int, ...] = (), prefill_graphs=()):
         import jax
         import jax.numpy as jnp
 
@@ -93,6 +93,37 @@ class PagedDecodeServer:
             return nxt, list(outs[1:])
 
         self._step_all = jax.jit(step_all, donate_argnums=(4,))
+        # Prefill admission: the DENSE prefill ladder (build_prefill
+        # twins — same weight dict, merged by name+content) followed by
+        # a pool scatter IN THE SAME DISPATCH: outputs[1:] are the
+        # filled cache rows in pool-input order (the DecodeServer
+        # positional contract), and rows[:plen] paged-write into the
+        # new slot's pages at pos 0. Pad-up rows beyond the prompt are
+        # write-before-read like everywhere else; rows beyond the
+        # slot's owned pages land on the scratch page (table zero-fill)
+        # and are rewritten when decode actually reaches them.
+        from ..kernels.paged_decode_attention import paged_cache_update
+        from ..runtime.generate import _merge_params
+
+        host_map = {n: step_graph.initializers[n] for n in ex.param_names}
+        self._prefills = []
+        for g in prefill_graphs:
+            pex = _merge_params(params, host_map, g, cfg)
+            plen = next(v.type.shape[0] for v in g.inputs
+                        if v.name == "tokens")
+
+            def prefill_set(p_, toks, table_row, pools,
+                            f=pex.build_fn(), plen=plen):
+                outs = f(p_, toks)
+                tb = table_row[None]
+                z = jnp.zeros((1,), jnp.int32)
+                new = [paged_cache_update(pool, tb, z, rows[:plen][None])
+                       for pool, rows in zip(pools, outs[1:])]
+                return outs[0], new
+
+            self._prefills.append(
+                (plen, jax.jit(prefill_set, donate_argnums=(3,))))
+        self._prefills.sort(key=lambda t: t[0])
         dts = {v.name: v.type.np_dtype for v in step_graph.inputs}
         self._pools = [jnp.zeros(shapes[n], dts[n]) for n in pool_names]
         self._table = self.pool.table(npg)
@@ -154,6 +185,34 @@ class PagedDecodeServer:
 
     # -- slot loop -------------------------------------------------------
 
+    def _prefill_slot(self, i: int, prompt: list[int]):
+        """Fill slot i's pages with one prefill forward (smallest
+        bucket >= len(prompt), pad-up safe; longer prompts fill the
+        largest bucket and feed the rest per tick). Allocates pages for
+        the PROMPT rows only — pad rows beyond the owned pages land on
+        the scratch page. Returns (fed, first_token|None) like
+        DecodeServer._prefill_slot. Raises PoolExhausted when the pool
+        cannot hold the prompt right now (caller falls back to per-tick
+        feeding, which stalls gracefully)."""
+        import jax.numpy as jnp
+
+        n = len(prompt)
+        buckets = [p for p, _ in self._prefills]
+        ups = [p for p in buckets if p >= n]
+        p_len = min(ups) if ups else max(buckets)
+        eff = min(n, p_len)
+        self.pool.ensure(i, eff)
+        self._table = self.pool.table(self._npg, out=self._table)
+        fn = dict(self._prefills)[p_len]
+        toks = np.zeros((p_len,), np.int64)
+        toks[:eff] = prompt[:eff]
+        logits, self._pools = fn(self._params, jnp.asarray(toks),
+                                 jnp.asarray(self._table[i]),
+                                 self._pools)
+        first = (int(np.asarray(logits[eff - 1]).argmax())
+                 if eff == n else None)
+        return eff - 1, first
+
     def _admit(self) -> None:
         for i, s in enumerate(self._state):
             if s.active:
@@ -163,9 +222,41 @@ class PagedDecodeServer:
             except queue.Empty:
                 return
             n_new = min(n_new, self.max_len - len(prompt))
-            self._state[i] = _Slot(active=True, prompt=prompt, fed=0,
-                                   generated=[], n_new=n_new,
-                                   last_token=prompt[0], pos=0,
+            fed = pos = 0
+            last = prompt[0]
+            generated: list[int] = []
+            if self._prefills and len(prompt) > 1:
+                try:
+                    fed, first = self._prefill_slot(i, prompt)
+                    if first is not None:
+                        generated = [first]
+                        pos, last = len(prompt), first
+                        if (len(generated) >= n_new
+                                or first in self.stop_tokens):
+                            fut.set_result(list(prompt) + generated)
+                            self.pool.release(i)
+                            continue
+                    else:  # partial prefill: feed the rest per tick
+                        pos, last = fed, prompt[fed]
+                except PoolExhausted:
+                    fed = pos = 0  # per-tick feeding stalls gracefully
+                except Exception:  # noqa: BLE001 — donated pools may be
+                    # consumed by a failed prefill call: heal; zeroed
+                    # pools destroy every occupant's cache, so fail the
+                    # in-flight requests loudly instead of serving junk
+                    fed = pos = 0
+                    self._pools, n_lost = _heal_caches(self._pools)
+                    if n_lost:
+                        for k, sk in enumerate(self._state):
+                            if sk.active and sk.future is not None:
+                                sk.future.set_exception(RuntimeError(
+                                    "prefill failure consumed the KV "
+                                    "pools"))
+                                self._state[k] = _Slot()
+                                self.pool.release(k)
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
+                                   generated=generated, n_new=n_new,
+                                   last_token=last, pos=pos,
                                    future=fut)
 
     def _loop(self) -> None:

@@ -300,15 +300,19 @@ def main(argv=None) -> int:
     dec_cfg = st.Config(compute_dtype=args.dtype,
                         ragged_attention=args.ragged_attention)
     if args.decode_step and args.decode_paged:
-        if (args.decode_slots or args.decode_chunk
-                or args.decode_bucket or args.decode_prefill):
+        if args.decode_slots or args.decode_chunk or args.decode_bucket:
             p.error("--decode-paged takes --decode-step (the batched "
-                    "paged graph already fixes the slot count) and "
-                    "optionally --decode-draft (speculative: "
-                    "--decode-step is then the paged CHUNK graph)")
+                    "paged graph already fixes the slot count), "
+                    "optionally --decode-prefill (dense prefill "
+                    "ladder, pool-scattered at admission) and "
+                    "--decode-draft (speculative: --decode-step is "
+                    "then the paged CHUNK graph)")
         if args.decode_draft:
             from ..serving.paged_server import SpecPagedDecodeServer
 
+            if args.decode_prefill:
+                p.error("--decode-paged --decode-draft does not take "
+                        "--decode-prefill yet")
             state["decode_server"] = SpecPagedDecodeServer(
                 st.load_model(args.decode_step),
                 st.load_model(args.decode_draft), config=dec_cfg)
@@ -316,7 +320,9 @@ def main(argv=None) -> int:
             from ..serving.paged_server import PagedDecodeServer
 
             state["decode_server"] = PagedDecodeServer(
-                st.load_model(args.decode_step), config=dec_cfg)
+                st.load_model(args.decode_step), config=dec_cfg,
+                prefill_graphs=[st.load_model(f)
+                                for f in args.decode_prefill])
     elif args.decode_step:
         from ..runtime.generate import FusedGenerator
 

@@ -385,3 +385,53 @@ def test_spec_paged_backpressure(rng):
         if g_ is not None:
             assert g_ == _greedy_reference(w, p, 10), (p, g_)
     assert srv.pool.free_pages == 3
+
+
+def test_paged_prefill_admission(rng):
+    """Prefill ladder on the paged server: dense prefill forward + pool
+    scatter in one dispatch; outputs identical to per-tick feeding, for
+    whole-prompt buckets, pad-up, and partial (prompt > largest bucket)
+    prefills."""
+    w = _weights()
+    pfs = [llama_style.build_prefill(w, prompt_len=p,
+                                     max_len=NPG * PS, **CFG)
+           for p in (4, 8)]
+    srv = PagedDecodeServer(_paged(w, slots=2), prefill_graphs=pfs)
+    try:
+        for prompt in ([3, 9, 14, 2], [5, 1, 7],
+                       [7, 2, 11, 4, 1, 8, 3, 9, 14, 2]):  # > bucket 8
+            got = srv.submit(prompt, 5).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, 5), prompt
+            assert srv.pool.free_pages == NPAGES - 1
+    finally:
+        srv.shutdown()
+
+
+def test_paged_prefill_pool_exhausted_falls_back(rng):
+    """When the pool cannot hold the prompt at admission, prefill falls
+    back to per-tick feeding (which stalls/evicts per the tick rules)
+    instead of failing the request."""
+    w = _weights()
+    pfs = [llama_style.build_prefill(w, prompt_len=8,
+                                     max_len=NPG * PS, **CFG)]
+    g, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=3, npg=NPG)
+    srv = PagedDecodeServer(g, prefill_graphs=pfs)  # 2 usable pages
+    try:
+        # first request takes both pages mid-generation; second's
+        # prefill (needs 1 page for 6 rows, then growth) competes
+        fa = srv.submit([3, 9, 14, 2, 7, 1], 9)   # needs 2 pages
+        fb = srv.submit([5, 1, 7, 2, 11, 4], 9)
+        res = []
+        for f in (fa, fb):
+            try:
+                res.append(f.result(timeout=300))
+            except PoolExhausted:
+                res.append(None)
+    finally:
+        srv.shutdown()
+    done = [r for r in res if r is not None]
+    assert done  # at least one finished
+    for p, r in zip(([3, 9, 14, 2, 7, 1], [5, 1, 7, 2, 11, 4]), res):
+        if r is not None:
+            assert r == _greedy_reference(w, p, 9), (p, r)
