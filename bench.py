@@ -463,8 +463,8 @@ def _bench_serve_paged(args, st) -> int:
         gc.collect()
         return tot / wall, stats, cb
 
-    plain_tps, _, plain_cb = run(DecodeServer(step, slots=slots,
-                                              config=scfg))
+    plain_tps, _, plain_cb = run(DecodeServer(
+        step, slots=slots, config=scfg, tick_steps=args.tick_steps))
     if args.paged_spec and args.spec_draft != "none":
         # speculative paged: gamma drafts + one batched paged verify
         from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
@@ -506,12 +506,13 @@ def _bench_serve_paged(args, st) -> int:
             "vs_baseline": round(spec_tps / plain_tps, 3),
         }))
         return 0
-    paged_tps, stats, paged_cb = run(PagedDecodeServer(paged,
-                                                       config=scfg))
+    paged_tps, stats, paged_cb = run(PagedDecodeServer(
+        paged, config=scfg, tick_steps=args.tick_steps))
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": f"{args.model} paged decode serving aggregate tok/s "
-                  f"(PagedDecodeServer, slots={slots}, page_size={ps}, "
+                  f"(PagedDecodeServer, slots={slots}, "
+                  f"tick_steps={args.tick_steps}, page_size={ps}, "
                   f"pool={n_pages}p={paged_cb / 1e6:.0f}MB vs flat "
                   f"{plain_cb / 1e6:.0f}MB, quant={quant or 'bf16'}, "
                   f"kv_quant={kvq}, "

@@ -49,7 +49,8 @@ class PagedDecodeServer:
     """
 
     def __init__(self, step_graph, config=None,
-                 stop_tokens: tuple[int, ...] = (), prefill_graphs=()):
+                 stop_tokens: tuple[int, ...] = (), prefill_graphs=(),
+                 tick_steps: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -93,6 +94,35 @@ class PagedDecodeServer:
             return nxt, list(outs[1:])
 
         self._step_all = jax.jit(step_all, donate_argnums=(4,))
+        T = self.tick_steps = max(1, int(tick_steps))
+
+        def step_multi(prm, tokens, pos, forced, nf, table, pools):
+            # T chained steps per dispatch (the probe83b amortization):
+            # prompt tokens ride in `forced`, generated ones chain
+            # on-device via argmax; readback is (B, T). Slots must have
+            # T rows of page headroom (the host stalls them otherwise).
+            from jax import lax
+
+            def body(carry, j):
+                pools_, tk = carry
+                by = {"token": tk[:, None].astype(tokens.dtype),
+                      "pos": pos + j, "page_table": table}
+                by.update(zip(pool_names, pools_))
+                outs = fn(prm, *[by[n] for n in input_names])
+                out = jnp.argmax(outs[0][:, -1, :],
+                                 axis=-1).astype(jnp.int32)
+                nxt = jnp.where(j < nf,
+                                forced[:, jnp.minimum(j, T - 2)], out)
+                return (list(outs[1:]), nxt), out
+
+            (pools_out, _), outs = lax.scan(
+                body, (list(pools), tokens.astype(jnp.int32)),
+                jnp.arange(T))
+            # outs (T, B) -> (B, T)
+            return outs.T, pools_out
+
+        self._step_multi = (jax.jit(step_multi, donate_argnums=(6,))
+                            if T > 1 else None)
         # Prefill admission: the DENSE prefill ladder (build_prefill
         # twins — same weight dict, merged by name+content) followed by
         # a pool scatter IN THE SAME DISPATCH: outputs[1:] are the
@@ -124,8 +154,14 @@ class PagedDecodeServer:
             self._prefills.append(
                 (plen, jax.jit(prefill_set, donate_argnums=(3,))))
         self._prefills.sort(key=lambda t: t[0])
-        dts = {v.name: v.type.np_dtype for v in step_graph.inputs}
-        self._pools = [jnp.zeros(shapes[n], dts[n]) for n in pool_names]
+        # post-policy dtypes: floating pools come back in the executor's
+        # compute dtype and are carried (scan at T>1, re-fed at T=1) —
+        # a f32 seed against bf16 outputs is a carry-type error
+        from ..runtime.generate import _cache_dtypes
+
+        dts = _cache_dtypes(step_graph, cfg, pool_names)
+        self._pools = [jnp.zeros(shapes[n], d)
+                       for n, d in zip(pool_names, dts)]
         self._table = self.pool.table(npg)
         self._npg = npg
         self._state = [_Slot() for _ in range(self.slots)]
@@ -262,6 +298,7 @@ class PagedDecodeServer:
     def _loop(self) -> None:
         import jax.numpy as jnp
 
+        T = self.tick_steps
         while not self._shutdown:
             with self._lock:
                 self._admit()
@@ -272,12 +309,15 @@ class PagedDecodeServer:
                 self._wake.clear()
                 continue
             # page growth BEFORE the dispatch; slots the pool cannot
-            # grow are stalled (they ride along but do not commit)
+            # grow are stalled (they ride along but do not commit).
+            # Multi-step ticks need T rows of headroom (capped at the
+            # table capacity so the last tokens of a max-length
+            # sequence do not stall forever).
             live: list[int] = []
             for i in active:
                 s = self._state[i]
                 try:
-                    self.pool.ensure(i, s.pos + 1)
+                    self.pool.ensure(i, min(s.pos + T, self.max_len))
                     live.append(i)
                 except PoolExhausted:
                     pass
@@ -304,20 +344,41 @@ class PagedDecodeServer:
             if len(live) < len(active):
                 self._stall_ticks += 1
             self._table = self.pool.table(self._npg, out=self._table)
-            tokens = np.zeros((self.slots, 1), np.int64)
-            pos = np.zeros((self.slots,), np.int64)
-            for i in active:
-                # stalled slots ride with their REAL pos: pos >= their
-                # page capacity, so table[i, pos // ps] hits the zero-
-                # filled (scratch) region and their write is harmless;
-                # only `live` slots commit results below
-                s = self._state[i]
-                tokens[i, 0] = s.last_token
-                pos[i] = s.pos
+            # stalled slots ride with their REAL pos: pos >= their page
+            # capacity, so table[i, pos // ps] hits the zero-filled
+            # (scratch) region and their writes are harmless; only
+            # `live` slots commit results below
+            if T > 1:
+                tokens = np.zeros((self.slots,), np.int64)
+                pos = np.zeros((self.slots,), np.int64)
+                forced = np.zeros((self.slots, max(T - 1, 1)), np.int32)
+                nf = np.zeros((self.slots,), np.int32)
+                for i in active:
+                    s = self._state[i]
+                    tokens[i] = s.last_token
+                    pos[i] = s.pos
+                    nxt_prompt = s.prompt[s.pos + 1:s.pos + T]
+                    nf[i] = len(nxt_prompt)
+                    forced[i, :len(nxt_prompt)] = nxt_prompt
+            else:
+                tokens = np.zeros((self.slots, 1), np.int64)
+                pos = np.zeros((self.slots,), np.int64)
+                for i in active:
+                    s = self._state[i]
+                    tokens[i, 0] = s.last_token
+                    pos[i] = s.pos
             try:
-                nxt, self._pools = self._step_all(
-                    self._params, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(self._table), self._pools)
+                if T > 1:
+                    nxt, self._pools = self._step_multi(
+                        self._params, jnp.asarray(tokens),
+                        jnp.asarray(pos), jnp.asarray(forced),
+                        jnp.asarray(nf), jnp.asarray(self._table),
+                        self._pools)
+                else:
+                    nxt, self._pools = self._step_all(
+                        self._params, jnp.asarray(tokens),
+                        jnp.asarray(pos), jnp.asarray(self._table),
+                        self._pools)
                 nxt = np.asarray(nxt)
             except Exception as e:  # noqa: BLE001 — fail requests, keep
                 # the serving thread; donated pools may be consumed
@@ -332,6 +393,37 @@ class PagedDecodeServer:
             with self._lock:
                 for i in live:
                     s = self._state[i]
+                    if T > 1:
+                        # nxt[i, j] predicts sequence position
+                        # s.pos + j + 1; those past the prompt are
+                        # generated (greedy chain on device)
+                        plen = len(s.prompt)
+                        start = s.pos
+                        s.pos = min(start + T, self.max_len)
+                        s.fed = min(plen - 1, s.pos)
+                        done = False
+                        for j in range(T):
+                            idx = start + j + 1
+                            if idx < plen:
+                                continue
+                            tok = int(nxt[i, j])
+                            s.generated.append(tok)
+                            if (len(s.generated) >= s.n_new
+                                    or tok in self.stop_tokens
+                                    or idx >= self.max_len):
+                                done = True
+                                s.generated = s.generated[:s.n_new]
+                                break
+                        if done:
+                            s.future.set_result(
+                                list(s.prompt) + s.generated)
+                            self._state[i] = _Slot()
+                            self.pool.release(i)
+                        else:
+                            seq = s.prompt + s.generated
+                            s.last_token = seq[s.pos] \
+                                if s.pos < len(seq) else seq[-1]
+                        continue
                     s.pos += 1
                     if s.fed + 1 < len(s.prompt):
                         s.fed += 1
@@ -462,9 +554,12 @@ class SpecPagedDecodeServer:
             return tnext, a, t_pools, d_caches
 
         self._round_all = jax.jit(round_all, donate_argnums=(8, 9))
-        dts_t = {v.name: v.type.np_dtype for v in chunk_graph.inputs}
-        self._t_pools = [jnp.zeros(shapes_t[n], dts_t[n])
-                         for n in self._pool_names]
+        # post-policy dtypes (see PagedDecodeServer): avoids a silent
+        # double-compile when the first tick feeds f32 seeds and later
+        # ticks re-feed the executor's bf16 outputs
+        dts_t = _cache_dtypes(chunk_graph, cfg, self._pool_names)
+        self._t_pools = [jnp.zeros(shapes_t[n], d)
+                         for n, d in zip(self._pool_names, dts_t)]
         self._d_caches = [jnp.zeros((self.slots,) + shapes_d[n], d)
                           for n, d in zip(cn_d, dts_d)]
         self._table = self.pool.table(npg)

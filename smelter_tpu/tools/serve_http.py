@@ -322,7 +322,8 @@ def main(argv=None) -> int:
             state["decode_server"] = PagedDecodeServer(
                 st.load_model(args.decode_step), config=dec_cfg,
                 prefill_graphs=[st.load_model(f)
-                                for f in args.decode_prefill])
+                                for f in args.decode_prefill],
+                tick_steps=args.decode_tick_steps)
     elif args.decode_step:
         from ..runtime.generate import FusedGenerator
 

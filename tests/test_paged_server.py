@@ -435,3 +435,34 @@ def test_paged_prefill_pool_exhausted_falls_back(rng):
     for p, r in zip(([3, 9, 14, 2, 7, 1], [5, 1, 7, 2, 11, 4]), res):
         if r is not None:
             assert r == _greedy_reference(w, p, 9), (p, r)
+
+
+@pytest.mark.parametrize("T", [3, 8])
+def test_paged_tick_steps(rng, T):
+    """tick_steps=T (T chained steps per dispatch) on the paged server:
+    token-identical to the single-step chain across prompts that end
+    mid-window, page-boundary crossings, and n_new cutoffs."""
+    w = _weights()
+    srv = PagedDecodeServer(_paged(w, slots=2), tick_steps=T)
+    try:
+        for prompt, n in (([3, 9, 14], 7), ([5], 10), ([7, 2, 11, 4], 3)):
+            got = srv.submit(prompt, n).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, n), (T, prompt)
+            assert srv.pool.free_pages == NPAGES - 1
+    finally:
+        srv.shutdown()
+
+
+def test_paged_tick_steps_with_prefill(rng):
+    """tick_steps and prefill admission compose."""
+    w = _weights()
+    pfs = [llama_style.build_prefill(w, prompt_len=4,
+                                     max_len=NPG * PS, **CFG)]
+    srv = PagedDecodeServer(_paged(w, slots=2), tick_steps=4,
+                            prefill_graphs=pfs)
+    try:
+        for prompt in ([3, 9, 14, 2], [5, 1]):
+            got = srv.submit(prompt, 6).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, 6), prompt
+    finally:
+        srv.shutdown()
