@@ -37,8 +37,41 @@ from concurrent.futures import Future
 
 import numpy as np
 
-from .decode_server import _Slot, _heal_caches
+from .decode_server import _Slot, _build_prefill_ladder, _heal_caches
 from .kv_pool import PagePool, PoolExhausted
+
+
+def _build_paged_prefill_ladder(graphs, params, host_map, cfg):
+    """(plen, jitted prefill+pool-scatter) ladder: the DENSE prefill
+    forward (build_prefill twins, weights merged by name+content) whose
+    outputs[1:] — the filled cache rows in pool-input order, the
+    DecodeServer positional contract — are paged-written into one
+    slot's pages at pos 0, all in ONE dispatch. Pools are donated;
+    callers heal via _heal_caches on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.paged_decode_attention import paged_cache_update
+    from ..runtime.generate import _merge_params
+
+    out = []
+    for g in graphs:
+        pex = _merge_params(params, host_map, g, cfg)
+        plen = next(v.type.shape[0] for v in g.inputs
+                    if v.name == "tokens")
+
+        def prefill_set(p_, toks, table_row, pools,
+                        f=pex.build_fn(), plen=plen):
+            outs = f(p_, toks)
+            tb = table_row[None]
+            z = jnp.zeros((1,), jnp.int32)
+            new = [paged_cache_update(pool, tb, z, rows[:plen][None])
+                   for pool, rows in zip(pools, outs[1:])]
+            return outs[0], new
+
+        out.append((plen, jax.jit(prefill_set, donate_argnums=(3,))))
+    out.sort(key=lambda t: t[0])
+    return out
 
 
 class PagedDecodeServer:
@@ -123,37 +156,14 @@ class PagedDecodeServer:
 
         self._step_multi = (jax.jit(step_multi, donate_argnums=(6,))
                             if T > 1 else None)
-        # Prefill admission: the DENSE prefill ladder (build_prefill
-        # twins — same weight dict, merged by name+content) followed by
-        # a pool scatter IN THE SAME DISPATCH: outputs[1:] are the
-        # filled cache rows in pool-input order (the DecodeServer
-        # positional contract), and rows[:plen] paged-write into the
-        # new slot's pages at pos 0. Pad-up rows beyond the prompt are
-        # write-before-read like everywhere else; rows beyond the
-        # slot's owned pages land on the scratch page (table zero-fill)
-        # and are rewritten when decode actually reaches them.
-        from ..kernels.paged_decode_attention import paged_cache_update
-        from ..runtime.generate import _merge_params
-
+        # Prefill admission: dense prefill + pool scatter in one
+        # dispatch (_build_paged_prefill_ladder). Pad-up rows beyond
+        # the prompt are write-before-read like everywhere else; rows
+        # beyond the slot's owned pages land on the scratch page
+        # (table zero-fill) and are rewritten when decode reaches them.
         host_map = {n: step_graph.initializers[n] for n in ex.param_names}
-        self._prefills = []
-        for g in prefill_graphs:
-            pex = _merge_params(params, host_map, g, cfg)
-            plen = next(v.type.shape[0] for v in g.inputs
-                        if v.name == "tokens")
-
-            def prefill_set(p_, toks, table_row, pools,
-                            f=pex.build_fn(), plen=plen):
-                outs = f(p_, toks)
-                tb = table_row[None]
-                z = jnp.zeros((1,), jnp.int32)
-                new = [paged_cache_update(pool, tb, z, rows[:plen][None])
-                       for pool, rows in zip(pools, outs[1:])]
-                return outs[0], new
-
-            self._prefills.append(
-                (plen, jax.jit(prefill_set, donate_argnums=(3,))))
-        self._prefills.sort(key=lambda t: t[0])
+        self._prefills = _build_paged_prefill_ladder(
+            prefill_graphs, params, host_map, cfg)
         # post-policy dtypes: floating pools come back in the executor's
         # compute dtype and are carried (scan at T>1, re-fed at T=1) —
         # a f32 seed against bf16 outputs is a carry-type error
@@ -475,7 +485,8 @@ class SpecPagedDecodeServer:
     """
 
     def __init__(self, chunk_graph, draft_graph, config=None,
-                 draft_config=None, stop_tokens: tuple[int, ...] = ()):
+                 draft_config=None, stop_tokens: tuple[int, ...] = (),
+                 prefill_graphs=(), draft_prefill_graphs=()):
         import jax
         import jax.numpy as jnp
 
@@ -519,6 +530,14 @@ class SpecPagedDecodeServer:
         self.stop_tokens = set(stop_tokens)
         self.pool = PagePool(n_pages, page_size, self.slots,
                              scratch=True)
+        # target prefill: dense forward + pool scatter (paged ladder);
+        # draft prefill: the flat per-slot ladder DecodeServer uses —
+        # a zeroed draft cache only degrades acceptance, never
+        # correctness (the verify chunk is the target)
+        self._prefills = _build_paged_prefill_ladder(
+            prefill_graphs, params, host, cfg)
+        self._d_prefills = _build_prefill_ladder(
+            draft_prefill_graphs, params, host, dcfg)
 
         def round_all(prm, tok, prev, pos, forced, n_forced, free,
                       table, t_pools, d_caches):
@@ -621,6 +640,8 @@ class SpecPagedDecodeServer:
                    for p in self._t_pools + self._d_caches)
 
     def _admit(self) -> None:
+        import jax.numpy as jnp
+
         for i, s in enumerate(self._state):
             if s.active:
                 continue
@@ -628,9 +649,58 @@ class SpecPagedDecodeServer:
                 prompt, n_new, fut = self._pending.get_nowait()
             except queue.Empty:
                 return
-            self._state[i] = _Slot(active=True, prompt=prompt, fed=0,
+            fed = 0
+            if self._prefills and len(prompt) > 1:
+                # target prefill (paged): fed = index of the last prompt
+                # token whose pool row is valid; the spec tick consumes
+                # prompt[fed..] as forced drafts
+                try:
+                    n = len(prompt)
+                    buckets = [p for p, _ in self._prefills]
+                    ups = [p for p in buckets if p >= n]
+                    p_len = min(ups) if ups else max(buckets)
+                    eff = min(n, p_len)
+                    self.pool.ensure(i, eff)
+                    self._table = self.pool.table(self._npg,
+                                                  out=self._table)
+                    toks = np.zeros((p_len,), np.int64)
+                    toks[:eff] = prompt[:eff]
+                    _lg, self._t_pools = dict(self._prefills)[p_len](
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(self._table[i]), self._t_pools)
+                    fed = eff - 1
+                except PoolExhausted:
+                    fed = 0  # forced-draft ingestion stalls gracefully
+                except Exception:  # noqa: BLE001 — donated pools may be
+                    # consumed: heal; a zeroed target pool destroys
+                    # occupants' caches — fail them loudly
+                    fed = 0
+                    self._t_pools, n_lost = _heal_caches(self._t_pools)
+                    if n_lost:
+                        for k, sk in enumerate(self._state):
+                            if sk.active and sk.future is not None:
+                                sk.future.set_exception(RuntimeError(
+                                    "prefill failure consumed the KV "
+                                    "pools"))
+                                self._state[k] = _Slot()
+                                self.pool.release(k)
+            if self._d_prefills and len(prompt) > 1:
+                try:
+                    buckets = [p for p, _ in self._d_prefills]
+                    ups = [p for p in buckets if p >= len(prompt)]
+                    p_len = min(ups) if ups else max(buckets)
+                    eff = min(len(prompt), p_len)
+                    toks = np.zeros((p_len,), np.int64)
+                    toks[:eff] = prompt[:eff]
+                    _lg, self._d_caches = dict(self._d_prefills)[p_len](
+                        self._params, jnp.asarray(toks),
+                        jnp.asarray(i, jnp.int32), self._d_caches)
+                except Exception:  # noqa: BLE001 — a zeroed DRAFT cache
+                    # only degrades acceptance; heal and continue
+                    self._d_caches, _ = _heal_caches(self._d_caches)
+            self._state[i] = _Slot(active=True, prompt=prompt, fed=fed,
                                    generated=[], n_new=n_new,
-                                   last_token=prompt[0], pos=0,
+                                   last_token=prompt[fed], pos=fed,
                                    future=fut)
 
     def _loop(self) -> None:

@@ -310,12 +310,11 @@ def main(argv=None) -> int:
         if args.decode_draft:
             from ..serving.paged_server import SpecPagedDecodeServer
 
-            if args.decode_prefill:
-                p.error("--decode-paged --decode-draft does not take "
-                        "--decode-prefill yet")
+            pfs = [st.load_model(f) for f in args.decode_prefill]
             state["decode_server"] = SpecPagedDecodeServer(
                 st.load_model(args.decode_step),
-                st.load_model(args.decode_draft), config=dec_cfg)
+                st.load_model(args.decode_draft), config=dec_cfg,
+                prefill_graphs=pfs)
         else:
             from ..serving.paged_server import PagedDecodeServer
 

@@ -466,3 +466,33 @@ def test_paged_tick_steps_with_prefill(rng):
             assert got == _greedy_reference(w, prompt, 6), prompt
     finally:
         srv.shutdown()
+
+
+def test_spec_paged_prefill(rng):
+    """Target (paged) + draft (flat) prefill ladders on the spec paged
+    server: token parity with the plain chain and pages still release;
+    acceptance stays measured-high with the draft prefilled."""
+    from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+    gamma = 2
+    w = _weights()
+    chunk, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, chunk=gamma + 1)
+    draft, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                             max_len=NPG * PS)
+    pfs = [llama_style.build_prefill(w, prompt_len=4,
+                                     max_len=NPG * PS, **CFG)]
+    srv = SpecPagedDecodeServer(chunk, draft, prefill_graphs=pfs,
+                                draft_prefill_graphs=pfs)
+    try:
+        for prompt in ([3, 9, 14, 2], [5, 1, 7],
+                       [7, 2, 11, 4, 1, 8]):  # > bucket: partial
+            got = srv.submit(prompt, 6).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, 6), prompt
+            assert srv.pool.free_pages == NPAGES - 1
+        stats = srv.stats()
+        if stats["accept_rate"] is not None:
+            assert stats["accept_rate"] == pytest.approx(1.0)
+    finally:
+        srv.shutdown()
