@@ -486,7 +486,8 @@ class SpecPagedDecodeServer:
 
     def __init__(self, chunk_graph, draft_graph, config=None,
                  draft_config=None, stop_tokens: tuple[int, ...] = (),
-                 prefill_graphs=(), draft_prefill_graphs=()):
+                 prefill_graphs=(), draft_prefill_graphs=(),
+                 rounds_per_tick: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -573,6 +574,44 @@ class SpecPagedDecodeServer:
             return tnext, a, t_pools, d_caches
 
         self._round_all = jax.jit(round_all, donate_argnums=(8, 9))
+        # Multi-round ticks (the SpecDecodeServer rounds_per_tick
+        # pattern, paged): R draft-and-verify rounds chained on device;
+        # engaged only when every active slot is past its prompt with
+        # R*(gamma+1) rows of PAGE headroom already ensured, so no
+        # in-graph masking (and no masked pool writes) is needed.
+        R = max(1, int(rounds_per_tick))
+        self.rounds_per_tick = R
+
+        def rounds_multi(prm, tok, prev, pos, table, t_pools, d_caches):
+            zf = jnp.zeros((self.slots, gamma), jnp.int32)
+            zn = jnp.zeros((self.slots,), jnp.int32)
+            fr = jnp.ones((self.slots,), bool)
+
+            def body(carry, _):
+                t_p, d_c, tk, pv, ps_ = carry
+                tnext, a, t_p, d_c = round_all(
+                    prm, tk, pv, ps_, zf, zn, fr, table, t_p, d_c)
+                new_pos = ps_ + a + 1
+                new_tok = jnp.take_along_axis(
+                    tnext, a[:, None], axis=1)[:, 0]
+                new_prev = jnp.where(
+                    a > 0,
+                    jnp.take_along_axis(
+                        tnext, jnp.maximum(a - 1, 0)[:, None],
+                        axis=1)[:, 0],
+                    tk)
+                return (t_p, d_c, new_tok, new_prev, new_pos), (tnext, a)
+
+            (t_p, d_c, *_), (emits, accs) = jax.lax.scan(
+                body, (list(t_pools), list(d_caches), tok, prev, pos),
+                None, length=R)
+            # emits (R, B, g+1) -> (B, R, g+1); accs (R, B) -> (B, R)
+            return (jnp.swapaxes(emits, 0, 1),
+                    accs.T, t_p, d_c)
+
+        self._rounds_multi = (jax.jit(rounds_multi,
+                                      donate_argnums=(5, 6))
+                              if R > 1 else None)
         # post-policy dtypes (see PagedDecodeServer): avoids a silent
         # double-compile when the first tick feeds f32 seeds and later
         # ticks re-feed the executor's bf16 outputs
@@ -707,6 +746,7 @@ class SpecPagedDecodeServer:
         import jax.numpy as jnp
 
         g = self.gamma
+        R = self.rounds_per_tick
 
         while not self._shutdown:
             with self._lock:
@@ -717,12 +757,30 @@ class SpecPagedDecodeServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
+            # multi-round ticks need every active slot PAST its prompt
+            # with R*(g+1) rows of both table capacity and PAGE headroom
+            # (no in-graph masking, so no slot may run a round it
+            # cannot safely commit)
+            multi = (R > 1 and self._rounds_multi is not None
+                     and all(self._state[i].pos + 1
+                             >= len(self._state[i].prompt)
+                             and self._state[i].pos + R * (g + 1)
+                             < self.max_len
+                             for i in active))
+            if multi:
+                try:
+                    for i in active:
+                        self.pool.ensure(
+                            i, self._state[i].pos + R * (g + 1))
+                except PoolExhausted:
+                    multi = False  # fall back to single-round ensure
             live: list[int] = []
             for i in active:
                 s = self._state[i]
                 try:
-                    # the verify writes rows pos..pos+gamma
-                    self.pool.ensure(i, s.pos + g + 1)
+                    # the verify writes rows pos..pos+gamma (per round)
+                    self.pool.ensure(
+                        i, s.pos + (R * (g + 1) if multi else g + 1))
                     live.append(i)
                 except PoolExhausted:
                     pass
@@ -764,13 +822,21 @@ class SpecPagedDecodeServer:
                 forced[i, :len(rem)] = rem
                 free[i] = s.pos + 1 + len(rem) >= len(s.prompt)
             try:
-                emit, acc, self._t_pools, self._d_caches = \
-                    self._round_all(
-                        self._params, jnp.asarray(toks),
-                        jnp.asarray(prevs), jnp.asarray(pos),
-                        jnp.asarray(forced), jnp.asarray(n_forced),
-                        jnp.asarray(free), jnp.asarray(self._table),
-                        self._t_pools, self._d_caches)
+                if multi:
+                    emit, acc, self._t_pools, self._d_caches = \
+                        self._rounds_multi(
+                            self._params, jnp.asarray(toks),
+                            jnp.asarray(prevs), jnp.asarray(pos),
+                            jnp.asarray(self._table),
+                            self._t_pools, self._d_caches)
+                else:
+                    emit, acc, self._t_pools, self._d_caches = \
+                        self._round_all(
+                            self._params, jnp.asarray(toks),
+                            jnp.asarray(prevs), jnp.asarray(pos),
+                            jnp.asarray(forced), jnp.asarray(n_forced),
+                            jnp.asarray(free), jnp.asarray(self._table),
+                            self._t_pools, self._d_caches)
                 emit, acc = np.asarray(emit), np.asarray(acc)
             except Exception as e:  # noqa: BLE001
                 with self._lock:
@@ -784,25 +850,41 @@ class SpecPagedDecodeServer:
                 continue
             with self._lock:
                 self._ticks += 1
-                for i in live:
-                    s = self._state[i]
-                    a, nf = int(acc[i]), int(n_forced[i])
-                    if free[i] and g > nf:
+
+                def apply(s, a, nf, row, was_free):
+                    """Consume one round's (acceptance, emitted row);
+                    returns True when the request finished."""
+                    if was_free and g > nf:
                         self._acc_den += g - nf
                         self._acc_num += max(0, a - nf)
                     plen = len(s.prompt)
-                    new = [int(emit[i, j]) for j in range(nf, a + 1)
+                    new = [int(row[j]) for j in range(nf, a + 1)
                            if s.pos + j + 1 >= plen]
                     s.pos += a + 1
-                    seq = s.prompt + s.generated
-                    done = False
                     for tok in new:
                         s.generated.append(tok)
                         if (len(s.generated) >= s.n_new
                                 or tok in self.stop_tokens):
                             s.generated = s.generated[:s.n_new]
-                            done = True
-                            break
+                            return True
+                    return False
+
+                for i in live:
+                    s = self._state[i]
+                    if multi:
+                        # emit (B, R, g+1), acc (B, R): replay rounds;
+                        # later rounds past a finish are discarded
+                        # (their pool writes die with the released
+                        # pages — write-before-read covers reuse)
+                        done = False
+                        for r in range(R):
+                            done = apply(s, int(acc[i, r]), 0,
+                                         emit[i, r], True)
+                            if done:
+                                break
+                    else:
+                        done = apply(s, int(acc[i]), int(n_forced[i]),
+                                     emit[i], bool(free[i]))
                     if done:
                         s.future.set_result(list(s.prompt) + s.generated)
                         self._state[i] = _Slot()

@@ -496,3 +496,29 @@ def test_spec_paged_prefill(rng):
             assert stats["accept_rate"] == pytest.approx(1.0)
     finally:
         srv.shutdown()
+
+
+def test_spec_paged_rounds_per_tick(rng):
+    """rounds_per_tick=R on the spec paged server: R draft-and-verify
+    rounds chained on device, engaged only past the prompts with page
+    headroom; token parity with the plain chain."""
+    from smelter_tpu.serving.paged_server import SpecPagedDecodeServer
+
+    gamma = 2
+    w = _weights()
+    chunk, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, chunk=gamma + 1)
+    draft, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                             max_len=NPG * PS)
+    srv = SpecPagedDecodeServer(chunk, draft, rounds_per_tick=3)
+    try:
+        for prompt, n in (([3, 9, 14], 9), ([5], 12), ([7, 2], 4)):
+            got = srv.submit(prompt, n).result(timeout=300)
+            assert got == _greedy_reference(w, prompt, n), prompt
+            assert srv.pool.free_pages == NPAGES - 1
+        stats = srv.stats()
+        if stats["accept_rate"] is not None:
+            assert stats["accept_rate"] == pytest.approx(1.0)
+    finally:
+        srv.shutdown()
