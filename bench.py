@@ -488,13 +488,15 @@ def _bench_serve_paged(args, st) -> int:
             draft = llama_style.build_decode_step(dw, max_len=max_len,
                                                   **dcfg)[0]
         spec_tps, sstats, spec_cb = run(
-            SpecPagedDecodeServer(chunkp, draft, config=scfg))
+            SpecPagedDecodeServer(chunkp, draft, config=scfg,
+                                  rounds_per_tick=args.spec_rounds))
         acc = sstats.get("accept_rate")
         dev = jax.devices()[0]
         print(json.dumps({
             "metric": f"{args.model} speculative paged serving "
                       f"aggregate tok/s (SpecPagedDecodeServer, "
                       f"slots={slots}, gamma={gamma}, "
+                      f"rounds={args.spec_rounds}, "
                       f"draft={args.spec_draft}, measured acceptance="
                       f"{acc if acc is None else round(acc, 3)}, "
                       f"page_size={ps}, pool={n_pages}p, "

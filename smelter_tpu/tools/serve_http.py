@@ -314,7 +314,8 @@ def main(argv=None) -> int:
             state["decode_server"] = SpecPagedDecodeServer(
                 st.load_model(args.decode_step),
                 st.load_model(args.decode_draft), config=dec_cfg,
-                prefill_graphs=pfs)
+                prefill_graphs=pfs,
+                rounds_per_tick=args.decode_spec_rounds)
         else:
             from ..serving.paged_server import PagedDecodeServer
 
