@@ -522,3 +522,31 @@ def test_spec_paged_rounds_per_tick(rng):
             assert stats["accept_rate"] == pytest.approx(1.0)
     finally:
         srv.shutdown()
+
+
+def test_int8_kv_paged_prefill(rng):
+    """kv_quant pools + prefill admission: the quantized prefill rows
+    (int8 + scales, padded) pool-scatter in pool-input order and match
+    the dense int8-KV DecodeServer with the same prefill ladder."""
+    from smelter_tpu.serving.decode_server import DecodeServer
+
+    w = _weights()
+    gp, _ = llama_style.build_decode_step_paged(
+        weights=w, **CFG, slots=2, page_size=PS, n_pages=NPAGES,
+        npg=NPG, kv_quant=True)
+    pfs = [llama_style.build_prefill(w, prompt_len=4, max_len=NPG * PS,
+                                     kv_quant=True, **CFG)]
+    srv = PagedDecodeServer(gp, prefill_graphs=pfs)
+    gd, _ = llama_style.build_decode_step(weights=w, **CFG,
+                                          max_len=NPG * PS,
+                                          kv_quant=True)
+    ref = DecodeServer(gd, slots=2, prefill_graphs=pfs)
+    try:
+        for prompt in ([3, 9, 14, 2], [5, 1, 7]):
+            got = srv.submit(prompt, 6).result(timeout=300)
+            want = ref.submit(prompt, 6).result(timeout=300)
+            assert got == want, (prompt, got, want)
+        assert srv.pool.free_pages == NPAGES - 1
+    finally:
+        srv.shutdown()
+        ref.shutdown()
